@@ -1,0 +1,81 @@
+"""Key-derivation scalar functions (SURVEY.md §2.3).
+
+Reference semantics being re-expressed (file:line in /root/reference):
+
+- MD5 digest of a field's UTF-8 bytes — `Md5Utils.java:12-20`. The
+  reference emits 16 raw digest bytes; we canonicalize to the 32-char
+  lowercase hex form (`F.md5`), which sorts identically to the raw bytes
+  (hex is an order-preserving byte encoding) and avoids the reference's
+  unsigned-byte-ordering trap.
+- Composite row key: 4 digests concatenated, `KEY_WIDTH = 4 * 16` —
+  `RowKeyConverter.java:7,13-30`. Here: 128 hex chars.
+- Reversed-string key (Avro path spreads sequential ids across the
+  `'0'..'9'` region splits) — `BulkImporterFromAvro.java:59`.
+- Salt / bucket id, designed-but-disabled in the reference
+  (`hashCode % REGION_COUNT`, left-padded; `REGION_COUNT = 10`) —
+  `RowKeyConverter.java:8,20-25`.
+
+All are pure `pyspark.sql.functions` column expressions: JVM-side,
+whole-stage-codegen'd, zero Python in the hot path — at 100 TB these run
+inside the scan stage with no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+REGION_COUNT = 10  # reference: RowKeyConverter.java:8
+
+
+def md5_hex(col: Column | str) -> Column:
+    """32-char lowercase hex MD5 of the column's UTF-8 bytes.
+
+    Matches `Md5Utils.java:12-20` (hex canonical form). Nulls hash as the
+    empty string so a composite key is always full-width.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.coalesce(c.cast("string"), F.lit("")))
+
+
+def composite_rowkey(*cols: Column | str) -> Column:
+    """Concatenation of per-field MD5 digests → one fixed-width key.
+
+    `RowKeyConverter.java:13-30` packs 4 × 16 raw bytes; we produce
+    4 × 32 hex chars. Uniformly distributed by construction — the
+    anti-hotspot property the reference bought with hashed keys.
+    """
+    if not cols:
+        raise ValueError("composite_rowkey needs at least one column")
+    return F.concat(*[md5_hex(c) for c in cols])
+
+
+def reverse_key(col: Column | str) -> Column:
+    """Digit/string reversal key (`BulkImporterFromAvro.java:59`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.reverse(c.cast("string"))
+
+
+def mod_bucket(col: Column | str, n: int = REGION_COUNT) -> Column:
+    """Non-negative modulo bucket id — the reference's disabled salt
+    (`RowKeyConverter.java:20-25`: `hashCode % REGION_COUNT`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c, F.lit(n)).cast("int")
+
+
+def salted_key(bucket: Column, key: Column, width: int = 2) -> Column:
+    """Left-padded bucket prefix + key — the reference's commented-out
+    salted-key layout (`RowKeyConverter.java:20-25`)."""
+    return F.concat(F.lpad(bucket.cast("string"), width, "0"), F.lit("|"), key)
+
+
+def hex_bucket(key: Column | str, chars: int = 1) -> Column:
+    """Bucket = first hex char(s) of the key → 16**chars uniform buckets.
+
+    The rebuild's replacement for the reference's region-split scheme: the
+    DDL splits on ASCII '0'..'9' (`create_table.rb:1`) while raw MD5 keys
+    are uniform over 0x00-0xFF — most data would land in 2 regions
+    (SURVEY.md §2.14 note). Bucketing on the hex prefix balances exactly.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(c, 1, chars)

@@ -1,0 +1,86 @@
+"""The bulk-load pipeline (SURVEY.md §2.5-2.6): validate → derive keys →
+unpivot to KV cells → range/bucket partition → sort within partitions →
+sorted Snappy columnar sink.
+
+Reference dataflow being re-expressed:
+- `HFileOutputFormat2.configureIncrementalLoad`
+  (`BulkImporterFromText.java:104-108`) installs a TotalOrderPartitioner
+  over the table's region start keys plus a PutSortReducer — i.e. a
+  total-order repartition + per-partition sort, one sorted Snappy HFile
+  per region (`BulkImporterFromText.java:108-111`).
+- Regions are pre-split 10 ways on '0'..'9' (`create_table.rb:1`).
+
+Spark-first: the bucket is an *explicit column* (first hex char of the
+uniformly-distributed MD5 key — 16-way by default; the reference's raw
+digest bytes vs ASCII splits mismatch is a documented deviation,
+SURVEY.md §2.14 note). `repartition(n, bucket)` + `sortWithinPartitions`
+reproduces the region-aligned sorted-file contract with exactly one
+shuffle, and the key's uniform distribution makes that shuffle skew-free
+by construction — the property that survives a 100 TB scale-up. Bucket
+count is a parameter (the reference hardcodes 10, `RowKeyConverter.java:8`);
+at cluster scale set it from data volume, not region count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.functions.keys import composite_rowkey, hex_bucket
+from hbase_bulkload_spark.operators.kv import CURRENT_FAMILY, unpivot_kv
+
+
+def bulkload_kv(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    family: str = CURRENT_FAMILY,
+    ts: Column | None = None,
+    drop_null: bool = True,
+) -> DataFrame:
+    """Wide records → bulk-load-ready KV frame with rowkey + bucket.
+
+    Mirrors the mapper: makeRowKey(fields 0..3) → one cell per column
+    (`BulkImporterFromText.java:57-66`). All JVM-side expressions; the
+    plan is map-only until the caller's terminal exchange — the same
+    shape as the reference's map phase.
+    """
+    rowkey = composite_rowkey(*key_cols)
+    kv = unpivot_kv(df, rowkey, value_cols, family=family, ts=ts, drop_null=drop_null)
+    return kv.withColumn("bucket", hex_bucket(F.col("rowkey")))
+
+
+def region_align(kv: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """The one global shuffle: co-locate each bucket, sort cells within
+    each partition by (rowkey, qualifier) — HBase cell order, the
+    PutSortReducer contract (`BulkImporterFromText.java:108`)."""
+    return kv.repartition(n_buckets, "bucket").sortWithinPartitions(
+        "bucket", "rowkey", "qualifier"
+    )
+
+
+def write_bulkload(kv: DataFrame, path: str, n_buckets: int = 16) -> None:
+    """Sorted, bucket-partitioned, Snappy columnar sink — the analog of
+    the HFile directory handed to `LoadIncrementalHFiles.doBulkLoad`
+    (`BulkImporterFromText.java:129-130`); the engine's contract ends at
+    region-aligned sorted files (SURVEY.md §2.1 op 9).
+
+    AQE partition coalescing is disabled for this write so the
+    partition↔bucket correspondence (and hence per-file sortedness)
+    survives planning (SURVEY.md §4.2).
+    """
+    spark = kv.sparkSession
+    prior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        (
+            region_align(kv, n_buckets)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prior)

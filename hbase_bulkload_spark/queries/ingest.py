@@ -1,0 +1,295 @@
+"""Ingest-surface queries (SURVEY.md §2.1-§2.6 ops 1-17): scans, arity /
+null filters, key derivation, KV unpivot, range partitioning, and the
+flagship bulk-load pipeline.
+
+Every query's DuckDB oracle reconstructs the same deterministic record
+frame (`sources.records.wide9`) relationally from the `lineitem` view, so
+scan round-trips and key derivations are checked value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.functions.keys import (
+    composite_rowkey,
+    md5_hex,
+    mod_bucket,
+    reverse_key,
+    salted_key,
+)
+from hbase_bulkload_spark.operators.bulkload import bulkload_kv, region_align
+from hbase_bulkload_spark.operators.kv import unpivot_kv
+from hbase_bulkload_spark.session import oracle_safe
+from hbase_bulkload_spark.sources import records
+from hbase_bulkload_spark.sources.records import RECORD_COLS
+
+KEY_COLS = RECORD_COLS[:4]  # fields 0..3 → composite key, BulkImporterFromText.java:58-59
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle fragments. WIDE9_CTE must mirror sources.records.wide9
+# exactly (same casts, same injection predicates).
+# ---------------------------------------------------------------------------
+
+WIDE9_CTE = """
+wide9 AS (
+    SELECT
+        CAST(l_orderkey AS VARCHAR)   AS z0,
+        CAST(l_partkey AS VARCHAR)    AS z1,
+        CAST(l_suppkey AS VARCHAR)    AS z2,
+        CAST(l_linenumber AS VARCHAR) AS z3,
+        l_returnflag                  AS z4,
+        l_linestatus                  AS z5,
+        strftime(l_shipdate, '%Y-%m-%d') AS z6,
+        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS z7,
+        CASE WHEN l_orderkey % 53 = 0 THEN NULL
+             ELSE CAST(l_suppkey AS VARCHAR) END    AS z8,
+        l_orderkey AS _seq
+    FROM lineitem
+)
+"""
+
+ROWKEY_SQL = "md5(z0) || md5(z1) || md5(z2) || md5(z3)"
+
+KV_CTE = f"""
+keyed AS (
+    SELECT {ROWKEY_SQL} AS rowkey, * FROM wide9
+),
+kv AS (
+    SELECT rowkey, 'c' AS family, qualifier, value FROM (
+        SELECT rowkey, 'z0' AS qualifier, z0 AS value FROM keyed
+        UNION ALL SELECT rowkey, 'z1', z1 FROM keyed
+        UNION ALL SELECT rowkey, 'z2', z2 FROM keyed
+        UNION ALL SELECT rowkey, 'z3', z3 FROM keyed
+        UNION ALL SELECT rowkey, 'z4', z4 FROM keyed
+        UNION ALL SELECT rowkey, 'z5', z5 FROM keyed
+        UNION ALL SELECT rowkey, 'z6', z6 FROM keyed
+        UNION ALL SELECT rowkey, 'z7', z7 FROM keyed
+        UNION ALL SELECT rowkey, 'z8', z8 FROM keyed
+    ) WHERE value IS NOT NULL
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query builders
+# ---------------------------------------------------------------------------
+
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    return records.scan_text(spark, sf_dir)
+
+
+def q_parse_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    return records.parse_delimited(spark, sf_dir)
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    return records.scan_csv(spark, sf_dir)
+
+
+def q_scan_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    return records.scan_columnar(spark, sf_dir)
+
+
+def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 10: emit iff exactly COLUMN_COUNT fields; the skipped branch is
+    counted rather than println'd (BulkImporterFromText.java:56,68-70)."""
+    oracle_safe(spark)
+    lines = records.scan_text(spark, sf_dir)
+    return (
+        lines.select((F.size(F.split("value", records.SOH)) == records.COLUMN_COUNT).alias("is_valid"))
+        .groupBy("is_valid")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11: per-field null suppression (BulkImporterFromAvro.java:65-66),
+    reported as per-qualifier cell / null counts."""
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS, drop_null=False)
+    return kv.groupBy("qualifier").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 12: positional key projection, fields 0-3 (the RC variant's
+    field-20 OOB is a documented deviation, SURVEY.md §2.2 note)."""
+    oracle_safe(spark)
+    return records.wide9(spark, sf_dir).select(*KEY_COLS)
+
+
+def q_rowkey_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    return w.select("z0", md5_hex("z0").alias("k0"))
+
+
+def q_rowkey_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    return w.select(*KEY_COLS, composite_rowkey(*KEY_COLS).alias("rowkey"))
+
+
+def q_key_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    return w.select("z0", reverse_key("z0").alias("rk"))
+
+
+def q_salt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 13d: the reference's disabled salt (RowKeyConverter.java:20-25),
+    enabled: pmod bucket + left-padded salted key."""
+    oracle_safe(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bucket = mod_bucket("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        bucket.alias("bucket"),
+        salted_key(bucket, F.col("l_orderkey").cast("string")).alias("salted"),
+    )
+
+
+def q_unpivot_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    return unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
+
+
+def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15: deterministic bucket assignment (first hex char, 16-way)."""
+    oracle_safe(spark)
+    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
+    return kv.groupBy("bucket").agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("rowkey").alias("n_keys"),
+    )
+
+
+def q_sorted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 16: per-bucket key ranges — disjointness of bucket key ranges is
+    the relational face of the sorted-file contract (physical sortedness
+    is asserted in tests/test_bulkload.py)."""
+    oracle_safe(spark)
+    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
+    return kv.groupBy("bucket").agg(
+        F.min("rowkey").alias("min_rk"),
+        F.max("rowkey").alias("max_rk"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+def q_bulkload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full ingest dataflow (ops 1,10,12,13,14,15,16 in one
+    plan) — scan → validate → composite MD5 rowkey → KV cells → bucket →
+    region-aligned sort."""
+    oracle_safe(spark)
+    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
+    return region_align(kv).select("rowkey", "family", "qualifier", "value", "bucket")
+
+
+QUERIES = {
+    "q_scan_text": q_scan_text,
+    "q_parse_delimited": q_parse_delimited,
+    "q_scan_csv": q_scan_csv,
+    "q_scan_columnar": q_scan_columnar,
+    "q_filter_arity": q_filter_arity,
+    "q_filter_notnull": q_filter_notnull,
+    "q_project": q_project,
+    "q_rowkey_md5": q_rowkey_md5,
+    "q_rowkey_concat": q_rowkey_concat,
+    "q_key_reverse": q_key_reverse,
+    "q_salt_bucket": q_salt_bucket,
+    "q_unpivot_kv": q_unpivot_kv,
+    "q_range_partition": q_range_partition,
+    "q_sorted_ingest": q_sorted_ingest,
+    "q_bulkload_pipeline": q_bulkload_pipeline,
+}
+
+_Z = ", ".join(RECORD_COLS)
+
+ORACLES = {
+    "q_scan_text": f"""
+        WITH {WIDE9_CTE}
+        SELECT CASE WHEN _seq % 97 = 0
+                    THEN concat_ws(chr(1), z0, z1, z2, z3, z4, z5, z6, z7)
+                    ELSE concat_ws(chr(1), z0, z1, z2, z3, z4, z5, z6, z7, z8)
+               END AS value
+        FROM wide9
+    """,
+    "q_parse_delimited": f"""
+        WITH {WIDE9_CTE}
+        SELECT {_Z} FROM wide9 WHERE _seq % 97 <> 0 AND z8 IS NOT NULL
+    """,
+    "q_scan_csv": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_columnar": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_filter_arity": f"""
+        WITH {WIDE9_CTE}
+        SELECT (_seq % 97 <> 0 AND z8 IS NOT NULL) AS is_valid,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM wide9 GROUP BY 1
+    """,
+    "q_filter_notnull": f"""
+        WITH {WIDE9_CTE}
+        SELECT qualifier,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM (
+            SELECT 'z0' AS qualifier, z0 AS value FROM wide9
+            UNION ALL SELECT 'z1', z1 FROM wide9
+            UNION ALL SELECT 'z2', z2 FROM wide9
+            UNION ALL SELECT 'z3', z3 FROM wide9
+            UNION ALL SELECT 'z4', z4 FROM wide9
+            UNION ALL SELECT 'z5', z5 FROM wide9
+            UNION ALL SELECT 'z6', z6 FROM wide9
+            UNION ALL SELECT 'z7', z7 FROM wide9
+            UNION ALL SELECT 'z8', z8 FROM wide9
+        ) GROUP BY qualifier
+    """,
+    "q_project": f"WITH {WIDE9_CTE} SELECT z0, z1, z2, z3 FROM wide9",
+    "q_rowkey_md5": f"WITH {WIDE9_CTE} SELECT z0, md5(z0) AS k0 FROM wide9",
+    "q_rowkey_concat": f"""
+        WITH {WIDE9_CTE}
+        SELECT z0, z1, z2, z3, {ROWKEY_SQL} AS rowkey FROM wide9
+    """,
+    "q_key_reverse": f"WITH {WIDE9_CTE} SELECT z0, reverse(z0) AS rk FROM wide9",
+    "q_salt_bucket": """
+        SELECT l_orderkey,
+               CAST(l_orderkey % 10 AS INT) AS bucket,
+               lpad(CAST(l_orderkey % 10 AS VARCHAR), 2, '0') || '|'
+                   || CAST(l_orderkey AS VARCHAR) AS salted
+        FROM lineitem
+    """,
+    "q_unpivot_kv": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, family, qualifier, value FROM kv
+    """,
+    "q_range_partition": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT substr(rowkey, 1, 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys
+        FROM kv GROUP BY 1
+    """,
+    "q_sorted_ingest": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT substr(rowkey, 1, 1) AS bucket,
+               MIN(rowkey) AS min_rk,
+               MAX(rowkey) AS max_rk,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM kv GROUP BY 1
+    """,
+    "q_bulkload_pipeline": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, family, qualifier, value, substr(rowkey, 1, 1) AS bucket
+        FROM kv
+    """,
+}

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from hbase_bulkload_spark.session import get_spark
+
+    s = get_spark("pytest", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

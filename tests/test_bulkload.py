@@ -1,0 +1,67 @@
+"""Bulk-load output invariants (SURVEY.md §5.2 item 3): within every
+output partition keys are non-decreasing; bucket key-ranges are disjoint;
+bucket assignment is total; written files are sorted and Snappy parquet —
+the reference's HFile contract (`BulkImporterFromText.java:104-111`)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.operators.bulkload import (
+    bulkload_kv,
+    region_align,
+    write_bulkload,
+)
+from hbase_bulkload_spark.sources.records import RECORD_COLS, wide9
+
+KEYS = RECORD_COLS[:4]
+
+
+def _kv(spark, sf_dir):
+    return bulkload_kv(wide9(spark, sf_dir), KEYS, RECORD_COLS)
+
+
+def test_partitions_internally_sorted(spark, sf_dir):
+    aligned = region_align(_kv(spark, sf_dir))
+
+    def check(it):
+        prev = None
+        for row in it:
+            cur = (row.bucket, row.rowkey, row.qualifier)
+            assert prev is None or prev <= cur, (prev, cur)
+            prev = cur
+        yield {"ok": True}
+
+    bad = aligned.rdd.mapPartitions(check).filter(lambda d: not d["ok"]).count()
+    assert bad == 0
+
+
+def test_bucket_ranges_disjoint(spark, sf_dir):
+    stats = (
+        _kv(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.min("rowkey").alias("lo"), F.max("rowkey").alias("hi"))
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(stats) == 16
+    for a, b in zip(stats, stats[1:]):
+        assert a.hi < b.lo  # ranges ordered and non-overlapping
+
+
+def test_write_bulkload_contract(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bulkload_out")
+    write_bulkload(_kv(spark, sf_dir), out)
+    dirs = sorted(glob.glob(os.path.join(out, "bucket=*")))
+    assert len(dirs) == 16
+    for d in dirs[:4]:  # spot-check: files sorted by rowkey, snappy codec
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f, columns=["rowkey", "qualifier"])
+            rk = t.column("rowkey").to_pylist()
+            assert rk == sorted(rk)
+            meta = pq.ParquetFile(f).metadata
+            assert meta.row_group(0).column(0).compression == "SNAPPY"

@@ -1,0 +1,59 @@
+"""Unpivot / pivot-back invariants (SURVEY.md §5.2 item 2-3):
+- cell count = valid_rows × 9 minus exactly the null count (Avro-style
+  null suppression, `BulkImporterFromAvro.java:65-66`);
+- long-KV → wide pivot recovers the input for non-null cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.functions.keys import composite_rowkey
+from hbase_bulkload_spark.operators.kv import pivot_wide, unpivot_kv
+from hbase_bulkload_spark.sources.records import RECORD_COLS, wide9
+
+
+def test_cell_count_invariant(spark, sf_dir):
+    w = wide9(spark, sf_dir).cache()
+    n_rows = w.count()
+    n_nulls = w.select(
+        sum(F.sum(F.col(c).isNull().cast("long")) for c in RECORD_COLS).alias("n")
+    ).first().n
+    kv = unpivot_kv(w, composite_rowkey("z0", "z1", "z2", "z3"), RECORD_COLS)
+    assert kv.count() == n_rows * len(RECORD_COLS) - n_nulls
+
+    kv_keep = unpivot_kv(
+        w, composite_rowkey("z0", "z1", "z2", "z3"), RECORD_COLS, drop_null=False
+    )
+    assert kv_keep.count() == n_rows * len(RECORD_COLS)
+    w.unpersist()
+
+
+def test_kv_schema_contract(spark, sf_dir):
+    w = wide9(spark, sf_dir)
+    kv = unpivot_kv(
+        w, composite_rowkey("z0", "z1", "z2", "z3"), RECORD_COLS, ts=F.lit("2024-01-01").cast("timestamp")
+    )
+    assert kv.columns == ["rowkey", "family", "ts", "qualifier", "value"]
+    assert kv.select("family").distinct().collect() == [("c",)]
+
+
+def test_pivot_roundtrip(spark, sf_dir):
+    w = (
+        wide9(spark, sf_dir)
+        .drop("_seq")
+        .withColumn("rowkey", composite_rowkey("z0", "z1", "z2", "z3"))
+        .cache()
+    )
+    # restrict to unique-key rows: pivot legitimately merges key collisions
+    uniq = (
+        w.withColumn("n", F.count("*").over(Window.partitionBy("rowkey")))
+        .filter("n = 1")
+        .drop("n")
+    )
+    kv = unpivot_kv(uniq, F.col("rowkey"), RECORD_COLS)
+    back = pivot_wide(kv, RECORD_COLS)
+    assert back.count() == uniq.count()
+    assert back.exceptAll(uniq.select(back.columns)).count() == 0
+    w.unpersist()
