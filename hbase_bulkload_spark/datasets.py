@@ -34,4 +34,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (legacy conf) and truncate to
+    microseconds — the same ns→µs truncation DuckDB applies — so both
+    engines see identical timestamps."""
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df

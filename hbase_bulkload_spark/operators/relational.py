@@ -1,0 +1,48 @@
+"""Relational operator surface (SURVEY.md §2.7-§2.10).
+
+The reference has no joins/aggregations — they are table-stakes query
+capability this engine adds (SURVEY.md §2.7 note). Everything here is a
+thin, composable layer over built-in DataFrame ops so Catalyst keeps
+full optimization freedom; the helpers encode the *scale* decisions:
+
+- dimension joins broadcast explicitly (no shuffle of the fact side);
+- top-k is expressed as orderBy+limit so Spark plans
+  TakeOrderedAndProject (no global sort materialization);
+- ranked-window top-n carries a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ small dimension with an explicit broadcast hint: at 100 TB
+    the fact side never shuffles for a dimension lookup."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. orderBy+limit lets Catalyst plan
+    TakeOrderedAndProject: each partition keeps k rows, the driver merges
+    — no full global sort at any scale. `order` must be a total order
+    (include a unique tie-break column) for deterministic results."""
+    return df.orderBy(*order).limit(k)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-n per group via row_number. One shuffle on the partition keys;
+    `order` must include a tie-break for determinism."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)

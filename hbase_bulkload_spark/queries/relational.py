@@ -1,0 +1,553 @@
+"""Relational-layer queries (SURVEY.md §2.7-§2.11, ops 21-43): joins,
+aggregations, window functions, sorts/limits/set ops, and the scalar
+function surface, over the star schema.
+
+Determinism discipline (SURVEY.md §7.4): double aggregates go through
+exact decimal interiors (functions.numeric), every ordering carries a
+unique tie-break key, libm-backed scalars (log/pow) are rounded, and
+every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.datasets import table
+from hbase_bulkload_spark.functions.numeric import davg_expr, dsum, dsum_expr
+from hbase_bulkload_spark.operators.relational import broadcast_join, ranked, top_k
+from hbase_bulkload_spark.session import oracle_safe
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    oracle_safe(spark)
+    return table(spark, sf_dir, name)
+
+
+# --- §2.7 joins -------------------------------------------------------------
+
+def q_join_inner(spark, sf_dir) -> DataFrame:
+    """Op 21: inner equi-join (Catalyst picks shuffle-hash/sort-merge;
+    AQE may demote to broadcast at runtime)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+
+def q_join_broadcast(spark, sf_dir) -> DataFrame:
+    """Op 22: star-schema rollup with explicit broadcast of the dims —
+    the fact table never shuffles for dimension lookups."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = broadcast_join(
+        broadcast_join(customer, nation, customer.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+def q_join_outer(spark, sf_dir) -> DataFrame:
+    """Op 23: full outer join of per-customer order counts with the
+    customer dimension (exercises null-completion on both sides)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+def q_join_semi(spark, sf_dir) -> DataFrame:
+    """Op 24a: customers with at least one URGENT-priority order."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    customer = _t(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark, sf_dir) -> DataFrame:
+    """Op 24b: customers with no URGENT-priority order."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    customer = _t(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_range(spark, sf_dir) -> DataFrame:
+    """Op 25: equi + range (theta) join — lineitems shipped within 90
+    days of their order date."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def q_join_cross(spark, sf_dir) -> DataFrame:
+    """Op 26: cross join of the two smallest dims."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# --- §2.8 aggregations ------------------------------------------------------
+
+def q_agg_groupby(spark, sf_dir) -> DataFrame:
+    """Op 27: TPC-H Q1-shaped hash aggregate (partial+final automatic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_agg_count_distinct(spark, sf_dir) -> DataFrame:
+    """Op 28: exact distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_agg_approx_distinct(spark, sf_dir) -> DataFrame:
+    """Op 29: HLL++ approximate distinct — engine-dependent value, so
+    rows-only oracle (SURVEY.md §7.4 item 3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+def q_agg_rollup(spark, sf_dir) -> DataFrame:
+    """Op 30: rollup with grouping-null subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_agg_conditional(spark, sf_dir) -> DataFrame:
+    """Op 31: filtered/conditional aggregation (sum over CASE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    returned_price = F.when(
+        F.col("l_returnflag") == "R",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+    return li.groupBy("l_linestatus").agg(
+        dsum(returned_price).alias("sum_returned"),
+        F.count(returned_price).alias("n_returned"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- §2.9 windows -----------------------------------------------------------
+
+def q_window_rank(spark, sf_dir) -> DataFrame:
+    """Op 32: top-3 orders per customer by price (row_number with
+    deterministic tie-break)."""
+    orders = _t(spark, sf_dir, "orders")
+    return ranked(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        n=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_window_lag(spark, sf_dir) -> DataFrame:
+    """Op 33: lag/lead over each customer's order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+def q_window_moving(spark, sf_dir) -> DataFrame:
+    """Op 34: rolling 3-row sum per customer (frame-spec window)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+    )
+
+
+# --- §2.10 sorts / limits / set ops -----------------------------------------
+
+def q_topk(spark, sf_dir) -> DataFrame:
+    """Op 35: global top-100 (plans as TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=100,
+    )
+
+
+def q_set_union(spark, sf_dir) -> DataFrame:
+    """Op 36: union-distinct of two key projections."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.select(F.col("c_custkey").alias("k"))
+    b = orders.select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+def q_set_intersect_except(spark, sf_dir) -> DataFrame:
+    """Op 37: intersect + except, tagged and unioned into one result."""
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    cust_k = customer.select(F.col("c_custkey").alias("k"))
+    inter = cust_k.intersect(big).withColumn("op", F.lit("intersect"))
+    exc = cust_k.exceptAll(big.distinct()).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+# --- §2.11 scalar functions -------------------------------------------------
+
+def q_string_funcs(spark, sf_dir) -> DataFrame:
+    """Op 38: string surface (the reference's vocabulary — split/concat/
+    lpad, RowKeyConverter.java:20 — rounded out)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.split("p_name", " ").getItem(0).alias("tok0"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size3"),
+    )
+
+
+def q_date_funcs(spark, sf_dir) -> DataFrame:
+    """Op 39: date/time surface (UTC-pinned)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("plus30"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+def q_math_funcs(spark, sf_dir) -> DataFrame:
+    """Op 40: math surface; libm-backed fns rounded for cross-engine
+    stability. Rate arithmetic on cast numeric-strings mirrors the
+    reference's float-as-string columns (pw_schema.avsc:36-51)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rate_str = F.col("l_discount").cast("string")  # numeric-string round-trip
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pmod("l_orderkey", F.lit(7)).alias("mod7"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        (rate_str.cast("double") * F.col("l_extendedprice")).cast("decimal(18,4)").cast("double").alias("rate_amt"),
+    )
+
+
+def q_array_funcs(spark, sf_dir) -> DataFrame:
+    """Op 41: array surface — per-order sorted line-number array, probed
+    via scalar accessors (arrays stay engine-internal so hashing is
+    engine-neutral)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("arr")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("arr").alias("n_items"),
+        F.element_at("arr", 1).alias("first_ln"),
+        F.element_at("arr", -1).alias("last_ln"),
+        F.array_contains("arr", 3).alias("has_3"),
+        F.element_at(F.slice("arr", 1, 2), -1).alias("second_or_first"),
+    )
+
+
+def q_map_funcs(spark, sf_dir) -> DataFrame:
+    """Op 42: map surface (KV-cell shape as a map column), probed via
+    scalar accessors; the oracle reconstructs values relationally."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("rf"), F.col("l_returnflag"), F.lit("ls"), F.col("l_linestatus")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "rf").alias("rf"),
+        F.element_at(m, "ls").alias("ls"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_values(m)), "|").alias("vals"),
+    )
+
+
+def q_json_funcs(spark, sf_dir) -> DataFrame:
+    """Op 43: JSON extraction over events.props."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_missing"),
+    )
+
+
+QUERIES = {
+    "q_join_inner": q_join_inner,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_outer": q_join_outer,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_range": q_join_range,
+    "q_join_cross": q_join_cross,
+    "q_agg_groupby": q_agg_groupby,
+    "q_agg_count_distinct": q_agg_count_distinct,
+    "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_conditional": q_agg_conditional,
+    "q_window_rank": q_window_rank,
+    "q_window_lag": q_window_lag,
+    "q_window_moving": q_window_moving,
+    "q_topk": q_topk,
+    "q_set_union": q_set_union,
+    "q_set_intersect_except": q_set_intersect_except,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_math_funcs": q_math_funcs,
+    "q_array_funcs": q_array_funcs,
+    "q_map_funcs": q_map_funcs,
+    "q_json_funcs": q_json_funcs,
+}
+
+ORACLES = {
+    "q_join_inner": """
+        SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_broadcast": f"""
+        SELECT r_name, n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               {dsum_expr('c_acctbal')} AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q_join_outer": """
+        WITH per_cust AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               c_name,
+               COALESCE(n_orders, 0) AS n_orders
+        FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    "q_join_range": f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {dsum_expr('l_extendedprice')} AS sum_price
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority
+    """,
+    "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_agg_groupby": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_expr('l_quantity')} AS sum_qty,
+               {dsum_expr('l_extendedprice')} AS sum_base_price,
+               {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {dsum_expr('l_quantity')} / COUNT(*) AS avg_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_count_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_expr('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_conditional": f"""
+        SELECT l_linestatus,
+               {dsum_expr("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS sum_returned,
+               CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "q_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q_window_lag": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_window_moving": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        FROM orders
+    """,
+    "q_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
+    """,
+    "q_set_union": """
+        SELECT c_custkey AS k FROM customer
+        UNION
+        SELECT o_custkey AS k FROM orders
+    """,
+    "q_set_intersect_except": """
+        WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+             cust AS (SELECT c_custkey AS k FROM customer)
+        SELECT k, 'intersect' AS op FROM (SELECT k FROM cust INTERSECT SELECT k FROM big)
+        UNION ALL
+        SELECT k, 'except' AS op FROM (SELECT k FROM cust EXCEPT SELECT DISTINCT k FROM big)
+    """,
+    "q_string_funcs": """
+        SELECT p_partkey,
+               lower(p_name) AS lname,
+               upper(p_brand) AS ubrand,
+               trim('  x  ') AS trimmed,
+               substr(p_type, 1, 5) AS type5,
+               CAST(length(p_name) AS INT) AS name_len,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               COALESCE(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+               string_split(p_name, ' ')[1] AS tok0,
+               lpad(CAST(p_size AS VARCHAR), 3, '0') AS size3
+        FROM part
+    """,
+    "q_date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(datediff('day', o_orderdate, DATE '1998-01-01') AS INT) AS days_to_98,
+               o_orderdate + INTERVAL 30 DAY AS plus30,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+    "q_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 2) AS price_r2,
+               abs(l_discount - 0.05) AS disc_dev,
+               l_orderkey % 7 AS mod7,
+               round(ln(l_extendedprice + 1.0), 6) AS log_price,
+               round(pow(l_quantity, 2), 6) AS qty_sq,
+               CAST(CAST(CAST(CAST(l_discount AS VARCHAR) AS DOUBLE) * l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS rate_amt
+        FROM lineitem
+    """,
+    "q_array_funcs": """
+        WITH per_order AS (
+            SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(arr) AS INT) AS n_items,
+               arr[1] AS first_ln,
+               arr[-1] AS last_ln,
+               list_contains(arr, 3) AS has_3,
+               list_slice(arr, 1, 2)[-1] AS second_or_first
+        FROM per_order
+    """,
+    "q_map_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               l_returnflag AS rf,
+               l_linestatus AS ls,
+               2 AS n_keys,
+               CASE WHEN l_returnflag <= l_linestatus
+                    THEN l_returnflag || '|' || l_linestatus
+                    ELSE l_linestatus || '|' || l_returnflag END AS vals
+        FROM lineitem
+    """,
+    "q_json_funcs": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.missing') IS NULL AS no_missing
+        FROM events
+    """,
+}
