@@ -1,0 +1,92 @@
+"""Table-semantics queries (SURVEY.md §2.6 ops 18-20) over the events
+stream table, treating (user_id, event_type) as the cell key and
+event_id as the deterministic tiebreak.
+
+All event-time oracles read through EV_CTE, which truncates DuckDB's
+TIMESTAMP_NS to microseconds — the same truncation datasets._read_events
+applies on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hbase_bulkload_spark.datasets import table
+from hbase_bulkload_spark.operators.semantics import (
+    current_vs_history,
+    keep_latest_versions,
+    ttl_filter,
+)
+from hbase_bulkload_spark.session import oracle_safe
+
+EV_CTE = """
+ev AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+)
+"""
+
+CELL_KEY = ["user_id", "event_type"]
+
+# The fixture spans ~30 days, so the reference's 90-day TTL
+# (create_table.rb:1) would be a no-op; the operator is parameterized and
+# exercised at 7 days.
+TTL_DAYS = 7
+
+
+def q_versions_top3(spark, sf_dir) -> DataFrame:
+    """Op 18: VERSIONS => 3 retention (create_table.rb:1) as a ranking
+    window over the cell key."""
+    ev = table(oracle_safe(spark), sf_dir, "events")
+    kept = keep_latest_versions(ev, CELL_KEY, "ts", n=3, tiebreak=["event_id"])
+    return kept.select("user_id", "event_type", "event_id", "ts", "version")
+
+
+def q_ttl_filter(spark, sf_dir) -> DataFrame:
+    """Op 19 (+ op 47's batch analog): TTL expiry relative to the
+    dataset horizon, resolved via a broadcast 1-row max — in streaming
+    this is withWatermark (stream_ops.with_watermark)."""
+    ev = table(oracle_safe(spark), sf_dir, "events")
+    return ttl_filter(ev, "ts", days=TTL_DAYS).select("event_id", "ts", "user_id")
+
+
+def q_current_vs_history(spark, sf_dir) -> DataFrame:
+    """Op 20: current ('c') vs history ('h') family split — the
+    capability the reference declares but never writes
+    (BulkImporterFromText.java:47-48)."""
+    ev = table(oracle_safe(spark), sf_dir, "events")
+    split = current_vs_history(ev, CELL_KEY, "ts", tiebreak=["event_id"])
+    return split.select("user_id", "event_type", "event_id", "family")
+
+
+QUERIES = {
+    "q_versions_top3": q_versions_top3,
+    "q_ttl_filter": q_ttl_filter,
+    "q_current_vs_history": q_current_vs_history,
+}
+
+ORACLES = {
+    "q_versions_top3": f"""
+        WITH {EV_CTE}
+        SELECT user_id, event_type, event_id, ts, CAST(rn AS INT) AS version FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id ASC) AS rn
+            FROM ev
+        ) WHERE rn <= 3
+    """,
+    "q_ttl_filter": f"""
+        WITH {EV_CTE}
+        SELECT event_id, ts, user_id FROM ev
+        WHERE ts >= (SELECT MAX(ts) FROM ev) - INTERVAL {TTL_DAYS} DAY
+    """,
+    "q_current_vs_history": f"""
+        WITH {EV_CTE}
+        SELECT user_id, event_type, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id ASC) = 1
+                    THEN 'c' ELSE 'h' END AS family
+        FROM ev
+    """,
+}

@@ -1,0 +1,60 @@
+"""Version/TTL/current-history semantics on a crafted fixture with known
+multiplicity (FIXTURES.md F5): per key 1-6 versions spanning > TTL, so
+each operator filters a known count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.operators.semantics import (
+    current_vs_history,
+    keep_latest_versions,
+    ttl_filter,
+)
+
+
+def _fixture(spark):
+    rows = []
+    for key in range(4):
+        for v in range(key + 2):  # 2..5 versions per key
+            rows.append((f"k{key}", "q", f"2024-01-{v + 1:02d} 00:00:00", f"v{v}"))
+    df = spark.createDataFrame(rows, "rowkey string, qualifier string, ts_s string, value string")
+    return df.select("rowkey", "qualifier", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+
+def test_keep_latest_versions(spark):
+    df = _fixture(spark)
+    kept = keep_latest_versions(df, ["rowkey", "qualifier"], "ts", n=3, tiebreak=["value"])
+    counts = dict(
+        kept.groupBy("rowkey").count().collect()
+    )
+    assert counts == {"k0": 2, "k1": 3, "k2": 3, "k3": 3}
+    # newest version ranks 1
+    top = kept.filter("version = 1").select("rowkey", "value").collect()
+    assert {(r.rowkey, r.value) for r in top} == {
+        ("k0", "v1"), ("k1", "v2"), ("k2", "v3"), ("k3", "v4"),
+    }
+
+
+def test_ttl_filter_explicit_now(spark):
+    df = _fixture(spark)
+    out = ttl_filter(df, "ts", days=2, now=F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    # keep ts >= 2024-01-03; versions at day1..day5
+    assert out.count() == df.filter("ts >= timestamp'2024-01-03 00:00:00'").count()
+
+
+def test_ttl_filter_dataset_horizon(spark):
+    df = _fixture(spark)
+    out = ttl_filter(df, "ts", days=1)  # max ts = day5 → keep day4..5
+    assert set(out.select("value").toPandas()["value"]) == {"v3", "v4"}
+
+
+def test_current_vs_history_split(spark):
+    df = _fixture(spark)
+    fam = current_vs_history(df, ["rowkey", "qualifier"], "ts", tiebreak=["value"])
+    counts = {(r.family): r["count"] for r in fam.groupBy("family").count().collect()}
+    assert counts == {"c": 4, "h": 14 - 4}
+    cur = fam.filter("family = 'c'").select("rowkey", "value").collect()
+    assert {(r.rowkey, r.value) for r in cur} == {
+        ("k0", "v1"), ("k1", "v2"), ("k2", "v3"), ("k3", "v4"),
+    }

@@ -1,0 +1,95 @@
+"""Lift the batch-checked streaming ops onto a real Structured Streaming
+pipeline (file source → transform → memory sink, availableNow trigger)
+and assert stream results == batch results — proving the §2.12 surface
+is genuinely streaming-capable, not batch-only."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.datasets import table
+from hbase_bulkload_spark.streaming import stream_ops
+
+
+def _stream_events(spark, sf_dir, tmp_path):
+    batch = table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    assert stream.isStreaming
+    return batch, stream
+
+
+def _run_to_memory(stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _assert_same(spark, batch_df, stream_df, name):
+    _run_to_memory(stream_df, name)
+    got = spark.table(name)
+    assert got.exceptAll(batch_df).count() == 0
+    assert batch_df.exceptAll(got).count() == 0
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _assert_same(
+        spark,
+        stream_ops.tumbling_agg(batch),
+        stream_ops.tumbling_agg(stream_ops.with_watermark(stream, "ts", "1 day")),
+        name,
+    )
+
+
+def test_stream_session_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _assert_same(
+        spark,
+        stream_ops.session_agg(batch),
+        stream_ops.session_agg(stream_ops.with_watermark(stream, "ts", "1 day")),
+        name,
+    )
+
+
+def test_watermark_is_noop_on_batch(spark, sf_dir):
+    batch = table(spark, sf_dir, "events")
+    assert stream_ops.with_watermark(batch) is batch
+
+
+def test_session_gap_boundary(spark):
+    """Spark merges on touch: an event exactly `gap` after its
+    predecessor EXTENDS the session; one microsecond past the gap opens
+    a new one. This pins the boundary rule the oracle's `>` encodes
+    (SURVEY.md §7.4 item 2)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:29:59", 1.0),  # same session (< gap)
+        (1, "2024-01-01 00:59:59", 1.0),  # extends session
+        (1, "2024-01-01 01:29:59", 1.0),  # exactly gap after → still merged
+        (1, "2024-01-01 01:59:59.000001", 1.0),  # gap + 1µs → NEW session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in stream_ops.session_agg(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 4,
+        (1, "2024-01-01 01:59:59.000001"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
