@@ -1,0 +1,164 @@
+"""Vector similarity search over an embedding column (north-star op 54,
+SURVEY.md §2.14): brute-force cosine top-k / threshold pairs as the
+exact baselines, and a random-hyperplane LSH bucketed variant as the
+sub-quadratic scale path.
+
+All dot products run in double precision inside JVM higher-order
+functions (`zip_with` + `aggregate`) — sequential, deterministic, no
+Python per-row. The LSH signature uses an Arrow-batched pandas UDF
+(numpy matmul over fixed seeded hyperplanes) because a 64×p matmul per
+row is exactly what vectorized UDFs are for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+LSH_SEED = 42
+EMBED_DIM = 64
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Round-6 cosine: the rounding makes cross-engine hashes stable and
+    ranking ties deterministic (broken by id downstream)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score every candidate, keep
+    k per query via a ranking window. Scales linearly in candidates ×
+    queries; the candidate scan parallelizes perfectly."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    from hbase_bulkload_spark.operators.relational import ranked
+
+    return ranked(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("cand_id")], n=k
+    ).select("query_id", "cand_id", "cos_sim", "rn")
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (the oracle-able baseline;
+    quadratic — use :func:`cosine_pairs_lsh` at scale)."""
+    a = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic hyperplanes (seeded MT19937 — identical on every
+    executor and every run)."""
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((n_tables, n_planes, EMBED_DIM))
+
+
+def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
+    """Arrow-batched signature: per table, the sign-bit pattern of the
+    vector against `n_planes` hyperplanes, packed into an int."""
+    planes = _hyperplanes(n_planes, n_tables)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        V = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        out = []
+        for t in range(n_tables):
+            bits = (V @ planes[t].T) > 0  # (batch, planes)
+            out.append(bits.astype(np.int64) @ weights)
+        packed = np.stack(out, axis=1)  # (batch, tables)
+        return pd.Series(list(packed))
+
+    return sig
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets per table → candidate
+    pairs within a bucket → exact cosine verification. Precision exact,
+    recall probabilistic (rises with n_tables)."""
+    sig = lsh_signature_udf(n_planes, n_tables)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("sigs")
+    )
+    e = e.select("vec_id", "vec", F.posexplode("sigs").alias("tbl", "bucket"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    return cand.select(
+        "vec_id_a",
+        "vec_id_b",
+        cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = ("ingest", "relational", "semantics", "streaming")
+_MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions")
 
 
 def load_registries() -> tuple[dict[str, QueryFn], dict[str, str]]:

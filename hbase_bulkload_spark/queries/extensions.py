@@ -1,0 +1,270 @@
+"""Training-data-pipeline extension queries (north-star ops, SURVEY.md
+§2.14 ops 52-56): dedup family, vector similarity search, text analysis,
+multimodal plumbing.
+
+Oracle policy: exact operators (hash dedup, n-gram Jaccard, brute-force
+cosine, text metrics) are full-oracle; probabilistic-recall operators
+(MinHash-LSH, SimHash, hyperplane-LSH) are rows-only by design — their
+*verification* steps are exact, but recall is sampling-dependent
+(SURVEY.md §7.4 item 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hbase_bulkload_spark.datasets import table
+from hbase_bulkload_spark.functions import text as T
+from hbase_bulkload_spark.operators import dedup, multimodal, similarity
+from hbase_bulkload_spark.session import oracle_safe
+
+SIM_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.5
+N_QUERIES = 8  # vec_id < 8 form the similarity-search query set
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return table(oracle_safe(spark), sf_dir, "documents")
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return table(oracle_safe(spark), sf_dir, "embeddings")
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Op 52: exact content-hash dedup (reuses the MD5 key layer)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir) -> DataFrame:
+    """Op 53 (exact path): word-3-gram Jaccard pairs ≥ threshold."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_near(spark, sf_dir) -> DataFrame:
+    """Op 53 (scale path): MinHash+LSH banding candidates, verified with
+    exact Jaccard. Rows-only: recall is probabilistic."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark, sf_dir) -> DataFrame:
+    """Op 53 (bit-signature path): SimHash hamming-≤-3 pairs via 16-bit
+    chunk banding. Rows-only: signature is hash-design-dependent."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# --- similarity search --------------------------------------------------------
+
+def q_sim_topk(spark, sf_dir) -> DataFrame:
+    """Op 54: exact cosine top-5 for the query set (brute force —
+    linear scan, broadcast queries)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_sim_pairs(spark, sf_dir) -> DataFrame:
+    """Op 54/53e: exact embedding-cosine near-dup pairs ≥ threshold."""
+    return similarity.cosine_pairs_exact(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+
+
+def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets → exact verification.
+    Rows-only: recall is probabilistic."""
+    return similarity.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir) -> DataFrame:
+    """Op 55a: corpus token frequencies (whitespace tokenizer)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    """Op 55b: per-doc quality metrics (length / token stats / stopword
+    and punctuation ratios / BPE-ish token count)."""
+    docs = _docs(spark, sf_dir)
+    w = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_tokens"),
+        T.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+        T.mean_token_len(w).alias("mean_tok_len"),
+        T.stopword_ratio(w, "en").alias("stop_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def q_text_langid(spark, sf_dir) -> DataFrame:
+    """Op 55c: stopword-ratio language-ID heuristic vs the labeled lang."""
+    docs = _docs(spark, sf_dir)
+    w = T.tokens("text")
+    scores = T.lang_scores(w)
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), F.lit("en")
+        )
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (F.col("lang") == pred).alias("correct"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir) -> DataFrame:
+    """Op 55d: rolling-hash document fingerprint — min/max MD5 over char
+    8-grams (winnowing-lite)."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 8)
+    grams = T.char_ngrams_md5("text", n=8)
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+    )
+
+
+# --- multimodal -----------------------------------------------------------------
+
+def q_multimodal_decode(spark, sf_dir) -> DataFrame:
+    """Op 56: binary payload + typed metadata through an Arrow-batched
+    mapInPandas decode stage (codec stubbed — see operators.multimodal)."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.decode_features(media, decode_stub=True)
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_near": q_dedup_near,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_sim_topk": q_sim_topk,
+    "q_sim_pairs": q_sim_pairs,
+    "q_sim_pairs_lsh": q_sim_pairs_lsh,
+    "q_text_tokens": q_text_tokens,
+    "q_text_quality": q_text_quality,
+    "q_text_langid": q_text_langid,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_multimodal_decode": q_multimodal_decode,
+}
+
+_STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
+_STOP_DE = ", ".join(f"'{s}'" for s in T.STOPWORDS["de"])
+_STOP_FR = ", ".join(f"'{s}'" for s in T.STOPWORDS["fr"])
+
+_LANG_SCORE = """
+scored AS (
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(w, x -> x IN ({en}))) AS DOUBLE) / greatest(len(w), 1), 6) AS s_en,
+           round(CAST(len(list_filter(w, x -> x IN ({de}))) AS DOUBLE) / greatest(len(w), 1), 6) AS s_de,
+           round(CAST(len(list_filter(w, x -> x IN ({fr}))) AS DOUBLE) / greatest(len(w), 1), 6) AS s_fr
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+)
+""".format(en=_STOP_EN, de=_STOP_DE, fr=_STOP_FR)
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS rep_doc
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_ngram": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+              >= {JACCARD_THRESHOLD}
+    """,
+    "q_sim_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT query_id, c.vec_id AS cand_id,
+                   round(list_dot_product(qv, c.v)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))),
+                         6) AS cos_sim
+            FROM q, e c WHERE c.vec_id <> query_id
+        )
+        SELECT query_id, cand_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "q_sim_pairs": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= {SIM_THRESHOLD}
+    """,
+    "q_text_tokens": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    "q_text_quality": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(w) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS INT) AS n_bpe_tokens,
+               round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS mean_tok_len,
+               round(CAST(len(list_filter(w, x -> x IN ({_STOP_EN}))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS stop_ratio,
+               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS punct_ratio
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """,
+    "q_text_langid": f"""
+        WITH {_LANG_SCORE}
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang,
+               lang = (CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                            WHEN s_de >= s_fr THEN 'de'
+                            ELSE 'fr' END) AS correct
+        FROM scored
+    """,
+    "q_text_fingerprint": """
+        SELECT doc_id,
+               MIN(md5(substr(text, CAST(i AS INT), 8))) AS fp_min,
+               MAX(md5(substr(text, CAST(i AS INT), 8))) AS fp_max
+        FROM documents, UNNEST(range(1, length(text) - 6)) AS t(i)
+        WHERE length(text) >= 8
+        GROUP BY doc_id
+    """,
+}

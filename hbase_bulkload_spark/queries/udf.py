@@ -1,0 +1,93 @@
+"""UDF / UDAF surface (SURVEY.md §2.13 ops 49-50). The reference's
+per-record mapper bodies (`map()` in each importer,
+`BulkImporterFromText.java:50-71`) are arbitrary-Java row transforms;
+here the same extension point is Arrow-batched Python:
+
+- op 49: a vectorized pandas UDF re-deriving the composite MD5 rowkey in
+  pure Python (hashlib), full-oracle-checked — which simultaneously
+  cross-validates the built-in expression path (op 13b) byte-for-byte.
+- op 50: a grouped applyInPandas aggregation computing order-invariant
+  per-group statistics, full-oracle-checked against DuckDB MEDIAN.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from hbase_bulkload_spark.datasets import table
+from hbase_bulkload_spark.queries.ingest import ROWKEY_SQL, WIDE9_CTE
+from hbase_bulkload_spark.session import oracle_safe
+from hbase_bulkload_spark.sources import records
+
+
+@pandas_udf(StringType())  # DataType instance: usable without an active session
+def rowkey_py(z0: pd.Series, z1: pd.Series, z2: pd.Series, z3: pd.Series) -> pd.Series:
+    """Arrow-batched re-implementation of RowKeyConverter.makeRowKey
+    (`RowKeyConverter.java:13-30`, hex form)."""
+
+    def h(s: str | None) -> str:
+        return hashlib.md5(("" if s is None else s).encode("utf-8")).hexdigest()
+
+    return z0.map(h) + z1.map(h) + z2.map(h) + z3.map(h)
+
+
+def q_udf_rowkey(spark, sf_dir) -> DataFrame:
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    return w.select("z0", "z1", "z2", "z3", rowkey_py("z0", "z1", "z2", "z3").alias("rowkey"))
+
+
+_STATS_SCHEMA = (
+    "o_custkey bigint, n_orders bigint, median_price double, "
+    "min_price double, max_price double"
+)
+
+
+def _order_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    p = pdf["o_totalprice"].to_numpy()
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(p)],
+            # median/min/max are arrival-order-invariant → deterministic
+            "median_price": [float(pd.Series(p).median())],
+            "min_price": [float(p.min())],
+            "max_price": [float(p.max())],
+        }
+    )
+
+
+def q_udaf_grouped(spark, sf_dir) -> DataFrame:
+    oracle_safe(spark)
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(_order_stats, schema=_STATS_SCHEMA)
+    )
+
+
+QUERIES = {
+    "q_udf_rowkey": q_udf_rowkey,
+    "q_udaf_grouped": q_udaf_grouped,
+}
+
+ORACLES = {
+    "q_udf_rowkey": f"""
+        WITH {WIDE9_CTE}
+        SELECT z0, z1, z2, z3, {ROWKEY_SQL} AS rowkey FROM wide9
+    """,
+    "q_udaf_grouped": """
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MEDIAN(o_totalprice) AS median_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    """,
+}

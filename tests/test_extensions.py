@@ -1,0 +1,121 @@
+"""Unit tests for the training-data pipeline operators (SURVEY.md §2.14):
+dedup family, similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.functions import text as T
+from hbase_bulkload_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words entirely unrelated text here now"),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.rep_doc: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1,2 collapse; rep = min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # near dup: 7 shingles, 6 shared... jaccard 6/8
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (1, 2) in pairs  # identical docs always share every band
+    assert pairs <= {(1, 2), (1, 3), (2, 3)}  # candidates only among near dups
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, 3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_brute_force_topk_orthonormal(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r.cand_id for r in sorted(out, key=lambda r: r.rn)]
+    assert order == [1, 2, 3]
+    top = next(r for r in out if r.rn == 1)
+    assert abs(top.cos_sim - 0.9 / (0.9**2 + 0.1**2) ** 0.5) < 1e-6
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    from hbase_bulkload_spark.datasets import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.cosine_pairs_exact(emb, 0.4).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.cosine_pairs_lsh(emb, 0.4).collect()
+    }
+    assert approx <= exact  # precision is exact; recall probabilistic
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([("the cat, sat!",)], "text string")
+    row = df.select(
+        T.stopword_ratio(T.tokens("text")).alias("sr"),
+        T.punct_ratio("text").alias("pr"),
+        T.mean_token_len(T.tokens("text")).alias("mtl"),
+        T.token_count_bpe_ish("text").alias("bpe"),
+    ).first()
+    assert row.sr == round(1 / 3, 6)  # 'the' of 3 tokens
+    assert row.pr == round(2 / 13, 6)  # ',' and '!'
+    assert row.mtl == round((3 + 4 + 4) / 3, 6)
+    assert row.bpe == 5  # the, cat, ',', sat, '!'
+
+
+def test_char_ngrams_md5_golden(spark):
+    df = spark.createDataFrame([("abcdefgh",), ("short",)], "text string")
+    rows = df.select(T.char_ngrams_md5("text", 8).alias("g")).collect()
+    full = [r.g for r in rows if len(r.g) == 1][0]
+    assert full[0] == hashlib.md5(b"abcdefgh").hexdigest()
+    assert [r.g for r in rows if len(r.g) == 0]  # <8 chars → empty array
+
+
+def test_multimodal_stub_and_frames(docs):
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.decode_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].n_bytes == 16  # md5 payload
+    assert by_id[1].mean_byte == by_id[2].mean_byte  # same text → same payload
+    assert {r.modality for r in feats} <= {"image", "audio", "video"}
+
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+    frames = multimodal.frame_sample(media).collect()
+    assert all(r.frame_idx % 10 == 0 for r in frames)
