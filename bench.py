@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query executes its full physical plan into the no-op sink (no
+driver collect, no disk), so the number measures scan→shuffle→compute
+wall clock. Input-file fixtures (text/CSV/ORC derived from lineitem)
+are materialized before timing starts — they are inputs, not work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_bulkload_spark.session import get_spark  # noqa: E402
+from hbase_bulkload_spark.sources import records  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # setup, untimed: derived input files for the scan queries
+    records.delimited_lines_path(spark, sf_dir)
+    records.csv_path(spark, sf_dir)
+    records.orc_path(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
