@@ -49,27 +49,53 @@ _STATS_SCHEMA = (
 
 
 def _order_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    p = pdf["o_totalprice"].to_numpy()
-    return pd.DataFrame(
-        {
-            "o_custkey": [pdf["o_custkey"].iloc[0]],
-            "n_orders": [len(p)],
-            # median/min/max are arrival-order-invariant → deterministic
-            "median_price": [float(pd.Series(p).median())],
-            "min_price": [float(p.min())],
-            "max_price": [float(p.max())],
-        }
-    )
+    """Vectorized per-batch aggregation (one pandas groupby over many
+    groups — not one Python call per group). median/min/max are
+    arrival-order-invariant → deterministic across partitionings."""
+    g = pdf.groupby("o_custkey", sort=False)["o_totalprice"]
+    out = g.agg(
+        n_orders="count", median_price="median", min_price="min", max_price="max"
+    ).reset_index()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_custkey", "n_orders", "median_price", "min_price", "max_price"]]
 
 
 def q_udaf_grouped(spark, sf_dir) -> DataFrame:
+    """Grouped UDAF. The naive form is
+    ``groupBy().applyInPandas(per_group_fn)`` — one Python invocation per
+    group, which at 100 TB (millions of groups) serializes the job on
+    interpreter crossings. The scalable form used here keeps the same
+    shuffle (hash-partition by key) but streams each partition through
+    ``mapInPandas``, aggregating *all* groups in an Arrow batch with one
+    vectorized pandas groupby; a group split across adjacent batches is
+    carried over (partition-sorted by key, so groups are contiguous)."""
     oracle_safe(spark)
     orders = table(spark, sf_dir, "orders")
-    return (
+    part = (
         orders.select("o_custkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .applyInPandas(_order_stats, schema=_STATS_SCHEMA)
+        .repartition("o_custkey")
+        .sortWithinPartitions("o_custkey")
     )
+
+    def stats(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # the last key may continue in the next batch — hold it back
+            last = pdf["o_custkey"].iloc[-1]
+            tail = pdf["o_custkey"] == last
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _order_stats(body)
+        if carry is not None and len(carry):
+            yield _order_stats(carry)
+
+    return part.mapInPandas(stats, schema=_STATS_SCHEMA)
 
 
 QUERIES = {
