@@ -36,6 +36,7 @@ def main() -> None:
     records.delimited_lines_path(spark, sf_dir)
     records.csv_path(spark, sf_dir)
     records.orc_path(spark, sf_dir)
+    records.avro_path(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

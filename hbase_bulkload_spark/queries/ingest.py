@@ -96,6 +96,15 @@ def q_scan_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return records.scan_columnar(spark, sf_dir)
 
 
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 5: Avro OCF scan. Full-oracle (not rows-only): the fixture is
+    derived deterministically from lineitem, so DuckDB reproduces it
+    relationally without reading Avro — nulls survive (unlike the text
+    fixture, where concat_ws drops them)."""
+    oracle_safe(spark)
+    return records.scan_avro(spark, sf_dir)
+
+
 def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 10: emit iff exactly COLUMN_COUNT fields; the skipped branch is
     counted rather than println'd (BulkImporterFromText.java:56,68-70)."""
@@ -201,6 +210,7 @@ QUERIES = {
     "q_parse_delimited": q_parse_delimited,
     "q_scan_csv": q_scan_csv,
     "q_scan_columnar": q_scan_columnar,
+    "q_scan_avro": q_scan_avro,
     "q_filter_arity": q_filter_arity,
     "q_filter_notnull": q_filter_notnull,
     "q_project": q_project,
@@ -231,6 +241,7 @@ ORACLES = {
     """,
     "q_scan_csv": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_columnar": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_avro": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_filter_arity": f"""
         WITH {WIDE9_CTE}
         SELECT (_seq % 97 <> 0 AND z8 IS NOT NULL) AS is_valid,

@@ -1,0 +1,246 @@
+"""Avro record scan (SURVEY.md §2.1 op 5) without spark-avro.
+
+The reference's fourth input format is Avro (`AvroKeyInputFormat<PWData>`,
+`BulkImporterFromAvro.java:91`; schema `pw_schema.avsc` — a record of 9
+``["null","string"]`` unions). This container ships no spark-avro jar and
+installs are off-limits, so this module implements the public Avro 1.x
+*Object Container File* spec directly (magic `Obj\\x01`, metadata map,
+sync-marker-delimited blocks, zigzag-varint primitives) for the subset
+the engine needs: records of primitives and ``["null", primitive]``
+unions, null codec.
+
+Spark integration is source-shaped, not driver-shaped:
+
+- **write** (fixture materialization only): each partition of the record
+  frame writes one ``part-N.avro`` via ``mapPartitionsWithIndex`` — the
+  executors produce the files in parallel, the driver only coordinates.
+- **read** (the actual scan operator): ``spark.read.format("binaryFile")``
+  distributes whole files to tasks; an Arrow-batched ``mapInPandas``
+  stage decodes OCF blocks to rows. Parallelism = number of files, the
+  same granularity HDFS gave `AvroKeyInputFormat` for unsplittable
+  codecs; at 100 TB you keep files at block size (128-256 MB) and the
+  scan scales with the file count. (A sync-marker-based splitter would
+  recover intra-file parallelism; out of scope while files are sized
+  correctly.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from collections.abc import Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+BLOCK_ROWS = 4096
+
+
+# ---------------------------------------------------------------------------
+# Primitive codecs (Avro spec: zigzag varint longs, length-prefixed bytes)
+# ---------------------------------------------------------------------------
+
+def _enc_long(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63)  # zigzag
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_long(buf, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _enc_value(v, typ) -> bytes:
+    if isinstance(typ, list):  # union — branch index then value
+        if v is None:
+            return _enc_long(typ.index("null"))
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        return _enc_long(branch) + _enc_value(v, typ[branch])
+    if typ == "string" or typ == "bytes":
+        raw = v.encode("utf-8") if typ == "string" else v
+        return _enc_long(len(raw)) + raw
+    if typ == "long" or typ == "int":
+        return _enc_long(int(v))
+    if typ == "double":
+        return struct.pack("<d", v)
+    if typ == "float":
+        return struct.pack("<f", v)
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "null":
+        return b""
+    raise NotImplementedError(f"avro type {typ!r}")
+
+
+def _dec_value(buf, pos: int, typ):
+    if isinstance(typ, list):
+        branch, pos = _dec_long(buf, pos)
+        return _dec_value(buf, pos, typ[branch])
+    if typ == "string":
+        n, pos = _dec_long(buf, pos)
+        return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
+    if typ == "bytes":
+        n, pos = _dec_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if typ == "long" or typ == "int":
+        return _dec_long(buf, pos)
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "boolean":
+        b = buf[pos]
+        return bool(b), pos + 1
+    if typ == "null":
+        return None, pos
+    raise NotImplementedError(f"avro type {typ!r}")
+
+
+# ---------------------------------------------------------------------------
+# Schema helpers
+# ---------------------------------------------------------------------------
+
+def nullable_string_record(name: str, fields: list[str]) -> dict:
+    """The pw_schema.avsc shape: a record of ``["null","string"]`` unions
+    (`pw_schema.avsc:6-51`)."""
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [{"name": f, "type": ["null", "string"]} for f in fields],
+    }
+
+
+def _field_types(schema: dict) -> list:
+    return [f["type"] for f in schema["fields"]]
+
+
+# ---------------------------------------------------------------------------
+# Container file write / read
+# ---------------------------------------------------------------------------
+
+def _sync_marker(schema_json: str) -> bytes:
+    # spec says "randomly generated"; a schema-derived marker is valid and
+    # keeps fixture bytes reproducible run-to-run
+    import hashlib
+
+    return hashlib.md5(schema_json.encode()).digest()
+
+
+def write_ocf(path: str, schema: dict, rows: Iterable[tuple]) -> int:
+    """Write one OCF (null codec). ``rows`` are value tuples in field
+    order. Returns the row count."""
+    schema_json = json.dumps(schema)
+    sync = _sync_marker(schema_json)
+    types = _field_types(schema)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(_enc_long(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode()
+            f.write(_enc_long(len(kb)) + kb + _enc_long(len(v)) + v)
+        f.write(_enc_long(0))  # end of metadata map
+        f.write(sync)
+
+        n_total = 0
+        block = io.BytesIO()
+        n_block = 0
+
+        def flush():
+            nonlocal n_block
+            if n_block:
+                payload = block.getvalue()
+                f.write(_enc_long(n_block) + _enc_long(len(payload)))
+                f.write(payload)
+                f.write(sync)
+                block.seek(0)
+                block.truncate()
+                n_block = 0
+
+        for row in rows:
+            for v, t in zip(row, types):
+                block.write(_enc_value(v, t))
+            n_block += 1
+            n_total += 1
+            if n_block >= BLOCK_ROWS:
+                flush()
+        flush()
+    return n_total
+
+
+def iter_ocf(data: bytes) -> Iterator[tuple]:
+    """Decode one OCF's bytes into value tuples (null codec only)."""
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:  # metadata map: possibly multiple negative/positive blocks
+        cnt, pos = _dec_long(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:  # negative count is followed by a byte size; skip it
+            _, pos = _dec_long(buf, pos)
+            cnt = -cnt
+        for _ in range(cnt):
+            kn, pos = _dec_long(buf, pos)
+            key = bytes(buf[pos : pos + kn]).decode()
+            pos += kn
+            vn, pos = _dec_long(buf, pos)
+            meta[key] = bytes(buf[pos : pos + vn])
+            pos += vn
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise NotImplementedError(f"avro codec {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode())
+    types = _field_types(schema)
+    sync_len = 16
+    pos += sync_len  # header sync marker
+
+    dec = _dec_value
+    end = len(buf)
+    while pos < end:
+        n_rows, pos = _dec_long(buf, pos)
+        _, pos = _dec_long(buf, pos)  # block byte size (unused, null codec)
+        for _ in range(n_rows):
+            row = []
+            for t in types:
+                v, pos = dec(buf, pos, t)
+                row.append(v)
+            yield tuple(row)
+        pos += sync_len  # trailing sync marker
+    return
+
+
+def write_partitioned(df, path: str, schema: dict) -> int:
+    """Materialize a DataFrame as one OCF file per partition (executor-side
+    parallel write; the driver never sees the rows). Column order must
+    match ``schema['fields']``."""
+    os.makedirs(path, exist_ok=True)
+    cols = [f["name"] for f in schema["fields"]]
+    df = df.select(*cols)
+
+    def write_part(idx: int, rows) -> Iterator[int]:
+        part = os.path.join(path, f"part-{idx:05d}.avro")
+        yield write_ocf(part, schema, (tuple(r) for r in rows))
+
+    total = df.rdd.mapPartitionsWithIndex(write_part).sum()
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return total

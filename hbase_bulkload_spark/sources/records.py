@@ -114,6 +114,19 @@ def orc_path(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def avro_path(spark: SparkSession, sf_dir: str) -> str:
+    """Avro OCF fixture (the `pw_schema.avsc` shape: 9 nullable strings),
+    written one file per partition by the executors (sources.avro_ocf)."""
+    from hbase_bulkload_spark.sources import avro_ocf
+
+    path = _fixture_path(sf_dir, "records_avro")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = wide9(spark, sf_dir).select(*RECORD_COLS).repartition(8)
+        schema = avro_ocf.nullable_string_record("PWData", RECORD_COLS)
+        avro_ocf.write_partitioned(w, path, schema)
+    return path
+
+
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 1: raw line scan (`TextInputFormat`, BulkImporterFromText.java:94)."""
     return spark.read.text(delimited_lines_path(spark, sf_dir))
@@ -147,3 +160,27 @@ def scan_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown reach the file, unlike the reference's RC mapper
     which materializes every column — SURVEY.md §4.1)."""
     return spark.read.orc(orc_path(spark, sf_dir))
+
+
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 5: Avro record scan (`AvroKeyInputFormat<PWData>`,
+    BulkImporterFromAvro.java:91). No spark-avro jar ships here, so the
+    scan distributes whole OCF files via ``binaryFile`` and decodes them
+    in an Arrow-batched ``mapInPandas`` stage (sources.avro_ocf);
+    schema-generic like the reference's `schema.getFields()` walk
+    (BulkImporterFromAvro.java:55-57)."""
+    import pandas as pd
+
+    from hbase_bulkload_spark.sources import avro_ocf
+
+    path = avro_path(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
+
+    def decode(batches):
+        for pdf in batches:
+            for data in pdf["content"]:
+                rows = list(avro_ocf.iter_ocf(bytes(data)))
+                yield pd.DataFrame(rows, columns=RECORD_COLS, dtype=object)
+
+    schema = ", ".join(f"{c} string" for c in RECORD_COLS)
+    return files.select("content").mapInPandas(decode, schema)

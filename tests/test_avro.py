@@ -1,0 +1,64 @@
+"""Avro OCF source (SURVEY.md §2.1 op 5; sources/avro_ocf.py).
+
+Covers the codec round-trip at the byte level (union null branches,
+multi-block files, non-string primitives) and the distributed scan's
+parity with the parquet-derived record frame (SURVEY.md §7.4 item 5:
+"correctness of the Avro decode itself covered by a unit test comparing
+against the parquet read of the same synthetic data").
+"""
+
+from __future__ import annotations
+
+import os
+
+from hbase_bulkload_spark.sources import avro_ocf, records
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ocf_roundtrip_nullable_strings(tmp_path):
+    schema = avro_ocf.nullable_string_record("T", ["a", "b"])
+    rows = [("x", None), (None, "y"), ("", "é中"), (None, None)]
+    p = str(tmp_path / "t.avro")
+    assert avro_ocf.write_ocf(p, schema, rows) == 4
+    assert list(avro_ocf.iter_ocf(open(p, "rb").read())) == rows
+
+
+def test_ocf_multi_block(tmp_path):
+    schema = avro_ocf.nullable_string_record("T", ["a"])
+    rows = [(f"v{i}",) for i in range(avro_ocf.BLOCK_ROWS * 2 + 17)]
+    p = str(tmp_path / "big.avro")
+    assert avro_ocf.write_ocf(p, schema, rows) == len(rows)
+    assert list(avro_ocf.iter_ocf(open(p, "rb").read())) == rows
+
+
+def test_ocf_primitives(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"]},
+        ],
+    }
+    rows = [(-1, 1.5, True, None), (2**40, -0.25, False, -(2**33))]
+    p = str(tmp_path / "p.avro")
+    avro_ocf.write_ocf(p, schema, rows)
+    assert list(avro_ocf.iter_ocf(open(p, "rb").read())) == rows
+
+
+def test_scan_avro_matches_wide9(spark):
+    got = records.scan_avro(spark, SF_DIR)
+    want = records.wide9(spark, SF_DIR).select(*records.RECORD_COLS)
+    key = lambda r: tuple("" if v is None else v for v in r)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # nulls must survive the avro round trip (unlike the text fixture)
+    assert got.filter(got.z8.isNull()).count() == want.filter(want.z8.isNull()).count() > 0
+
+
+def test_avro_fixture_files_exist(spark):
+    path = records.avro_path(spark, SF_DIR)
+    parts = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert len(parts) >= 1
