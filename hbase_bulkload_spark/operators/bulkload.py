@@ -52,6 +52,37 @@ def bulkload_kv(
     return kv.withColumn("bucket", hex_bucket(F.col("rowkey")))
 
 
+def bulkload_pipeline(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    family: str = CURRENT_FAMILY,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Shuffle-lean flagship plan: exchange *wide* rows, unpivot after.
+
+    ``bulkload_kv → region_align`` shuffles the exploded cell frame —
+    every 128-hex rowkey crosses the wire 9×. Deriving key + bucket on
+    the wide frame and repartitioning *before* the unpivot moves ~7-8×
+    fewer bytes through the one exchange; `unpivot` is a narrow Generate,
+    so the bucket partitioning survives it and the terminal
+    `sortWithinPartitions` needs no further exchange. At 100 TB the
+    shuffle is the bottleneck, so this is the shape that scales.
+    """
+    wide = df.select(
+        composite_rowkey(*key_cols).alias("rowkey"),
+        *[F.col(c).cast("string").alias(c) for c in value_cols],
+    ).withColumn("bucket", hex_bucket(F.col("rowkey")))
+    long = (
+        wide.repartition(n_buckets, "bucket")
+        .unpivot(["rowkey", "bucket"], list(value_cols), "qualifier", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    return long.select(
+        "rowkey", F.lit(family).alias("family"), "qualifier", "value", "bucket"
+    ).sortWithinPartitions("bucket", "rowkey", "qualifier")
+
+
 def region_align(kv: DataFrame, n_buckets: int = 16) -> DataFrame:
     """The one global shuffle: co-locate each bucket, sort cells within
     each partition by (rowkey, qualifier) — HBase cell order, the

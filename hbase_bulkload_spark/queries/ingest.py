@@ -19,7 +19,11 @@ from hbase_bulkload_spark.functions.keys import (
     reverse_key,
     salted_key,
 )
-from hbase_bulkload_spark.operators.bulkload import bulkload_kv, region_align
+from hbase_bulkload_spark.operators.bulkload import (
+    bulkload_kv,
+    bulkload_pipeline,
+    region_align,
+)
 from hbase_bulkload_spark.operators.kv import unpivot_kv
 from hbase_bulkload_spark.session import oracle_safe
 from hbase_bulkload_spark.sources import records
@@ -198,11 +202,11 @@ def q_sorted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bulkload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full ingest dataflow (ops 1,10,12,13,14,15,16 in one
-    plan) — scan → validate → composite MD5 rowkey → KV cells → bucket →
-    region-aligned sort."""
+    plan) — scan → validate → composite MD5 rowkey → bucket → one wide-row
+    exchange → KV unpivot → region-aligned sort (shuffle-lean shape, see
+    operators.bulkload.bulkload_pipeline)."""
     oracle_safe(spark)
-    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
-    return region_align(kv).select("rowkey", "family", "qualifier", "value", "bucket")
+    return bulkload_pipeline(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
 
 
 QUERIES = {
