@@ -44,11 +44,19 @@ def q_stream_dedup(spark, sf_dir) -> DataFrame:
     return stream_ops.dedup_keys(_events(spark, sf_dir), ["user_id", "event_type"])
 
 
+def q_stream_stateful(spark, sf_dir) -> DataFrame:
+    """Op 48b: custom stateful operator (applyInPandasWithState on a
+    stream — tests/test_streaming.py; this batch form is the identical
+    semantics as one hash aggregate, which the oracle checks)."""
+    return stream_ops.user_running_stats(_events(spark, sf_dir))
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_stateful": q_stream_stateful,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -97,4 +105,11 @@ ORACLES = {
         FROM isl GROUP BY user_id, sid
     """,
     "q_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_stateful": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE)
+                   / 10000 AS sum_value
+        FROM events GROUP BY user_id
+    """,
 }

@@ -80,3 +80,92 @@ def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "90 days") ->
     if df.isStreaming:
         return df.withWatermark(ts_col, delay)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Op 48b: custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_OUT = "user_id bigint, n_events bigint, sum_value double"
+_SCALE = 10_000  # micro-units: value rounded to 4 dp, summed exactly as longs
+
+
+def user_running_stats(df: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) — the engine's custom stateful
+    operator. On a streaming frame this is `applyInPandasWithState`
+    (arbitrary per-key state, the extension point Spark gives for
+    operators its built-ins can't express); on a batch frame the exact
+    same semantics come from one hash aggregate, which is what the
+    DuckDB oracle checks.
+
+    Determinism across the two paths: `value` is scaled to integral
+    4-dp micro-units *before* accumulation (JVM-side `round` — HALF_UP),
+    so sums are exact integer arithmetic in any order — the same trick
+    as functions.numeric.dsum's decimal interior.
+    """
+    micro = F.round(F.col("value") * _SCALE).cast("long").alias("micro")
+    scaled = df.select("user_id", micro)
+
+    if not df.isStreaming:
+        return scaled.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.sum("micro") / float(_SCALE)).alias("sum_value"),
+        )
+
+    import pandas as pd  # executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["micro"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [total / _SCALE],
+            }
+        )
+
+    return scaled.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType="n bigint, total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: the flagship bulk-load dataflow as a stream
+# ---------------------------------------------------------------------------
+
+def stream_bulkload_cells(records_stream: DataFrame, key_cols, value_cols) -> DataFrame:
+    """The reference's ingest dataflow lifted to Structured Streaming:
+    rowkey derivation, KV unpivot, and bucket assignment are all *narrow*
+    (per-row) transformations, so they attach to a readStream source
+    unchanged — only the terminal sort of the batch pipeline is replaced
+    by the sink's `partitionBy(bucket)` (per-microbatch region files;
+    compaction, like HBase's, happens downstream)."""
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv
+
+    return bulkload_kv(records_stream, key_cols, value_cols)
+
+
+def start_bulkload_sink(cells: DataFrame, path: str, checkpoint: str):
+    """availableNow file-sink writer: Snappy parquet, one directory per
+    bucket — the streaming analog of write_bulkload's contract."""
+    return (
+        cells.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("compression", "snappy")
+        .partitionBy("bucket")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -68,6 +68,60 @@ def test_watermark_is_noop_on_batch(spark, sf_dir):
     assert stream_ops.with_watermark(batch) is batch
 
 
+def test_stateful_operator_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running stats converge to the batch hash
+    aggregate. Update-mode emissions are monotone per key (running
+    totals), so the final state per user is the per-user max."""
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_ops.user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+    want = stream_ops.user_running_stats(batch)
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+
+
+def test_stream_bulkload_sink(spark, sf_dir, tmp_path):
+    """The flagship ingest dataflow as a stream: file source → rowkey/KV/
+    bucket (narrow ops) → bucket-partitioned parquet sink; cell count and
+    bucket set match the batch pipeline."""
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv
+    from hbase_bulkload_spark.sources.records import RECORD_COLS
+    from hbase_bulkload_spark.sources import records
+
+    wide = records.wide9(spark, sf_dir).select(*RECORD_COLS)
+    src = str(tmp_path / "wide_src")
+    wide.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(wide.schema).parquet(src)
+
+    cells = stream_ops.stream_bulkload_cells(stream, RECORD_COLS[:4], RECORD_COLS)
+    out = str(tmp_path / "cells_out")
+    q = stream_ops.start_bulkload_sink(cells, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = bulkload_kv(wide, RECORD_COLS[:4], RECORD_COLS)
+    assert got.count() == want.count()
+    assert sorted(r.bucket for r in got.select("bucket").distinct().collect()) == sorted(
+        r.bucket for r in want.select("bucket").distinct().collect()
+    )
+
+
 def test_session_gap_boundary(spark):
     """Spark merges on touch: an event exactly `gap` after its
     predecessor EXTENDS the session; one microsecond past the gap opens
