@@ -70,6 +70,15 @@ def q_sim_pairs(spark, sf_dir) -> DataFrame:
     return similarity.cosine_pairs_exact(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
 
 
+def q_sim_topk_ivf(spark, sf_dir) -> DataFrame:
+    """Op 54 (ANN scale path): IVF — coarse-quantize into cells, probe
+    the n_probe nearest cells per query. Rows-only: recall depends on
+    the probe budget (precision is exact)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
 def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets → exact verification.
     Rows-only: recall is probabilistic."""
@@ -151,6 +160,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
     "q_sim_topk": q_sim_topk,
+    "q_sim_topk_ivf": q_sim_topk_ivf,
     "q_sim_pairs": q_sim_pairs,
     "q_sim_pairs_lsh": q_sim_pairs_lsh,
     "q_text_tokens": q_text_tokens,

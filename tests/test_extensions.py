@@ -80,6 +80,37 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert approx <= exact  # precision is exact; recall probabilistic
 
 
+def test_ivf_topk_precision_and_recall(spark, sf_dir):
+    """IVF results must carry exact scores (precision exact); recall vs
+    the exact top-k is probe-budget-dependent but must be substantial on
+    this data. n_probe == n_centroids degenerates to the exact scan."""
+    from hbase_bulkload_spark.datasets import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 4")
+    exact = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in similarity.ivf_topk(emb, queries, k=5).collect()
+    }
+    for pair, cos in ivf.items():
+        if pair in exact:
+            assert cos == exact[pair]  # identical exact scoring
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.5
+
+    full_probe = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full_probe == set(exact)
+
+
 def test_text_metrics(spark):
     df = spark.createDataFrame([("the cat, sat!",)], "text string")
     row = df.select(
