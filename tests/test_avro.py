@@ -49,6 +49,48 @@ def test_ocf_primitives(tmp_path):
     assert list(avro_ocf.iter_ocf(open(p, "rb").read())) == rows
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            ),
+            max_size=50,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_ocf_roundtrip_property(tmp_rows):
+        """Any mix of nulls, unicode, and full-range longs survives the
+        OCF round trip byte-exactly."""
+        schema = {
+            "type": "record",
+            "name": "H",
+            "fields": [
+                {"name": "a", "type": ["null", "string"]},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "c", "type": ["null", "long"]},
+            ],
+        }
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+            path = f.name
+        try:
+            avro_ocf.write_ocf(path, schema, tmp_rows)
+            with open(path, "rb") as fh:
+                assert list(avro_ocf.iter_ocf(fh.read())) == tmp_rows
+        finally:
+            os.unlink(path)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass
+
+
 def test_scan_avro_matches_wide9(spark):
     got = records.scan_avro(spark, SF_DIR)
     want = records.wide9(spark, SF_DIR).select(*records.RECORD_COLS)
