@@ -105,23 +105,55 @@ def minhash_lsh_pairs(
     precision. Returns (doc_a, doc_b, jaccard)."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(docs, k=k, n=n).cache()
-    cand = None
-    for band in range(bands):
-        cols = [f"mh{band * rows + r}" for r in range(rows)]
-        key = F.xxhash64(*[F.col(c) for c in cols]).alias("band_key")
-        bd = sig.select("doc_id", key)
-        a = bd.alias("a")
-        b = bd.alias("b")
-        pairs = a.join(
+    sig = minhash_signatures(docs, k=k, n=n)
+    # all band keys in one pass: posexplode + a single self-join on
+    # (band, key) instead of `bands` separate self-joins/unions — one
+    # shuffle, `bands`× fewer stages
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(band), *[F.col(f"mh{band * rows + r}") for r in range(rows)]
+            )
+            for band in range(bands)
+        ]
+    )
+    bd = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
+    a = bd.alias("a")
+    b = bd.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidate pairs — the
+    # whole point of LSH is that the quadratic join never happens; only
+    # |candidates| × shingle intersections are computed
+    sh = doc_shingles(docs, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -150,21 +182,28 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ max_hamming via 16-bit chunk
     banding (pigeonhole: ≤3 differing bits can't hit all 4 chunks)."""
-    sig = simhash64(docs).cache()
-    cand = None
-    for chunk in range(4):
-        key = F.shiftrightunsigned("simhash", chunk * 16).bitwiseAND(F.lit(0xFFFF))
-        bd = sig.select("doc_id", "simhash", key.alias("ck"))
-        a = bd.alias("a")
-        b = bd.alias("b")
-        pairs = a.join(
-            b, (F.col("a.ck") == F.col("b.ck")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    sig = simhash64(docs)
+    # all 4 chunk keys in one posexplode + a single self-join (same
+    # restructure as minhash_lsh_pairs: one shuffle, 4x fewer stages)
+    chunk_keys = F.array(
+        *[
+            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    bd = sig.select("doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ck"))
+    a = bd.alias("a")
+    b = bd.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+            "hamming"
+        ),
+    )
     return cand.distinct().filter(F.col("hamming") <= max_hamming)

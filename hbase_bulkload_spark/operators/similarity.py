@@ -230,26 +230,25 @@ def ivf_topk(
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def assign_factory(cents: np.ndarray):
+        # carries the vector through (narrow stage) so no shuffle join is
+        # ever needed to reunite (id, vec, cell)
         def assign(batches):
             for pdf in batches:
                 V = np.array(list(pdf[vec_col]), dtype=np.float64)
                 Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
                 cell = np.argmax(Vn @ cents.T, axis=1).astype(np.int32)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                        "cell": cell,
-                    }
-                )
+                pdf = pdf.copy()
+                pdf["cell"] = cell
+                yield pdf
 
         return assign
 
+    assign_schema = f"{id_col} long, {vec_col} array<float>, cell int"
     base = embeddings.select(id_col, vec_col)
-    first = base.mapInPandas(assign_factory(Cn), f"{id_col} long, cell int")
+    first = base.mapInPandas(assign_factory(Cn), assign_schema)
     # one Lloyd refinement: new centroid = mean of its assigned vectors
     refined = (
-        base.join(first, id_col)
-        .select("cell", F.posexplode(vec_col).alias("dim", "x"))
+        first.select("cell", F.posexplode(vec_col).alias("dim", "x"))
         .groupBy("cell", "dim")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
         .groupBy("cell")
@@ -262,8 +261,7 @@ def ivf_topk(
         v = np.array(r["centroid"], dtype=np.float64)
         C2[r["cell"]] = v / np.linalg.norm(v)
 
-    cells = base.mapInPandas(assign_factory(C2), f"{id_col} long, cell int")
-    indexed = base.join(cells, id_col)  # (vec_id, embedding, cell)
+    indexed = base.mapInPandas(assign_factory(C2), assign_schema)
 
     # --- probe: n_probe nearest cells per query -------------------------
     qids, Q = _collect_query_matrix(queries, id_col, vec_col)
