@@ -57,16 +57,31 @@ def ngram_jaccard_pairs(
     all on uniformly-hashed keys.
     """
     sh = doc_shingles(docs, n=n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(freq.select("shingle"), "shingle")
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # posting-list formulation: group each shingle's (sorted, distinct)
+    # doc list once, expand its C(m,2) pairs with higher-order functions
+    # — one shuffle over the shingle set instead of a self-join that
+    # shuffles it twice; the frequency cap bounds m so the expansion
+    # can't blow up on stop-shingles
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ds")
+    )
+    if max_shingle_freq is not None:
+        postings = postings.filter(F.size("ds") <= max_shingle_freq)
+    pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("ds") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
