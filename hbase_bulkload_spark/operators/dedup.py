@@ -56,8 +56,7 @@ def ngram_jaccard_pairs(
     shingle → count intersections → join sizes → filter. Three shuffles,
     all on uniformly-hashed keys.
     """
-    sh = doc_shingles(docs, n=n)
-    sh = sh.cache()
+    sh = doc_shingles(docs, n=n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list formulation: group each shingle's (sorted, distinct)
     # doc list once, expand its C(m,2) pairs with higher-order functions
