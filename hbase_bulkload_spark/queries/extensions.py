@@ -3,10 +3,11 @@
 multimodal plumbing.
 
 Oracle policy: exact operators (hash dedup, n-gram Jaccard, brute-force
-cosine, text metrics) are full-oracle; probabilistic-recall operators
-(MinHash-LSH, SimHash, hyperplane-LSH) are rows-only by design — their
-*verification* steps are exact, but recall is sampling-dependent
-(SURVEY.md §7.4 item 3).
+cosine, text metrics, the deterministic multimodal decode) are
+full-oracle; probabilistic-recall operators (MinHash-LSH, SimHash,
+hyperplane-LSH, IVF) are rows-only by design — their *verification*
+steps are exact, but recall is sampling/probe-dependent (SURVEY.md §7.4
+item 3).
 """
 
 from __future__ import annotations
@@ -276,5 +277,27 @@ ORACLES = {
         FROM documents, UNNEST(range(1, length(text) - 6)) AS t(i)
         WHERE length(text) >= 8
         GROUP BY doc_id
+    """,
+    # the fake decode is deterministic (payload = unhex(md5(text)),
+    # mean_byte = byte mean), so even the multimodal mapInPandas stage is
+    # fully oracle-checkable: the byte sum is recovered from the md5 hex
+    "q_multimodal_decode": """
+        WITH bytes AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 32), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(text), CAST(j AS INT) + 1, 1)) - 1)
+                       * CASE WHEN j % 2 = 0 THEN 16 ELSE 1 END)) AS byte_sum
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CASE CAST(d.doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(16 AS INT) AS n_bytes,
+               CAST(d.doc_id % 640 + 16 AS INT) AS width,
+               CAST(d.doc_id % 480 + 16 AS INT) AS height,
+               CAST(byte_sum AS DOUBLE) / 16 AS mean_byte
+        FROM documents d JOIN bytes USING (doc_id)
     """,
 }
