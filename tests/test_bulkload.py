@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_spark.operators.bulkload import (
     bulkload_kv,
+    bulkload_pipeline,
     region_align,
     write_bulkload,
 )
@@ -37,6 +38,27 @@ def test_partitions_internally_sorted(spark, sf_dir):
         yield {"ok": True}
 
     bad = aligned.rdd.mapPartitions(check).filter(lambda d: not d["ok"]).count()
+    assert bad == 0
+
+
+def test_pipeline_shape_equivalent_and_sorted(spark, sf_dir):
+    """The shuffle-lean pipeline (wide-row exchange, unpivot after) must
+    produce exactly the cell set of the KV-exchange shape, and keep every
+    partition internally sorted."""
+    pipe = bulkload_pipeline(wide9(spark, sf_dir), KEYS, RECORD_COLS)
+    ref = region_align(_kv(spark, sf_dir)).select(*pipe.columns)
+    assert pipe.exceptAll(ref).count() == 0
+    assert ref.exceptAll(pipe).count() == 0
+
+    def check(it):
+        prev = None
+        for row in it:
+            cur = (row.bucket, row.rowkey, row.qualifier)
+            assert prev is None or prev <= cur, (prev, cur)
+            prev = cur
+        yield {"ok": True}
+
+    bad = pipe.rdd.mapPartitions(check).filter(lambda d: not d["ok"]).count()
     assert bad == 0
 
 
