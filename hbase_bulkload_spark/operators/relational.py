@@ -46,3 +46,55 @@ def ranked(
     `order` must include a tie-break for determinism."""
     w = Window.partitionBy(*partition_by).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the payload of the
+    latest right row with ``right.ts <= left.ts`` on the same key
+    (DuckDB/kdb `ASOF JOIN` semantics; Spark has no native operator).
+
+    Implementation is the union-window technique, not a range join:
+    tag both sides, sort each key's rows by (ts, side) — right-side rows
+    first on ties so an equal timestamp matches — and carry the right
+    payload forward with ``last(..., ignorenulls)``. One shuffle (the
+    window's), no candidate-pair blow-up: cost is that of a sort-merge
+    join regardless of time-range density, which is the property that
+    survives 100 TB.
+
+    ``right`` must be unique on (key, ts) — pre-dedupe with
+    :func:`ranked` — and must not contain ``payload_cols`` collisions
+    with ``left``. Left columns pass through; matched payload columns
+    are null where no right row precedes.
+    """
+    keys = list(key_cols)
+    lcols = [c for c in left.columns]
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(c) for c in payload_cols],
+    ).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = [
+        F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(c)
+        for c in payload_cols
+    ]
+    return (
+        u.select(*lcols, "_side", *matched)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from hbase_bulkload_spark.datasets import table
 from hbase_bulkload_spark.functions.numeric import davg_expr, dsum, dsum_expr
-from hbase_bulkload_spark.operators.relational import broadcast_join, ranked, top_k
+from hbase_bulkload_spark.operators.relational import (
+    asof_join,
+    broadcast_join,
+    ranked,
+    top_k,
+)
 from hbase_bulkload_spark.session import oracle_safe
 
 
@@ -107,6 +112,34 @@ def q_join_cross(spark, sf_dir) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     return region.crossJoin(nation).select("r_name", "n_name")
+
+
+def q_join_asof(spark, sf_dir) -> DataFrame:
+    """Op 25b: as-of join (custom operator — Spark has none built in;
+    operators.relational.asof_join, union-window technique). For each
+    purchase event: the user's latest view event at-or-before it.
+    Oracle = DuckDB's native ASOF JOIN, an independent implementation."""
+    from hbase_bulkload_spark.datasets import table as _table
+
+    ev = _table(oracle_safe(spark), sf_dir, "events")
+    # right side must be unique on (user_id, ts): keep max event_id
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.col("ts").alias("view_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join(
+        purchases, views, key_cols=["user_id"], ts_col="ts",
+        payload_cols=["view_id", "view_ts"],
+    )
+    return out.select(
+        "user_id", "purchase_id", F.col("ts").alias("purchase_ts"),
+        "view_id", "view_ts",
+    )
 
 
 # --- §2.8 aggregations ------------------------------------------------------
@@ -353,6 +386,7 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
     "q_join_cross": q_join_cross,
+    "q_join_asof": q_join_asof,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -419,6 +453,24 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_asof": """
+        WITH ev AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events
+        ),
+        v AS (
+            SELECT user_id, ts, MAX(event_id) AS view_id, ts AS view_ts
+            FROM ev WHERE event_type = 'view' GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts
+            FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+               v.view_id, v.view_ts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
     "q_agg_groupby": f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_expr('l_quantity')} AS sum_qty,
