@@ -378,6 +378,30 @@ def q_json_funcs(spark, sf_dir) -> DataFrame:
     )
 
 
+# One SQL text, two engines: runs verbatim through spark.sql() AND as
+# its own DuckDB oracle — the engine's SQL surface is ANSI enough that
+# the star-schema rollup needs no dialect translation.
+SQL_STAR = """
+    SELECT n_name,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n_name, o_orderpriority
+"""
+
+
+def q_sql_star(spark, sf_dir) -> DataFrame:
+    """SQL-surface demo: the identical ANSI text Catalyst compiles here
+    is the DuckDB oracle, character for character."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_STAR)
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
@@ -387,6 +411,7 @@ QUERIES = {
     "q_join_range": q_join_range,
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
+    "q_sql_star": q_sql_star,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -407,6 +432,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sql_star": SQL_STAR,
     "q_join_inner": """
         SELECT o_orderkey, c_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
