@@ -63,6 +63,37 @@ def test_stream_session_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    _assert_same(
+        spark,
+        stream_ops.sliding_agg(batch),
+        stream_ops.sliding_agg(stream_ops.with_watermark(stream, "ts", "1 day")),
+        name,
+    )
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dropDuplicates keeps exactly the batch-distinct key set
+    (append mode: each key emitted once)."""
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_ops.dedup_keys(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    want = stream_ops.dedup_keys(batch, ["user_id", "event_type"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
 def test_watermark_is_noop_on_batch(spark, sf_dir):
     batch = table(spark, sf_dir, "events")
     assert stream_ops.with_watermark(batch) is batch
