@@ -19,6 +19,7 @@ from hbase_bulkload_spark.operators.relational import (
     asof_join,
     broadcast_join,
     ranked,
+    salted_join,
     top_k,
 )
 from hbase_bulkload_spark.session import oracle_safe
@@ -378,6 +379,23 @@ def q_json_funcs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_join_salted(spark, sf_dir) -> DataFrame:
+    """Op 21b: skew-proof salted join (operators.relational.salted_join).
+    Result is identical to the plain join — which is exactly what the
+    oracle checks — while every hot key spreads over 8 reducers."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    j = salted_join(
+        orders, customer,
+        fact_key="o_custkey", dim_key="c_custkey",
+        salt_src="o_orderkey", n_salts=8,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
 # One SQL text, two engines: runs verbatim through spark.sql() AND as
 # its own DuckDB oracle — the engine's SQL surface is ANSI enough that
 # the star-schema rollup needs no dialect translation.
@@ -412,6 +430,7 @@ QUERIES = {
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
     "q_sql_star": q_sql_star,
+    "q_join_salted": q_join_salted,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -433,6 +452,13 @@ QUERIES = {
 
 ORACLES = {
     "q_sql_star": SQL_STAR,
+    "q_join_salted": f"""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum_expr('o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "q_join_inner": """
         SELECT o_orderkey, c_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey

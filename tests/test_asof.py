@@ -1,12 +1,13 @@
-"""As-of join (operators/relational.py::asof_join) boundary semantics:
-equal timestamps match (b.ts <= a.ts), unmatched left rows survive with
-null payload, matches never cross keys."""
+"""Custom join operators (operators/relational.py): as-of join boundary
+semantics (equal timestamps match, unmatched left rows survive with
+null payload, matches never cross keys) and salted-join equivalence on
+a skewed key distribution."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hbase_bulkload_spark.operators.relational import asof_join
+from hbase_bulkload_spark.operators.relational import asof_join, salted_join
 
 
 def test_asof_join_boundaries(spark):
@@ -30,6 +31,21 @@ def test_asof_join_boundaries(spark):
         ).collect()
     }
     assert out == {"p1": "v95", "p2": "v90", "p3": None, "p4": None}
+
+
+def test_salted_join_equals_plain_join_on_skew(spark):
+    """90% of fact rows hit one key; the salted join must still produce
+    exactly the plain join's multiset, including dim-miss drops."""
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i % 5) for i in range(1000)], "fid long, k long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(4)], "dk long, name string")
+    plain = fact.join(dim, fact.k == dim.dk).select("fid", "k", "name")
+    salted = salted_join(
+        fact, dim, fact_key="k", dim_key="dk", salt_src="fid", n_salts=4
+    ).select("fid", "k", "name")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
 
 
 def test_asof_join_keeps_left_columns_and_count(spark):
