@@ -247,6 +247,22 @@ def q_window_moving(spark, sf_dir) -> DataFrame:
 
 # --- §2.10 sorts / limits / set ops -----------------------------------------
 
+def q_window_distribution(spark, sf_dir) -> DataFrame:
+    """Op 32b: distribution window functions (ntile / percent_rank /
+    cume_dist) over each customer's orders by price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_topk(spark, sf_dir) -> DataFrame:
     """Op 35: global top-100 (plans as TakeOrderedAndProject)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -439,6 +455,7 @@ QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
     "q_window_moving": q_window_moving,
+    "q_window_distribution": q_window_distribution,
     "q_topk": q_topk,
     "q_set_union": q_set_union,
     "q_set_intersect_except": q_set_intersect_except,
@@ -573,6 +590,15 @@ ORACLES = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders
+    """,
+    "q_window_distribution": """
+        SELECT o_custkey, o_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
     "q_topk": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
