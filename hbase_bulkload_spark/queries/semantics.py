@@ -59,10 +59,47 @@ def q_current_vs_history(spark, sf_dir) -> DataFrame:
     return split.select("user_id", "event_type", "event_id", "family")
 
 
+def q_compaction(spark, sf_dir) -> DataFrame:
+    """Ops 18+19+20 composed — an HBase *major compaction* as one plan:
+    events as KV cells (rowkey = md5(user_id), qualifier = event_type)
+    → TTL expiry → keep newest 3 versions → current/history family
+    split → bucket + region-aligned sort. The file rewrite an HBase
+    region server does in-place is here a declarative pipeline whose
+    one shuffle is the version window's."""
+    from hbase_bulkload_spark.functions.keys import hex_bucket
+
+    ev = table(oracle_safe(spark), sf_dir, "events")
+    cells = ev.select(
+        F.md5(F.col("user_id").cast("string")).alias("rowkey"),
+        F.col("event_type").alias("qualifier"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    live = ttl_filter(cells, "ts", days=TTL_DAYS)
+    kept = keep_latest_versions(
+        live, ["rowkey", "qualifier"], "ts", n=3, tiebreak=["event_id"]
+    )
+    out = kept.select(
+        "rowkey",
+        F.when(F.col("version") == 1, F.lit("c")).otherwise(F.lit("h")).alias("family"),
+        "qualifier",
+        "ts",
+        "event_id",
+        "version",
+        "value",
+        hex_bucket(F.col("rowkey")).alias("bucket"),
+    )
+    return out.repartition("bucket").sortWithinPartitions(
+        "bucket", "rowkey", "qualifier", "version"
+    )
+
+
 QUERIES = {
     "q_versions_top3": q_versions_top3,
     "q_ttl_filter": q_ttl_filter,
     "q_current_vs_history": q_current_vs_history,
+    "q_compaction": q_compaction,
 }
 
 ORACLES = {
@@ -88,5 +125,28 @@ ORACLES = {
                         ORDER BY ts DESC, event_id ASC) = 1
                     THEN 'c' ELSE 'h' END AS family
         FROM ev
+    """,
+    "q_compaction": f"""
+        WITH {EV_CTE},
+        cells AS (
+            SELECT md5(CAST(user_id AS VARCHAR)) AS rowkey,
+                   event_type AS qualifier, ts, event_id, value
+            FROM ev
+        ),
+        live AS (
+            SELECT * FROM cells
+            WHERE ts >= (SELECT MAX(ts) FROM cells) - INTERVAL {TTL_DAYS} DAY
+        ),
+        vers AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY rowkey, qualifier
+                ORDER BY ts DESC, event_id ASC) AS rn
+            FROM live
+        )
+        SELECT rowkey,
+               CASE WHEN rn = 1 THEN 'c' ELSE 'h' END AS family,
+               qualifier, ts, event_id, CAST(rn AS INT) AS version, value,
+               substr(rowkey, 1, 1) AS bucket
+        FROM vers WHERE rn <= 3
     """,
 }
