@@ -247,6 +247,37 @@ def q_window_moving(spark, sf_dir) -> DataFrame:
 
 # --- §2.10 sorts / limits / set ops -----------------------------------------
 
+def q_agg_percentile(spark, sf_dir) -> DataFrame:
+    """Op 29b: exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`; `percentile_approx` is the sketch variant,
+    engine-dependent like op 29)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {q})"), 6
+    )
+    return li.groupBy("l_returnflag").agg(
+        p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.9).alias("p90")
+    )
+
+
+def q_merge_upsert(spark, sf_dir) -> DataFrame:
+    """Op 23b: CDC merge/upsert without a lakehouse format — the
+    anti-join + union emulation: updated rows replace matching target
+    rows, inserts pass through. Updates here: every BUILDING-segment
+    customer gets a recomputed acctbal (deterministic derivation so the
+    oracle can reproduce it)."""
+    customer = _t(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    target = customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    kept = target.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    return kept.unionByName(updates)
+
+
 def q_window_distribution(spark, sf_dir) -> DataFrame:
     """Op 32b: distribution window functions (ntile / percent_rank /
     cume_dist) over each customer's orders by price."""
@@ -456,6 +487,8 @@ QUERIES = {
     "q_window_lag": q_window_lag,
     "q_window_moving": q_window_moving,
     "q_window_distribution": q_window_distribution,
+    "q_agg_percentile": q_agg_percentile,
+    "q_merge_upsert": q_merge_upsert,
     "q_topk": q_topk,
     "q_set_union": q_set_union,
     "q_set_intersect_except": q_set_intersect_except,
@@ -590,6 +623,26 @@ ORACLES = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders
+    """,
+    "q_agg_percentile": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_merge_upsert": """
+        WITH updates AS (
+            SELECT c_custkey, c_name,
+                   round(c_acctbal + 100.0, 2) AS c_acctbal,
+                   'BUILDING' AS c_mktsegment
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
     """,
     "q_window_distribution": """
         SELECT o_custkey, o_orderkey,
