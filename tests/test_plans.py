@@ -1,0 +1,50 @@
+"""Plan-property regression guards (hbase_bulkload_spark/plans): the
+scale claims of SURVEY.md §4 pinned as assertions — if a refactor adds a
+shuffle to the ingest pipeline or un-broadcasts a dimension join, these
+fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import sys
+
+from hbase_bulkload_spark.plans import (
+    count_broadcast_joins,
+    count_exchanges,
+    physical_plan,
+    scan_summaries,
+)
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+QUERIES = entrymod.queries()
+
+
+def test_bulkload_pipeline_single_exchange(spark, sf_dir):
+    """The flagship's core scale property: exactly ONE shuffle (wide rows
+    by bucket), unpivot and sort both after it."""
+    plan = physical_plan(QUERIES["q_bulkload_pipeline"](spark, sf_dir))
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_broadcast_rollup_never_shuffles_facts(spark, sf_dir):
+    """Star rollup: both dim joins broadcast; the only exchange is the
+    final aggregation's."""
+    plan = physical_plan(QUERIES["q_join_broadcast"](spark, sf_dir))
+    assert count_broadcast_joins(plan) == 2, plan
+    assert count_exchanges(plan) <= 1, plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 16 lineitem columns."""
+    plan = physical_plan(QUERIES["q_date_funcs"](spark, sf_dir))
+    scans = scan_summaries(plan)
+    assert scans, plan
+    assert all(s["read_schema"].count(",") < 8 for s in scans), scans
+
+
+def test_scalar_queries_have_no_exchange(spark, sf_dir):
+    """Pure projection/filter queries must stay map-only."""
+    for name in ("q_rowkey_concat", "q_unpivot_kv", "q_math_funcs", "q_project"):
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert count_exchanges(plan) == 0, (name, plan)
