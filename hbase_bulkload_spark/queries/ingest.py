@@ -24,7 +24,7 @@ from hbase_bulkload_spark.operators.bulkload import (
     bulkload_pipeline,
     region_align,
 )
-from hbase_bulkload_spark.operators.kv import unpivot_kv
+from hbase_bulkload_spark.operators.kv import pivot_wide, unpivot_kv
 from hbase_bulkload_spark.session import oracle_safe
 from hbase_bulkload_spark.sources import records
 from hbase_bulkload_spark.sources.records import RECORD_COLS
@@ -206,6 +206,17 @@ def _bucket_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", hex_bucket(F.col("rowkey")))
 
 
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 14 inverse: long KV frame back to one wide row per key (pinned
+    qualifier list, so the plan is one shuffle — operators.kv.pivot_wide).
+    Composite keys are unique per lineitem row, so the round trip is
+    exact for non-null cells (null z8 cells were suppressed → null)."""
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
+    return pivot_wide(kv, RECORD_COLS)
+
+
 def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15: deterministic bucket assignment (first hex char, 16-way)."""
     oracle_safe(spark)
@@ -258,6 +269,7 @@ QUERIES = {
     "q_key_reverse": q_key_reverse,
     "q_salt_bucket": q_salt_bucket,
     "q_unpivot_kv": q_unpivot_kv,
+    "q_pivot_wide": q_pivot_wide,
     "q_range_partition": q_range_partition,
     "q_sorted_ingest": q_sorted_ingest,
     "q_bulkload_pipeline": q_bulkload_pipeline,
@@ -321,6 +333,12 @@ ORACLES = {
     "q_unpivot_kv": f"""
         WITH {WIDE9_CTE}, {KV_CTE}
         SELECT rowkey, family, qualifier, value FROM kv
+    """,
+    "q_pivot_wide": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey,
+               {", ".join(f"MAX(CASE WHEN qualifier = '{c}' THEN value END) AS {c}" for c in RECORD_COLS)}
+        FROM kv GROUP BY rowkey
     """,
     "q_range_partition": f"""
         WITH {WIDE9_CTE}, {KV_CTE}
