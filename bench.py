@@ -55,6 +55,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        spark._jvm.System.gc()  # untimed: charge GC debt to no neighbor
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
