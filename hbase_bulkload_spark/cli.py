@@ -1,0 +1,180 @@
+"""Command-line bulk-load entry points — the reference's user surface.
+
+The reference is operated as four CLI tools, one per input format
+(`BulkImporterFromText.java:164-168`, `BulkImporterFromCSVText.java:164-168`,
+`BulkImporterFromRC.java:165-169`, `BulkImporterFromAvro.java:159-163`;
+canonical invocation `sample_run.sh:1`):
+
+    hadoop jar bulkimport.jar <ImporterClass> <hbase-site.xml> <input> <output>
+
+This module is the Spark-native equivalent, one tool with a format flag:
+
+    python -m hbase_bulkload_spark --format {text,csv,columnar,avro} \
+        [--columns 9] [--key-cols 0,1,2,3] [--n-buckets 16] \
+        [--sep $'\\x01'] INPUT OUTPUT
+
+Per format, the pipeline is the reference lifecycle (SURVEY.md §3) as one
+declarative plan: scan → arity/null validate → composite MD5 rowkey over
+the key columns (`RowKeyConverter.java:13-30`) → wide→long KV unpivot
+(one cell per column, family 'c') → hex-bucket partition → per-partition
+sort → Snappy parquet, one sorted non-overlapping file per bucket — the
+analog of the HFile directory handed to `doBulkLoad`. The `hbase-site.xml`
+argument has no analog (no HBase cluster in scope); region count maps to
+`--n-buckets`.
+
+Deviations (documented, SURVEY.md §2.2/§2.14): key columns default to
+0-3 for every format (the RC variant's out-of-bounds `value.get(20)` is
+not reproduced); qualifiers are column names everywhere (the reference
+mixes positional ints and field names).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOH = "\x01"  # hive default delimiter, BulkImporterFromText.java:54
+
+
+def _cols(n: int) -> list[str]:
+    return [f"z{i}" for i in range(n)]
+
+
+def read_text(spark: SparkSession, path: str, n_columns: int, sep: str = SOH) -> DataFrame:
+    """Delimited-text scan + decode + arity gate (ops 1, 2, 10): keep a
+    line iff it splits into exactly `n_columns` fields, like the mapper's
+    `words.length == COLUMN_COUNT` check (`BulkImporterFromText.java:56`)."""
+    cols = _cols(n_columns)
+    parts = F.split(F.col("value"), sep)
+    return (
+        spark.read.text(path)
+        .select(parts.alias("p"))
+        .filter(F.size("p") == n_columns)
+        .select(*[F.col("p").getItem(i).alias(cols[i]) for i in range(n_columns)])
+    )
+
+
+def read_csv(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
+    """CSV scan (op 3) with a declared all-nullable-string schema —
+    superset of the reference's naive `split(",")` (adds quoting).
+    Arity is enforced by the schema (extra fields dropped, missing →
+    null), then the strict gate: rows whose raw line had fewer fields
+    come back with trailing nulls and are kept (CSV null == empty —
+    indistinguishable by design; matches `spark.read.csv` semantics)."""
+    schema = ", ".join(f"{c} string" for c in _cols(n_columns))
+    return spark.read.schema(schema).csv(path)
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:
+    """Columnar scan (op 4, the RCFile analog): ORC or Parquet — either
+    native vectorized reader with pruning/pushdown, unlike the RC mapper
+    which materializes every column (SURVEY.md §4.1)."""
+    return spark.read.orc(path) if fmt == "orc" else spark.read.parquet(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro OCF scan (op 5): whole-file distribution via ``binaryFile``
+    + Arrow-batched pure-Python OCF decode, schema-generic like the
+    reference's `schema.getFields()` walk (`BulkImporterFromAvro.java:55-57`).
+    The schema is read from the first container file's header."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    from hbase_bulkload_spark.sources import avro_ocf
+
+    first = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+    if not first:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(first[0], "rb") as fh:
+        field_names = avro_ocf.record_field_names(fh.read())
+
+    files = spark.read.format("binaryFile").load(_os.path.join(path, "*.avro"))
+
+    def decode(batches):
+        for pdf in batches:
+            for data in pdf["content"]:
+                rows = list(avro_ocf.iter_ocf(bytes(data)))
+                yield pd.DataFrame(rows, columns=field_names, dtype=object)
+
+    schema = ", ".join(f"{c} string" for c in field_names)
+    return files.select("content").mapInPandas(decode, schema)
+
+
+def ingest(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    fmt: str = "csv",
+    n_columns: int = 9,
+    key_cols: list[int] | None = None,
+    n_buckets: int = 16,
+    sep: str = SOH,
+) -> None:
+    """One importer run, end to end (the `run()` body of each reference
+    entry point, SURVEY.md §3.1, as a single Spark plan)."""
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv, write_bulkload
+
+    if fmt == "text":
+        df = read_text(spark, input_path, n_columns, sep=sep)
+    elif fmt == "csv":
+        df = read_csv(spark, input_path, n_columns)
+    elif fmt == "columnar":
+        df = read_columnar(spark, input_path)
+    elif fmt == "avro":
+        df = read_avro(spark, input_path)
+    else:  # pragma: no cover - argparse choices gate this
+        raise ValueError(f"unknown format {fmt!r}")
+
+    cols = df.columns
+    keys = [cols[i] for i in (key_cols or [0, 1, 2, 3])]
+    kv = bulkload_kv(df, key_cols=keys, value_cols=cols)
+    write_bulkload(kv, output_path, n_buckets=n_buckets)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m hbase_bulkload_spark",
+        description="Bulk-load ingest: scan, validate, derive keys, unpivot "
+        "to KV cells, and write region-aligned sorted Snappy parquet.",
+    )
+    p.add_argument("input", help="input file or directory")
+    p.add_argument("output", help="output directory (overwritten)")
+    p.add_argument(
+        "--format",
+        choices=["text", "csv", "columnar", "avro"],
+        default="csv",
+        help="input format (default csv, the reference's canonical path)",
+    )
+    p.add_argument("--columns", type=int, default=9, help="record arity (default 9)")
+    p.add_argument(
+        "--key-cols",
+        default="0,1,2,3",
+        help="comma-separated key column indexes (default 0,1,2,3)",
+    )
+    p.add_argument("--n-buckets", type=int, default=16, help="output buckets (default 16)")
+    p.add_argument("--sep", default=SOH, help="text-format field delimiter (default SOH)")
+    args = p.parse_args(argv)
+
+    from hbase_bulkload_spark.session import get_spark
+
+    spark = get_spark("bulkload-cli")
+    ingest(
+        spark,
+        args.input,
+        args.output,
+        fmt=args.format,
+        n_columns=args.columns,
+        key_cols=[int(i) for i in args.key_cols.split(",")],
+        n_buckets=args.n_buckets,
+        sep=args.sep,
+    )
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -184,9 +184,9 @@ def write_ocf(path: str, schema: dict, rows: Iterable[tuple]) -> int:
     return n_total
 
 
-def iter_ocf(data: bytes) -> Iterator[tuple]:
-    """Decode one OCF's bytes into value tuples (null codec only)."""
-    buf = memoryview(data)
+def _read_header(buf: memoryview) -> tuple[dict[str, bytes], int]:
+    """Parse the OCF header's metadata map; returns (meta, position past
+    the header sync marker)."""
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -205,13 +205,28 @@ def iter_ocf(data: bytes) -> Iterator[tuple]:
             vn, pos = _dec_long(buf, pos)
             meta[key] = bytes(buf[pos : pos + vn])
             pos += vn
+    return meta, pos + 16  # skip the header sync marker
+
+
+def record_field_names(data: bytes) -> list[str]:
+    """Field names declared by an OCF's embedded record schema — the
+    schema-reflection entry (`schema.getFields()` walk,
+    `BulkImporterFromAvro.java:55-57`) without decoding any rows."""
+    meta, _ = _read_header(memoryview(data))
+    schema = json.loads(meta["avro.schema"].decode())
+    return [f["name"] for f in schema["fields"]]
+
+
+def iter_ocf(data: bytes) -> Iterator[tuple]:
+    """Decode one OCF's bytes into value tuples (null codec only)."""
+    buf = memoryview(data)
+    meta, pos = _read_header(buf)
     codec = meta.get("avro.codec", b"null")
     if codec not in (b"null", b""):
         raise NotImplementedError(f"avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode())
     types = _field_types(schema)
     sync_len = 16
-    pos += sync_len  # header sync marker
 
     dec = _dec_value
     end = len(buf)
