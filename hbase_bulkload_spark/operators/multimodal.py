@@ -74,6 +74,53 @@ def decode_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, modality string, payload binary, width int, height int, "
+    "scale_x double, scale_y double"
+)
+
+
+def resize(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """mapInPandas resize stage (image rows): batch in, batch out, no
+    shuffle — the standard pre-training normalization step. The pixel
+    transform is a STUB (no codec libs in this container): the real
+    branch raises where a PIL `Image.resize` would go; the stub branch
+    keeps the payload and emits target dimensions + the scale factors a
+    real resample would use, so schema, batch shape, and partition
+    behavior are the production ones.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires an image codec library (PIL) "
+                    "not present in this environment"
+                )
+            width = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+            height = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"],
+                    "width": target_width,
+                    "height": target_height,
+                    "scale_x": target_width / width,
+                    "scale_y": target_height / height,
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, n_frames: int = 100) -> DataFrame:
     """Frame-sampling plan for video rows: explode sampled frame indices
     (decode of each frame would plug into decode_features)."""

@@ -150,3 +150,21 @@ def test_multimodal_stub_and_frames(docs):
 
     frames = multimodal.frame_sample(media).collect()
     assert all(r.frame_idx % 10 == 0 for r in frames)
+
+
+def test_multimodal_resize(docs):
+    media = multimodal.attach_payload(docs)
+    rs = multimodal.resize(media, target_width=224, target_height=112).collect()
+    assert rs and all(r.modality == "image" for r in rs)
+    src = {r.doc_id: r for r in media.collect()}
+    for r in rs:
+        assert (r.width, r.height) == (224, 112)
+        assert r.scale_x == 224 / src[r.doc_id].meta.width
+        assert r.scale_y == 112 / src[r.doc_id].meta.height
+        assert bytes(r.payload) == bytes(src[r.doc_id].payload)  # stub keeps bytes
+
+    with pytest.raises(Exception) as ei:
+        multimodal.resize(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
