@@ -87,6 +87,38 @@ def test_cli_text_arity_gate(spark, inputs, tmp_path):
     assert n_keys == n_valid_keys
 
 
+def test_cli_generic_arity(spark, tmp_path):
+    """The CLI is schema-generic, unlike the reference's hardcoded
+    COLUMN_COUNT = 9 (`BulkImporterFromText.java:43`): a 3-column input
+    with a 2-column key works end to end."""
+    src = str(tmp_path / "nation3")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .select(
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        )
+        .write.mode("overwrite")
+        .csv(src)
+    )
+    out = str(tmp_path / "out_nation3")
+    cli.ingest(spark, src, out, fmt="csv", n_columns=3, key_cols=[0, 2], n_buckets=4)
+    df = _load_out(spark, out)
+    n_nations = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
+    assert df.select("rowkey").distinct().count() == n_nations
+    # 2 key fields → 2 × 32-hex digests
+    assert df.select(F.length("rowkey")).distinct().collect()[0][0] == 64
+    # one cell per non-null column value
+    n_vals = sum(
+        spark.read.schema("z0 string,z1 string,z2 string")
+        .csv(src)
+        .select([F.count(c) for c in ["z0", "z1", "z2"]])
+        .collect()[0]
+    )
+    assert df.count() == n_vals
+
+
 def test_sorted_within_files(spark, inputs, tmp_path):
     """Per-file cell order: (rowkey, qualifier) non-decreasing — the
     PutSortReducer contract the HFile sink relies on."""
