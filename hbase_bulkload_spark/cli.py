@@ -114,6 +114,7 @@ def ingest(
     key_cols: list[int] | None = None,
     n_buckets: int = 16,
     sep: str = SOH,
+    fix_permissions: int | None = None,
 ) -> None:
     """One importer run, end to end (the `run()` body of each reference
     entry point, SURVEY.md §3.1, as a single Spark plan)."""
@@ -134,6 +135,11 @@ def ingest(
     keys = [cols[i] for i in (key_cols or [0, 1, 2, 3])]
     kv = bulkload_kv(df, key_cols=keys, value_cols=cols)
     write_bulkload(kv, output_path, n_buckets=n_buckets)
+
+    if fix_permissions is not None:  # op 8 post-processing (reference: 0o777)
+        from hbase_bulkload_spark.sources.fsutil import set_permissions_recursive
+
+        set_permissions_recursive(output_path, fix_permissions)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -158,6 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--n-buckets", type=int, default=16, help="output buckets (default 16)")
     p.add_argument("--sep", default=SOH, help="text-format field delimiter (default SOH)")
+    p.add_argument(
+        "--fix-permissions",
+        default=None,
+        help="octal mode to chmod the output tree to (the reference "
+        "forces 777, BulkImporterFromText.java:119-126; off by default)",
+    )
     args = p.parse_args(argv)
 
     from hbase_bulkload_spark.session import get_spark
@@ -172,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
         key_cols=[int(i) for i in args.key_cols.split(",")],
         n_buckets=args.n_buckets,
         sep=args.sep,
+        fix_permissions=(
+            int(args.fix_permissions, 8) if args.fix_permissions is not None else None
+        ),
     )
     return 0
 
