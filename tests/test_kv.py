@@ -39,6 +39,29 @@ def test_kv_schema_contract(spark, sf_dir):
     assert kv.select("family").distinct().collect() == [("c",)]
 
 
+def test_pivot_duplicate_and_unknown_cells(spark):
+    """The scatter pivot's edge contracts: duplicate (rowkey, qualifier)
+    cells resolve to SOME non-null value (first by arrival order, which
+    the exchange scrambles — the documented contract); null-valued cells
+    never beat a non-null; qualifiers outside the pinned list are
+    dropped, not mis-scattered (the Categorical -1 guard)."""
+    rows = [
+        ("k1", "c", "q0", None),   # null — must never win over a/b
+        ("k1", "c", "q0", "a"),
+        ("k1", "c", "q0", "b"),
+        ("k1", "c", "q1", "x"),
+        ("k2", "c", "zz", "junk"), # unknown qualifier — dropped entirely
+        ("k2", "c", "q1", "y"),
+    ]
+    kv = spark.createDataFrame(rows, "rowkey string, family string, qualifier string, value string")
+    out = {r.rowkey: r for r in pivot_wide(kv, ["q0", "q1"]).collect()}
+    assert len(out) == 2  # one wide row per key, dup cells merged
+    assert out["k1"].q0 in {"a", "b"}  # non-null always beats null
+    assert out["k1"].q1 == "x"
+    assert out["k2"].q0 is None  # 'junk' must not leak anywhere
+    assert out["k2"].q1 == "y"
+
+
 def test_pivot_roundtrip(spark, sf_dir):
     w = (
         wide9(spark, sf_dir)
