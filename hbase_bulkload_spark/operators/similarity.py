@@ -217,8 +217,14 @@ def ivf_topk(
 
     Centroids are deterministic: the vectors with the ``n_centroids``
     smallest ids, refined by one Lloyd iteration over the corpus (means
-    in float64). Candidate scoring reuses the exact GEMM; precision is
-    exact, recall depends on the probe count (rows-only oracle).
+    in float64). The refinement is a map-side partial aggregation: each
+    partition's assign pass emits ``n_centroids`` rows of (cell,
+    partial-sum vector, count), so the only shuffle moving data for the
+    index build is n_partitions × n_centroids tiny rows — never the
+    n_vectors × d exploded cells a naive posexplode/groupBy would move
+    (at 100 TB that difference is trillions of rows vs thousands).
+    Candidate scoring reuses the exact GEMM; precision is exact, recall
+    depends on the probe count (rows-only oracle).
     """
     import pandas as pd
 
@@ -228,72 +234,112 @@ def ivf_topk(
     )
     C = np.array([r[0] for r in seed_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    dim = C.shape[1]
 
-    def assign_factory(cents: np.ndarray):
-        # carries the vector through (narrow stage) so no shuffle join is
-        # ever needed to reunite (id, vec, cell)
-        def assign(batches):
-            for pdf in batches:
-                V = np.array(list(pdf[vec_col]), dtype=np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                cell = np.argmax(Vn @ cents.T, axis=1).astype(np.int32)
-                pdf = pdf.copy()
-                pdf["cell"] = cell
-                yield pdf
+    def lloyd_partials(batches):
+        # one row group per PARTITION (not per vector): partial raw-vector
+        # sums + counts per cell, tagged with the partition id so the
+        # reduce can sum in a deterministic order
+        from pyspark import TaskContext
 
-        return assign
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = np.argmax(Vn @ Cn.T, axis=1)
+            np.add.at(sums, cell, V)
+            counts += np.bincount(cell, minlength=n_centroids)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "pid": np.full(n_centroids, pid, dtype=np.int32),
+                "cell": np.arange(n_centroids, dtype=np.int32),
+                "vsum": list(sums),
+                "cnt": counts,
+            }
+        )
 
-    assign_schema = f"{id_col} long, {vec_col} array<float>, cell int"
     base = embeddings.select(id_col, vec_col)
-    first = base.mapInPandas(assign_factory(Cn), assign_schema)
-    # one Lloyd refinement: new centroid = mean of its assigned vectors
-    refined = (
-        first.select("cell", F.posexplode(vec_col).alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select("cell", F.col("dm.m").alias("centroid"))
-        .collect()
+    partials = base.mapInPandas(
+        lloyd_partials, "pid int, cell int, vsum array<double>, cnt long"
     )
+    # reduce: n_partitions × n_centroids rows → n_centroids sums; with a
+    # handful of input partitions the driver reduce (pid-sorted numpy) is
+    # one job instead of shuffle+job, and identical arithmetic; past that
+    # a JVM pre-reduce keeps the collect at n_centroids rows (at 100 TB
+    # n_partitions is ~10^5 and the partials must NOT all hit the driver)
     C2 = np.array(Cn)
-    for r in refined:
-        v = np.array(r["centroid"], dtype=np.float64)
-        C2[r["cell"]] = v / np.linalg.norm(v)
-
-    indexed = base.mapInPandas(assign_factory(C2), assign_schema)
+    sums = np.zeros((n_centroids, dim), dtype=np.float64)
+    counts = np.zeros(n_centroids, dtype=np.int64)
+    if base.rdd.getNumPartitions() * n_centroids <= 65536:
+        for r in sorted(partials.collect(), key=lambda r: (r["pid"], r["cell"])):
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cell"]] += r["cnt"]
+    else:
+        # pid-sorted fold keeps float64 summation order deterministic
+        reduced = (
+            partials.groupBy("cell")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pid", "vsum"))),
+                        lambda s: s["vsum"],
+                    ),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        for r in reduced:
+            sums[r["cell"]] = np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cell"]] = r["cnt"]
+    for c in range(n_centroids):
+        if counts[c]:
+            v = sums[c] / counts[c]
+            C2[c] = v / np.linalg.norm(v)
 
     # --- probe: n_probe nearest cells per query -------------------------
+    # The probe plan (query -> cells) is computed driver-side from the
+    # refined centroids, so assign + probe + score fuse into ONE narrow
+    # mapInPandas stage: per Arrow batch, assign cells with a GEMM, then
+    # for each query score only the rows in its probe cells. No join, no
+    # second Python round trip, no exchange before the top-k window. A
+    # materialized index (cell as a partition column) would instead prune
+    # file listings at scan time; this fused path is the index-free probe.
     qids, Q = _collect_query_matrix(queries, id_col, vec_col)
     probe_cells = np.argsort(-(Q @ C2.T), axis=1)[:, :n_probe]
-    probes = [
-        (int(qids[i]), int(c)) for i in range(len(qids)) for c in probe_cells[i]
-    ]
-    probe_df = F.broadcast(
-        embeddings.sparkSession.createDataFrame(probes, "query_id long, cell int")
-    )
-    qmat = {int(qids[i]): Q[i] for i in range(len(qids))}
 
-    cand = indexed.join(probe_df, "cell").filter(F.col(id_col) != F.col("query_id"))
-
-    def score(batches):
+    def probe_score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
-            Qm = np.array([qmat[q] for q in pdf["query_id"]])
-            s = np.einsum("ij,ij->i", V, Qm)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = np.argmax(Vn @ C2.T, axis=1)
+            out_q, out_c, out_s = [], [], []
+            for i in range(len(qids)):
+                mask = np.isin(cell, probe_cells[i]) & (ids != qids[i])
+                if not mask.any():
+                    continue
+                out_q.append(np.full(mask.sum(), qids[i], dtype=np.int64))
+                out_c.append(ids[mask])
+                out_s.append(Vn[mask] @ Q[i])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "cand_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "raw_cos": s,
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "raw_cos": np.concatenate(out_s),
                 }
             )
 
-    scored = cand.mapInPandas(
-        score, "query_id long, cand_id long, raw_cos double"
+    scored = base.mapInPandas(
+        probe_score, "query_id long, cand_id long, raw_cos double"
     ).select("query_id", "cand_id", F.round("raw_cos", 6).alias("cos_sim"))
 
     from hbase_bulkload_spark.operators.relational import ranked
