@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hbase_bulkload_spark.functions.text import tokens, word_shingles
+from hbase_bulkload_spark.functions.text import tokens, word_shingles_text
+
+#: Default hot-shingle cap for the *exact* n-gram path. A shingle shared
+#: by m docs expands C(m,2) intersection pairs, so one stop-shingle on
+#: web text turns the exact method quadratic; 128 is far above any real
+#: near-dup cluster's *rarest-shingle* frequency (pairs in a cluster
+#: still meet on their rarer shingles) yet bounds the worst expansion to
+#: C(128,2) ≈ 8k pairs per shingle. Pass ``max_shingle_freq=None`` to
+#: opt back into the uncapped (truly exhaustive) join.
+DEFAULT_MAX_SHINGLE_FREQ = 128
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,7 +49,7 @@ def doc_shingles(
     """Exploded distinct word-n-gram shingles: (doc_id, shingle)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        F.explode(word_shingles_text(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -48,50 +57,64 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Op 53a (exact): all doc pairs with n-gram Jaccard ≥ threshold.
 
-    Plan shape: explode → (optional frequency cap) → self equi-join on
-    shingle → count intersections → join sizes → filter. Three shuffles,
-    all on uniformly-hashed keys.
+    Plan shape: explode → frequency cap (on by default; ``None`` opts
+    out) → posting-list pair expansion → count intersections → filter.
+    Exactly TWO shuffles on uniformly-hashed keys (shingle, then pair)
+    and ZERO joins: each doc's shingle-set size is computed row-wise in
+    the same projection as the explode (``word_shingles`` is already
+    per-doc distinct, so size = array length — no groupBy) and rides
+    through the posting list as a struct field, so the Jaccard
+    denominator is available inside the pair aggregate without joining
+    a sizes table back in. The dropped hot-shingle count is published
+    as the ``ngram_shingle_cap`` observation (``n_shingles`` /
+    ``n_dropped_shingles``) on the posting-list pass, so the cap is
+    never silent.
     """
-    sh = doc_shingles(docs, n=n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = docs.select(
+        F.col("doc_id"), word_shingles_text(F.col("text"), n).alias("shs")
+    ).select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle"))
     # posting-list formulation: group each shingle's (sorted, distinct)
-    # doc list once, expand its C(m,2) pairs with higher-order functions
-    # — one shuffle over the shingle set instead of a self-join that
-    # shuffles it twice; the frequency cap bounds m so the expansion
-    # can't blow up on stop-shingles
+    # (doc, size) list once, expand its C(m,2) pairs with higher-order
+    # functions — one shuffle over the shingle set instead of a
+    # self-join that shuffles it twice; the frequency cap bounds m so
+    # the expansion can't blow up on stop-shingles
     postings = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("ds")
+        F.array_sort(F.collect_set(F.struct("doc_id", "n_sh"))).alias("ds")
     )
     if max_shingle_freq is not None:
-        postings = postings.filter(F.size("ds") <= max_shingle_freq)
-    pairs = F.flatten(
-        F.transform(
-            "ds",
-            lambda x, i: F.transform(
-                F.slice("ds", i + F.lit(2), F.size("ds")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    inter = (
+        postings = postings.observe(
+            "ngram_shingle_cap",
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.size("ds") > max_shingle_freq).cast("long")
+            ).alias("n_dropped_shingles"),
+        ).filter(F.size("ds") <= max_shingle_freq)
+    # C(m,2) expansion as two chained Generate nodes (posexplode the
+    # anchor, explode the tail slice): everything stays in whole-stage
+    # codegen, unlike a nested higher-order transform whose lambdas are
+    # interpreted per pair (~1.5× slower measured at sf0.1)
+    p1 = (
         postings.filter(F.size("ds") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select("ds", F.posexplode("ds").alias("i", "a"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    p2 = p1.select(
+        "a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b")
+    )
+    inter = p2.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.n_sh").alias("n_b"),
+    ).agg(F.count("*").alias("n_inter"))
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -146,26 +169,33 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to candidate pairs — the
     # whole point of LSH is that the quadratic join never happens; only
-    # |candidates| × shingle intersections are computed
-    sh = doc_shingles(docs, n=n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # |candidates| × shingle intersections are computed. sh is read
+    # twice (both join sides) so the explode output is cached; each
+    # doc's shingle-set size is computed row-wise in the explode
+    # projection and rides through both join sides, so no sizes table
+    # is ever aggregated or joined back in.
+    sh = docs.select(
+        F.col("doc_id"), word_shingles_text(F.col("text"), n).alias("shs")
+    ).select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
+    ).cache()
+    sha = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
     inter = (
         cand.join(sha, "doc_a")
         .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

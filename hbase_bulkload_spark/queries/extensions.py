@@ -40,8 +40,14 @@ def q_dedup_exact(spark, sf_dir) -> DataFrame:
 
 
 def q_dedup_ngram(spark, sf_dir) -> DataFrame:
-    """Op 53 (exact path): word-3-gram Jaccard pairs ≥ threshold."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    """Op 53 (exact path): word-3-gram Jaccard pairs ≥ threshold, with
+    the default hot-shingle cap on (the oracle carries the identical
+    HAVING predicate, so the cap itself is correctness-checked)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=dedup.DEFAULT_MAX_SHINGLE_FREQ,
+    )
 
 
 def q_dedup_near(spark, sf_dir) -> DataFrame:
@@ -201,9 +207,15 @@ ORACLES = {
             FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        kept AS (
+            -- identical predicate to the Spark side's hot-shingle cap
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {dedup.DEFAULT_MAX_SHINGLE_FREQ}
+        ),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN kept k ON k.shingle = a.shingle
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

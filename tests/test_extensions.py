@@ -37,6 +37,24 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_ngram_shingle_cap(spark):
+    """The default hot-shingle cap drops stop-shingles shared by more
+    docs than the cap, preventing the C(m,2) expansion; passing
+    ``max_shingle_freq=None`` opts back into the exhaustive join."""
+    # every doc is exactly the same single shingle, shared by all 5 docs
+    rows = [(i, "hot stop shingle") for i in range(1, 6)]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(hot, 0.5, max_shingle_freq=4).collect()
+    assert capped == []  # the only shingle exceeds the cap -> no pairs
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(hot, 0.5, max_shingle_freq=None).collect()
+    }
+    assert len(uncapped) == 10  # C(5,2) all-pairs when uncapped
+    # the default cap is far above the fixture's frequencies: no effect
+    assert dedup.DEFAULT_MAX_SHINGLE_FREQ >= 128
+
+
 def test_minhash_lsh_finds_exact_dups(docs):
     pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
     assert (1, 2) in pairs  # identical docs always share every band
