@@ -58,14 +58,31 @@ def read_text(spark: SparkSession, path: str, n_columns: int, sep: str = SOH) ->
 
 
 def read_csv(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
-    """CSV scan (op 3) with a declared all-nullable-string schema —
-    superset of the reference's naive `split(",")` (adds quoting).
-    Arity is enforced by the schema (extra fields dropped, missing →
-    null), then the strict gate: rows whose raw line had fewer fields
-    come back with trailing nulls and are kept (CSV null == empty —
-    indistinguishable by design; matches `spark.read.csv` semantics)."""
-    schema = ", ".join(f"{c} string" for c in _cols(n_columns))
-    return spark.read.schema(schema).csv(path)
+    """CSV scan (op 3) reproducing the reference mapper's dataflow
+    exactly (`BulkImporterFromCSVText.java:54-56`): naive `split(",")`
+    (no quoting — a quoted comma splits, as in the reference) followed
+    by the strict arity gate `words.length == COLUMN_COUNT`. Java's
+    `String.split` drops *trailing* empty strings (Spark's keeps them),
+    reproduced by stripping trailing commas before the split — so a row
+    whose last field is empty fails the gate and is skipped, exactly
+    like the reference; that is why the CSV path drops NULL-in-last-
+    column rows that the columnar/Avro importers keep (those skip null
+    *fields*, not rows). Mid-row empty fields decode as empty strings
+    and become cells, matching the reference's `p.addColumn`.
+
+    Note `mode=DROPMALFORMED` on `spark.read.csv` was measured and
+    rejected: malformed detection only fires for columns the parser
+    actually materializes, so under column pruning (`df.count()`, key-
+    only projections) the gate silently vanishes.
+    """
+    cols = _cols(n_columns)
+    parts = F.split(F.regexp_replace(F.col("value"), ",+$", ""), ",", -1)
+    return (
+        spark.read.text(path)
+        .select(parts.alias("p"))
+        .filter(F.size("p") == n_columns)
+        .select(*[F.col("p").getItem(i).alias(cols[i]) for i in range(n_columns)])
+    )
 
 
 def read_columnar(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:

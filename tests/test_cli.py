@@ -48,19 +48,26 @@ def test_cli_ingest_contract(spark, inputs, tmp_path, fmt):
 
 
 def test_cli_formats_agree(spark, inputs, tmp_path):
-    """text/csv/columnar/avro runs of the same records produce the same
-    KV cells (the reference's four importers differ only in decode)."""
+    """columnar/avro runs of the same records produce identical KV
+    cells; csv agrees on every row whose last field is non-null. The
+    difference is reference-faithful: the CSV mapper's Java
+    `split(",")` drops trailing empty strings, so a NULL-z8 row fails
+    its arity gate and is skipped wholesale, while the columnar/Avro
+    importers keep the row and skip only the null *field*."""
     cells = {}
     for fmt in ["csv", "columnar", "avro"]:
         out = str(tmp_path / f"agree_{fmt}")
         cli.ingest(spark, inputs[fmt], out, fmt=fmt, n_buckets=4)
-        cells[fmt] = _load_out(spark, out)
+        cells[fmt] = _load_out(spark, out).select("rowkey", "qualifier", "value")
 
-    base = cells["csv"].select("rowkey", "qualifier", "value")
-    for fmt in ["columnar", "avro"]:
-        other = cells[fmt].select("rowkey", "qualifier", "value")
-        assert base.exceptAll(other).count() == 0
-        assert other.exceptAll(base).count() == 0
+    col, avro, csv = cells["columnar"], cells["avro"], cells["csv"]
+    assert col.exceptAll(avro).count() == 0
+    assert avro.exceptAll(col).count() == 0
+    # csv == columnar restricted to rows that kept their z8 cell
+    with_z8 = col.filter(F.col("qualifier") == "z8").select("rowkey").distinct()
+    expected = col.join(with_z8, "rowkey")
+    assert csv.exceptAll(expected).count() == 0
+    assert expected.exceptAll(csv).count() == 0
 
 
 def test_cli_text_arity_gate(spark, inputs, tmp_path):
@@ -85,6 +92,32 @@ def test_cli_text_arity_gate(spark, inputs, tmp_path):
         .count()
     )
     assert n_keys == n_valid_keys
+
+
+def test_cli_csv_arity_gate(spark, tmp_path):
+    """The CSV path enforces the reference's strict arity gate
+    (`split(",").length == COLUMN_COUNT`, BulkImporterFromCSVText.java:55-56)
+    with Java split semantics: short rows, over-long rows, AND rows
+    whose trailing field is empty (Java's split drops trailing empties)
+    are skipped — never padded with nulls, which would ingest
+    md5("")-keyed records the reference rejects."""
+    src = str(tmp_path / "csv_gate_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "part.csv"), "w") as fh:
+        fh.write("a1,b1,c1\n")          # valid
+        fh.write("a2,b2\n")             # short -> dropped
+        fh.write("a3,b3,c3,d3\n")       # long -> dropped
+        fh.write("a4,,c4\n")            # mid-row empty -> kept, z1 == ""
+        fh.write("a5,b5,\n")            # trailing empty -> dropped (Java)
+    df = cli.read_csv(spark, src, 3)
+    rows = {r.z0: r for r in df.collect()}
+    assert set(rows) == {"a1", "a4"}
+    assert rows["a4"].z1 == ""  # empty string, not null (reference keeps "")
+
+    out = str(tmp_path / "csv_gate_out")
+    cli.ingest(spark, src, out, fmt="csv", n_columns=3, key_cols=[0], n_buckets=2)
+    keys = _load_out(spark, out).select("rowkey").distinct().count()
+    assert keys == 2  # only the two valid rows produce rowkeys
 
 
 def test_cli_generic_arity(spark, tmp_path):
