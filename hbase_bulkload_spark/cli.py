@@ -132,6 +132,8 @@ def ingest(
     n_buckets: int = 16,
     sep: str = SOH,
     fix_permissions: int | None = None,
+    raw_binary_keys: bool = False,
+    positional_qualifiers: bool = False,
 ) -> None:
     """One importer run, end to end (the `run()` body of each reference
     entry point, SURVEY.md §3.1, as a single Spark plan)."""
@@ -150,7 +152,13 @@ def ingest(
 
     cols = df.columns
     keys = [cols[i] for i in (key_cols or [0, 1, 2, 3])]
-    kv = bulkload_kv(df, key_cols=keys, value_cols=cols)
+    kv = bulkload_kv(
+        df,
+        key_cols=keys,
+        value_cols=cols,
+        raw_binary_keys=raw_binary_keys,
+        positional_qualifiers=positional_qualifiers,
+    )
     write_bulkload(kv, output_path, n_buckets=n_buckets)
 
     if fix_permissions is not None:  # op 8 post-processing (reference: 0o777)
@@ -182,6 +190,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=16, help="output buckets (default 16)")
     p.add_argument("--sep", default=SOH, help="text-format field delimiter (default SOH)")
     p.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="Spark conf override, repeatable — the ToolRunner generic "
+        "-D option surface (`BulkImporterFromCSVText.java:164-168`); "
+        "runtime-mutable SQL confs apply even to a pre-existing session",
+    )
+    p.add_argument(
+        "--raw-binary-keys",
+        action="store_true",
+        help="emit the reference's 64 raw digest bytes as a binary "
+        "rowkey (RowKeyConverter.java:26-29) instead of 128-hex",
+    )
+    p.add_argument(
+        "--positional-qualifiers",
+        action="store_true",
+        help="emit Bytes.toBytes(i) 4-byte big-endian column-position "
+        "qualifiers (BulkImporterFromText.java:65) instead of names",
+    )
+    p.add_argument(
         "--fix-permissions",
         default=None,
         help="octal mode to chmod the output tree to (the reference "
@@ -191,7 +220,21 @@ def main(argv: list[str] | None = None) -> int:
 
     from hbase_bulkload_spark.session import get_spark
 
-    spark = get_spark("bulkload-cli")
+    overrides = {}
+    for kv in args.conf:
+        if "=" not in kv:
+            p.error(f"--conf expects K=V, got {kv!r}")
+        k, v = kv.split("=", 1)
+        overrides[k] = v
+    spark = get_spark("bulkload-cli", extra_conf=overrides)
+    # getOrCreate ignores builder confs on an existing session; re-apply
+    # the runtime-mutable ones so `--conf` behaves like ToolRunner -D
+    # regardless of session reuse
+    for k, v in overrides.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — builder already tried
     ingest(
         spark,
         args.input,
@@ -204,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         fix_permissions=(
             int(args.fix_permissions, 8) if args.fix_permissions is not None else None
         ),
+        raw_binary_keys=args.raw_binary_keys,
+        positional_qualifiers=args.positional_qualifiers,
     )
     return 0
 

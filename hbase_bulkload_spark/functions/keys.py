@@ -50,6 +50,30 @@ def composite_rowkey(*cols: Column | str) -> Column:
     return F.concat(*[md5_hex(c) for c in cols])
 
 
+def raw_binary_rowkey(*cols: Column | str) -> Column:
+    """Reference-fidelity opt-in: the 64 RAW digest bytes,
+    byte-identical to `RowKeyConverter.makeRowKey`
+    (`RowKeyConverter.java:7,26-29`: `KEY_WIDTH = 4 * 16`, four
+    16-byte MD5 digests packed back to back). Produces a `binary`
+    column; Spark's unsigned lexicographic binary ordering matches
+    HBase's `Bytes.compareTo`, so sorted output preserves the exact
+    byte order a legacy consumer of the reference would see. The hex
+    form (:func:`composite_rowkey`) remains the default — it sorts
+    identically (hex is order-preserving) and is debuggable."""
+    if not cols:
+        raise ValueError("raw_binary_rowkey needs at least one column")
+    return F.concat(*[F.unhex(md5_hex(c)) for c in cols])
+
+
+def positional_qualifier_bytes(i: int) -> bytes:
+    """Reference-fidelity qualifier: `Bytes.toBytes(i)` — the 4-byte
+    big-endian int the text/CSV/RC importers use as the column
+    qualifier (`BulkImporterFromText.java:65`)."""
+    import struct
+
+    return struct.pack(">i", i)
+
+
 def reverse_key(col: Column | str) -> Column:
     """Digit/string reversal key (`BulkImporterFromAvro.java:59`)."""
     c = F.col(col) if isinstance(col, str) else col

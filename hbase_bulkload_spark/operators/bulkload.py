@@ -28,7 +28,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hbase_bulkload_spark.functions.keys import composite_rowkey, hex_bucket
+from hbase_bulkload_spark.functions.keys import (
+    composite_rowkey,
+    hex_bucket,
+    positional_qualifier_bytes,
+    raw_binary_rowkey,
+)
 from hbase_bulkload_spark.operators.kv import CURRENT_FAMILY, unpivot_kv
 
 
@@ -39,6 +44,8 @@ def bulkload_kv(
     family: str = CURRENT_FAMILY,
     ts: Column | None = None,
     drop_null: bool = True,
+    raw_binary_keys: bool = False,
+    positional_qualifiers: bool = False,
 ) -> DataFrame:
     """Wide records → bulk-load-ready KV frame with rowkey + bucket.
 
@@ -46,10 +53,38 @@ def bulkload_kv(
     (`BulkImporterFromText.java:57-66`). All JVM-side expressions; the
     plan is map-only until the caller's terminal exchange — the same
     shape as the reference's map phase.
+
+    Reference-fidelity opt-ins (both default off — the normalized
+    128-hex key + name qualifiers are the engine's canonical contract):
+
+    - ``raw_binary_keys``: rowkey becomes the reference's 64 RAW digest
+      bytes (`RowKeyConverter.java:26-29`), binary-typed; the bucket is
+      still the first hex nibble, so layout and sort order are
+      unchanged (hex is an order-preserving byte encoding).
+    - ``positional_qualifiers``: qualifiers become `Bytes.toBytes(i)`
+      4-byte big-endian ints (`BulkImporterFromText.java:65`),
+      binary-typed, mapped from column names by a literal map — a
+      legacy consumer of the reference reads these cells unchanged.
     """
-    rowkey = composite_rowkey(*key_cols)
+    rowkey = (
+        raw_binary_rowkey(*key_cols) if raw_binary_keys
+        else composite_rowkey(*key_cols)
+    )
     kv = unpivot_kv(df, rowkey, value_cols, family=family, ts=ts, drop_null=drop_null)
-    return kv.withColumn("bucket", hex_bucket(F.col("rowkey")))
+    if positional_qualifiers:
+        qmap = F.create_map(
+            *[
+                lit
+                for i, c in enumerate(value_cols)
+                for lit in (F.lit(c), F.lit(positional_qualifier_bytes(i)))
+            ]
+        )
+        kv = kv.withColumn("qualifier", F.element_at(qmap, F.col("qualifier")))
+    bucket = (
+        F.lower(F.substring(F.hex(F.col("rowkey")), 1, 1)) if raw_binary_keys
+        else hex_bucket(F.col("rowkey"))
+    )
+    return kv.withColumn("bucket", bucket)
 
 
 def bulkload_pipeline(

@@ -165,3 +165,56 @@ def test_sorted_within_files(spark, inputs, tmp_path):
     cur = F.concat_ws("\x00", "rowkey", "qualifier")
     violations = df.select((prev > cur).alias("bad")).filter("bad").count()
     assert violations == 0
+
+
+def test_cli_reference_fidelity_flags(spark, tmp_path):
+    """--raw-binary-keys + --positional-qualifiers produce cells a
+    legacy consumer of the reference reads unchanged: binary 64-byte
+    rowkeys (RowKeyConverter.java:26-29), Bytes.toBytes(i) qualifiers
+    (BulkImporterFromText.java:65), bucket = first hex nibble."""
+    import hashlib
+
+    src = str(tmp_path / "fid_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "p.csv"), "w") as fh:
+        fh.write("35218,195,Alabama Power Co,AL,Bundled\n")
+    out = str(tmp_path / "fid_out")
+    cli.ingest(
+        spark, src, out, fmt="csv", n_columns=5, n_buckets=16,
+        raw_binary_keys=True, positional_qualifiers=True,
+    )
+    df = _load_out(spark, out)
+    rows = df.collect()
+    expected_key = b"".join(
+        hashlib.md5(f.encode()).digest()
+        for f in ("35218", "195", "Alabama Power Co", "AL")
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert bytes(r.rowkey) == expected_key
+        assert r.bucket == format(expected_key[0] >> 4, "x")
+    assert {bytes(r.qualifier) for r in rows} == {
+        bytes([0, 0, 0, i]) for i in range(5)
+    }
+
+
+def test_cli_conf_passthrough(spark, tmp_path):
+    """--conf K=V lands in the session (the ToolRunner -D generic
+    option surface, BulkImporterFromCSVText.java:164-168)."""
+    src = str(tmp_path / "conf_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "p.csv"), "w") as fh:
+        fh.write("a,b,c\n")
+    out = str(tmp_path / "conf_out")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rc = cli.main([
+            src, out, "--format", "csv", "--columns", "3",
+            "--key-cols", "0", "--n-buckets", "2",
+            "--conf", "spark.sql.shuffle.partitions=7",
+        ])
+        assert rc == 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert _load_out(spark, out).count() == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -81,3 +81,62 @@ def test_hex_bucket_is_total_and_balanced(spark, sf_dir):
     total = sum(counts)
     # uniform MD5 keys → every bucket within 3× of fair share
     assert min(counts) > total / 16 / 3
+
+
+def test_raw_binary_rowkey_golden(spark):
+    """Reference-fidelity opt-in (`RowKeyConverter.java:26-29`): the
+    rowkey is the 64 RAW digest bytes, byte-identical to
+    makeRowKey(f1..f4) computed independently with hashlib."""
+    from hbase_bulkload_spark.functions.keys import raw_binary_rowkey
+
+    fields = ("35218", "195", "Alabama Power Co", "AL")
+    expected = b"".join(hashlib.md5(f.encode()).digest() for f in fields)
+    row = (
+        spark.createDataFrame([fields], "f1 string, f2 string, f3 string, f4 string")
+        .select(raw_binary_rowkey("f1", "f2", "f3", "f4").alias("k"))
+        .first()
+    )
+    assert bytes(row.k) == expected
+    assert len(bytes(row.k)) == 64  # KEY_WIDTH = 4 * MD5_LENGTH
+
+
+def test_positional_qualifier_bytes_golden():
+    """`Bytes.toBytes(i)` is a 4-byte big-endian int
+    (`BulkImporterFromText.java:65`)."""
+    from hbase_bulkload_spark.functions.keys import positional_qualifier_bytes
+
+    assert positional_qualifier_bytes(0) == b"\x00\x00\x00\x00"
+    assert positional_qualifier_bytes(2) == b"\x00\x00\x00\x02"
+    assert positional_qualifier_bytes(255) == b"\x00\x00\x00\xff"
+    assert positional_qualifier_bytes(256) == b"\x00\x00\x01\x00"
+
+
+def test_bulkload_kv_reference_fidelity(spark):
+    """bulkload_kv with both fidelity flags reproduces the reference's
+    cell bytes: 64-byte binary rowkey, positional binary qualifiers,
+    and a bucket equal to the key's first hex nibble."""
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv
+
+    df = spark.createDataFrame(
+        [("35218", "195", "Alabama Power Co", "AL", "Bundled")],
+        "z0 string, z1 string, z2 string, z3 string, z4 string",
+    )
+    kv = bulkload_kv(
+        df,
+        key_cols=["z0", "z1", "z2", "z3"],
+        value_cols=["z0", "z1", "z2", "z3", "z4"],
+        raw_binary_keys=True,
+        positional_qualifiers=True,
+    )
+    rows = kv.collect()
+    expected_key = b"".join(
+        hashlib.md5(f.encode()).digest()
+        for f in ("35218", "195", "Alabama Power Co", "AL")
+    )
+    assert len(rows) == 5
+    quals = set()
+    for r in rows:
+        assert bytes(r.rowkey) == expected_key
+        assert r.bucket == format(expected_key[0] >> 4, "x")
+        quals.add(bytes(r.qualifier))
+    assert quals == {bytes([0, 0, 0, i]) for i in range(5)}
