@@ -93,33 +93,14 @@ def read_columnar(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro OCF scan (op 5): whole-file distribution via ``binaryFile``
-    + Arrow-batched pure-Python OCF decode, schema-generic like the
-    reference's `schema.getFields()` walk (`BulkImporterFromAvro.java:55-57`).
-    The schema is read from the first container file's header."""
-    import glob as _glob
-    import os as _os
-
-    import pandas as pd
-
+    """Avro OCF scan (op 5): the sync-marker split reader — byte-range
+    splits planned from per-file headers, Arrow-batched block decode,
+    schema-generic like the reference's `schema.getFields()` walk
+    (`BulkImporterFromAvro.java:55-57`). Intra-file parallel, so scan
+    task count tracks data volume rather than file count."""
     from hbase_bulkload_spark.sources import avro_ocf
 
-    first = sorted(_glob.glob(_os.path.join(path, "*.avro")))
-    if not first:
-        raise FileNotFoundError(f"no .avro files under {path}")
-    with open(first[0], "rb") as fh:
-        field_names = avro_ocf.record_field_names(fh.read())
-
-    files = spark.read.format("binaryFile").load(_os.path.join(path, "*.avro"))
-
-    def decode(batches):
-        for pdf in batches:
-            for data in pdf["content"]:
-                rows = list(avro_ocf.iter_ocf(bytes(data)))
-                yield pd.DataFrame(rows, columns=field_names, dtype=object)
-
-    schema = ", ".join(f"{c} string" for c in field_names)
-    return files.select("content").mapInPandas(decode, schema)
+    return avro_ocf.scan_splits(spark, path)
 
 
 def ingest(

@@ -14,14 +14,14 @@ Spark integration is source-shaped, not driver-shaped:
 - **write** (fixture materialization only): each partition of the record
   frame writes one ``part-N.avro`` via ``mapPartitionsWithIndex`` — the
   executors produce the files in parallel, the driver only coordinates.
-- **read** (the actual scan operator): ``spark.read.format("binaryFile")``
-  distributes whole files to tasks; an Arrow-batched ``mapInPandas``
-  stage decodes OCF blocks to rows. Parallelism = number of files, the
-  same granularity HDFS gave `AvroKeyInputFormat` for unsplittable
-  codecs; at 100 TB you keep files at block size (128-256 MB) and the
-  scan scales with the file count. (A sync-marker-based splitter would
-  recover intra-file parallelism; out of scope while files are sized
-  correctly.)
+- **read** (the actual scan operator): a sync-marker SPLIT reader —
+  the driver reads only each file's header (schema + sync marker +
+  data offset), carves byte-range splits, and executors decode the
+  blocks whose start falls inside their range (scanning forward to
+  the first sync, Hadoop input-split protocol). Intra-file
+  parallelism no longer depends on file sizing: one misaligned 10 GB
+  file becomes ``size/split_size`` tasks. ``scan_splits`` is the
+  operator; ``iter_ocf`` remains for whole-buffer decode.
 """
 
 from __future__ import annotations
@@ -241,6 +241,132 @@ def iter_ocf(data: bytes) -> Iterator[tuple]:
             yield tuple(row)
         pos += sync_len  # trailing sync marker
     return
+
+
+def header_info(path: str) -> tuple[dict, bytes, int, int]:
+    """Read ONLY the container header: returns (schema, sync_marker,
+    data_start, file_size). The header is a few hundred bytes; this is
+    the only per-file driver-side I/O the split planner needs."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(min(size, 1 << 20))  # headers are tiny; 1 MB is generous
+    meta, data_start = _read_header(memoryview(head))
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise NotImplementedError(f"avro codec {codec!r}")
+    sync = head[data_start - 16 : data_start]
+    return schema, sync, data_start, size
+
+
+def iter_ocf_range(
+    path: str,
+    start: int,
+    end: int,
+    data_start: int,
+    sync: bytes,
+    types: list,
+) -> Iterator[tuple]:
+    """Decode the blocks whose start offset falls in ``[start, end)`` —
+    the Hadoop input-split protocol: seek to the range, scan forward to
+    the first sync marker (the range holding ``data_start`` owns the
+    first block), then decode sequential blocks, reading past ``end``
+    only to finish the last owned block. A sync-pattern collision
+    inside a block payload mis-anchors the scan (the same accepted risk
+    as Avro's own splittable readers; 2^-128 per byte)."""
+    sl = len(sync)
+    with open(path, "rb") as f:
+        lo = data_start if start <= data_start else start - sl
+        f.seek(lo)
+        buf = bytearray(f.read(max(end - lo, 0)))
+        if start <= data_start:
+            pos = 0
+        else:
+            i = bytes(buf).find(sync)
+            if i == -1 or lo + i + sl >= end:
+                return  # no block starts in this range
+            pos = i + sl
+        while lo + pos < end and pos < len(buf):
+            if len(buf) - pos < 20:  # two varints worst-case
+                buf += f.read(20)
+            n_rows, p = _dec_long(buf, pos)
+            block_size, p = _dec_long(buf, p)
+            missing = p + block_size + sl - len(buf)
+            if missing > 0:
+                buf += f.read(missing)
+            rp = p
+            for _ in range(n_rows):
+                row = []
+                for t in types:
+                    v, rp = _dec_value(buf, rp, t)
+                    row.append(v)
+                yield tuple(row)
+            pos = p + block_size + sl
+
+
+DEFAULT_SPLIT_SIZE = 128 << 20  # HDFS-block-ish; override in tests
+
+
+def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
+    """The Avro scan operator (op 5): sync-marker byte-range splits →
+    one Arrow-batched ``mapInPandas`` decode stage.
+
+    The driver reads one tiny header per file (schema, sync, data
+    offset) and emits ``ceil(size / split_size)`` splits per file, so
+    scan parallelism tracks DATA volume, not file count — a single
+    misaligned 10 GB container becomes ~80 tasks at the default split.
+    All files must share one record schema (the reference's
+    `AvroKeyInputFormat<PWData>` assumes the same). Returns a DataFrame
+    of the record fields as nullable strings/primitives per the schema.
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+
+    plan = []
+    schema = None
+    for p in files:
+        s, sync, data_start, fsize = header_info(p)
+        if schema is None:
+            schema = s
+        b = data_start
+        while b < fsize:
+            e = min(b + split_size, fsize)
+            plan.append((p, b, e, data_start, sync.hex()))
+            b = e
+    types = _field_types(schema)
+    names = [f["name"] for f in schema["fields"]]
+
+    sdf = spark.createDataFrame(
+        plan, "path string, start long, end long, data_start long, sync string"
+    ).repartition(len(plan))
+
+    def decode(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows = list(
+                    iter_ocf_range(
+                        r.path, r.start, r.end, r.data_start,
+                        bytes.fromhex(r.sync), types,
+                    )
+                )
+                yield pd.DataFrame(rows, columns=names, dtype=object)
+
+    def _spark_type(t) -> str:
+        if isinstance(t, list):  # union: type of the non-null branch
+            t = next(x for x in t if x != "null")
+        return {
+            "string": "string", "int": "long", "long": "long",
+            "float": "double", "double": "double",
+            "boolean": "boolean", "bytes": "binary",
+        }[t]
+
+    out_schema = ", ".join(f"{n} {_spark_type(t)}" for n, t in zip(names, types))
+    return sdf.mapInPandas(decode, out_schema)
 
 
 def write_partitioned(df, path: str, schema: dict) -> int:

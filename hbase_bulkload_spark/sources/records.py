@@ -165,22 +165,11 @@ def scan_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 5: Avro record scan (`AvroKeyInputFormat<PWData>`,
     BulkImporterFromAvro.java:91). No spark-avro jar ships here, so the
-    scan distributes whole OCF files via ``binaryFile`` and decodes them
-    in an Arrow-batched ``mapInPandas`` stage (sources.avro_ocf);
-    schema-generic like the reference's `schema.getFields()` walk
+    scan is the sync-marker SPLIT reader (sources.avro_ocf.scan_splits):
+    byte-range splits planned from per-file headers, Arrow-batched
+    ``mapInPandas`` block decode — intra-file parallel, schema-generic
+    like the reference's `schema.getFields()` walk
     (BulkImporterFromAvro.java:55-57)."""
-    import pandas as pd
-
     from hbase_bulkload_spark.sources import avro_ocf
 
-    path = avro_path(spark, sf_dir)
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
-
-    def decode(batches):
-        for pdf in batches:
-            for data in pdf["content"]:
-                rows = list(avro_ocf.iter_ocf(bytes(data)))
-                yield pd.DataFrame(rows, columns=RECORD_COLS, dtype=object)
-
-    schema = ", ".join(f"{c} string" for c in RECORD_COLS)
-    return files.select("content").mapInPandas(decode, schema)
+    return avro_ocf.scan_splits(spark, avro_path(spark, sf_dir))

@@ -104,3 +104,57 @@ def test_avro_fixture_files_exist(spark):
     path = records.avro_path(spark, SF_DIR)
     parts = [f for f in os.listdir(path) if f.endswith(".avro")]
     assert len(parts) >= 1
+
+
+def test_scan_splits_single_large_file(spark, tmp_path):
+    """Sync-marker splitting: ONE container file with many blocks scans
+    as multiple tasks (parallelism tracks bytes, not file count), with
+    exact row parity and no duplicates across split boundaries."""
+    schema = avro_ocf.nullable_string_record("T", ["a", "b"])
+    rows = [(f"k{i:06d}", None if i % 7 == 0 else f"v{i}") for i in range(30_000)]
+    src = str(tmp_path / "one")
+    os.makedirs(src)
+    avro_ocf.write_ocf(os.path.join(src, "big.avro"), schema, rows)
+
+    fsize = os.path.getsize(os.path.join(src, "big.avro"))
+    split = fsize // 5  # force ~6 splits from the single file
+    df = avro_ocf.scan_splits(spark, src, split_size=split)
+    assert df.rdd.getNumPartitions() > 1
+    got = [(r.a, r.b) for r in df.collect()]
+    assert sorted(got) == sorted(rows)
+
+
+def test_scan_splits_boundary_cases(spark, tmp_path):
+    """Split edges: a split whose range contains no block start yields
+    nothing; tiny split sizes (every block its own split) still decode
+    every row exactly once."""
+    schema = avro_ocf.nullable_string_record("T", ["a"])
+    rows = [(f"r{i}",) for i in range(10_000)]
+    src = str(tmp_path / "tiny")
+    os.makedirs(src)
+    avro_ocf.write_ocf(os.path.join(src, "t.avro"), schema, rows)
+    df = avro_ocf.scan_splits(spark, src, split_size=4096)
+    assert df.rdd.getNumPartitions() >= 4
+    got = [r.a for r in df.collect()]
+    assert sorted(got) == sorted(r[0] for r in rows)
+
+
+def test_scan_splits_primitive_schema(spark, tmp_path):
+    """The split scan surfaces non-string primitives with honest Spark
+    types (long/double/boolean), not stringified values."""
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "u", "type": ["null", "long"]},
+        ],
+    }
+    rows = [(i, i * 0.5, None if i % 2 else i * 10) for i in range(1000)]
+    src = str(tmp_path / "prim")
+    os.makedirs(src)
+    avro_ocf.write_ocf(os.path.join(src, "p.avro"), schema, rows)
+    df = avro_ocf.scan_splits(spark, src)
+    assert df.schema.simpleString() == "struct<i:bigint,d:double,u:bigint>"
+    assert sorted((r.i, r.d, r.u) for r in df.collect()) == sorted(rows)
