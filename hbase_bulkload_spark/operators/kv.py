@@ -15,8 +15,11 @@ pinned qualifier list so Catalyst skips the extra distinct-values job.
 The canonical KV frame (FIXTURES.md F4) is the engine's bulk-load-ready
 output contract:
 
-    rowkey: string (128-hex composite), family: string, qualifier: string,
-    [ts: timestamp,] value: string
+    rowkey: string (128-hex composite), family: string,
+    [ts: timestamp,] qualifier: string, value: string
+
+(`ts`, when present, sits between family and qualifier — pinned by
+tests/test_kv.py.)
 """
 
 from __future__ import annotations

@@ -69,10 +69,18 @@ def salted_join(
     n_salts× replication — use when the dim is too large to broadcast
     but far smaller than the fact. AQE's skew-join split handles
     moderate skew automatically; explicit salting is for the extreme
-    tail and for deterministic partition budgets. Result is exactly the
-    plain join (salt never changes matches — it is derived from the
-    fact row, constant per row, and the dim carries every value).
+    tail and for deterministic partition budgets. For inner/left joins
+    the result is exactly the plain join (salt never changes matches —
+    it is derived from the fact row, constant per row, and the dim
+    carries every value). Right/full outer are REJECTED: the dim side is
+    exploded n_salts× before the join, so each unmatched dim row would
+    be emitted once per salt, breaking the equivalence.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got how={how!r}: "
+            "unmatched dim rows would duplicate n_salts times"
+        )
     f = fact.withColumn(
         "_fsalt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int")
     )

@@ -22,7 +22,13 @@ def physical_plan(df: DataFrame) -> str:
 def count_exchanges(plan: str) -> int:
     """Shuffle boundaries in the plan (broadcast exchanges excluded —
     those move only the small side)."""
-    return len(re.findall(r"\bExchange (?!.*EXECUTOR_BROADCAST)hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning|\bExchange SinglePartition", plan))
+    return len(
+        re.findall(
+            r"\bExchange (?!.*EXECUTOR_BROADCAST)"
+            r"(?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+            plan,
+        )
+    )
 
 
 def count_broadcast_joins(plan: str) -> int:

@@ -341,9 +341,12 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
     types = _field_types(schema)
     names = [f["name"] for f in schema["fields"]]
 
+    # one split per partition WITHOUT an Exchange node: numSlices at
+    # parallelize time, not a post-hoc repartition shuffle
     sdf = spark.createDataFrame(
-        plan, "path string, start long, end long, data_start long, sync string"
-    ).repartition(len(plan))
+        spark.sparkContext.parallelize(plan, len(plan)),
+        "path string, start long, end long, data_start long, sync string",
+    )
 
     def decode(batches):
         for pdf in batches:

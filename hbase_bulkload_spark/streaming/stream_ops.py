@@ -53,8 +53,10 @@ def session_agg(
     df: DataFrame, key: str = "user_id", ts_col: str = "ts", gap: str = "30 minutes"
 ) -> DataFrame:
     """Op 46: gap-based session window per key (session start = first
-    event; an event exactly `gap` after its predecessor opens a NEW
-    session — boundary pinned by tests and the gaps-and-islands oracle)."""
+    event; sessions merge on touch — an event exactly `gap` after its
+    predecessor EXTENDS the session; only a strictly larger gap opens a
+    new one. Boundary pinned by tests/test_streaming.py::
+    test_session_gap_boundary and the oracle's strict `>` comparison)."""
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))

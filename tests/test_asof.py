@@ -57,3 +57,15 @@ def test_asof_join_keeps_left_columns_and_count(spark):
     assert got.count() == left.count()
     assert set(got.columns) == {"k", "ts", "extra", "v"}
     assert {r.v for r in got.collect()} == {"x"}
+
+
+def test_salted_join_rejects_outer(spark):
+    """Right/full outer would emit each unmatched dim row n_salts times
+    (the dim is exploded pre-join), so those modes must be rejected."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, 1)], "fid long, k long")
+    dim = spark.createDataFrame([(1, "d")], "dk long, name string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_join(fact, dim, fact_key="k", dim_key="dk", salt_src="fid", how=how)

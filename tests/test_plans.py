@@ -48,3 +48,13 @@ def test_scalar_queries_have_no_exchange(spark, sf_dir):
     for name in ("q_rowkey_concat", "q_unpivot_kv", "q_math_funcs", "q_project"):
         plan = physical_plan(QUERIES[name](spark, sf_dir))
         assert count_exchanges(plan) == 0, (name, plan)
+
+
+def test_count_exchanges_excludes_all_broadcast_forms():
+    """EXECUTOR_BROADCAST exchanges move only the small side and must not
+    count as shuffles under ANY partitioning spelling."""
+    assert count_exchanges("Exchange SinglePartition EXECUTOR_BROADCAST, [plan_id=1]") == 0
+    assert count_exchanges("Exchange hashpartitioning(k, 32) EXECUTOR_BROADCAST") == 0
+    assert count_exchanges("Exchange SinglePartition, true, [plan_id=2]") == 1
+    assert count_exchanges("Exchange hashpartitioning(k, 32), REPARTITION") == 1
+    assert count_exchanges("Exchange rangepartitioning(k ASC, 32)") == 1
