@@ -63,7 +63,9 @@ def unpivot_kv(
     return long.select(*out_cols, "value")
 
 
-def pivot_wide(kv: DataFrame, qualifiers: Sequence[str]) -> DataFrame:
+def pivot_wide(
+    kv: DataFrame, qualifiers: Sequence[str], partial: bool = False
+) -> DataFrame:
     """Inverse reshape: canonical KV frame back to one wide row per key.
 
     Physical-strategy note (all-JVM forms lose here): `pivot`/
@@ -78,15 +80,20 @@ def pivot_wide(kv: DataFrame, qualifiers: Sequence[str]) -> DataFrame:
     cell matrix by fancy indexing — O(cells) with no sort or groupby,
     ~5× faster per partition than `pandas.pivot_table`.
 
-    Shuffle shape: one hash exchange on rowkey, then one Python hop for
-    the whole partition. A map-side partial pivot (pivot within input
-    partitions, shuffle ~9× fewer partial wide rows, merge after) was
-    measured and REJECTED for this tier: it adds a second JVM↔Python
-    Arrow hop, which on local[32] (in-memory exchange) costs ~2× more
-    than the shuffle bytes it saves. On a multi-node cluster where the
-    exchange crosses the network, that trade reverses — the partial
-    pivot halves shuffle volume dominated by the 128-hex rowkey; revisit
-    there.
+    Shuffle shape (``partial=False``, the local-tier default): one hash
+    exchange on rowkey, then one Python hop for the whole partition.
+
+    ``partial=True`` is the cluster-tier variant: pivot within each
+    INPUT partition first (map-side, before any exchange), shuffle the
+    ~n_qualifiers× fewer partial wide rows, then merge partials per
+    rowkey with first-non-null. It pays a second JVM↔Python Arrow hop
+    to cut shuffle volume dominated by the repeated 128-hex rowkey —
+    on local[32] (in-memory exchange) the extra hop costs more than
+    the bytes it saves (measured: see README "Pivot variants"), but on
+    a multi-node cluster where the exchange crosses the network the
+    trade reverses. Both variants produce identical results when each
+    (rowkey, qualifier) has one cell; under duplicates both are
+    arrival-order-dependent (see Contract).
 
     Contract: at most one cell per (rowkey, qualifier) — HBase cell
     semantics; enforce version retention (op 18) upstream. Duplicates
@@ -119,5 +126,27 @@ def pivot_wide(kv: DataFrame, qualifiers: Sequence[str]) -> DataFrame:
         out.insert(0, "rowkey", key_uniques)
         yield out
 
-    part = kv.select("rowkey", "qualifier", "value").repartition("rowkey")
-    return part.mapInPandas(pivot_part, schema)
+    cells = kv.select("rowkey", "qualifier", "value")
+    if not partial:
+        return cells.repartition("rowkey").mapInPandas(pivot_part, schema)
+
+    def merge_part(batches):
+        """Merge partial wide rows: groupby rowkey, first non-null per
+        qualifier column (numpy scatter again — reversed assignment so
+        the first-seen partial wins, mirroring pivot_part)."""
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        key_codes, key_uniques = pd.factorize(allp["rowkey"])
+        out_cells = np.full((len(key_uniques), len(quals)), None, dtype=object)
+        for j, q in enumerate(quals):
+            col = allp[q].to_numpy()
+            mask = pd.notna(col)
+            out_cells[key_codes[mask][::-1], j] = col[mask][::-1]
+        out = pd.DataFrame(out_cells, columns=quals)
+        out.insert(0, "rowkey", key_uniques)
+        yield out
+
+    partials = cells.mapInPandas(pivot_part, schema)
+    return partials.repartition("rowkey").mapInPandas(merge_part, schema)

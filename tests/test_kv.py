@@ -80,3 +80,39 @@ def test_pivot_roundtrip(spark, sf_dir):
     assert back.count() == uniq.count()
     assert back.exceptAll(uniq.select(back.columns)).count() == 0
     w.unpersist()
+
+
+def test_partial_pivot_matches_default(spark, sf_dir):
+    """The cluster-tier map-side partial pivot (partial=True) must
+    produce exactly the default variant's result on duplicate-free KV,
+    and obey the same edge contracts (null never wins, unknown
+    qualifiers dropped) on messy input."""
+    w = (
+        wide9(spark, sf_dir)
+        .drop("_seq")
+        .withColumn("rowkey", composite_rowkey("z0", "z1", "z2", "z3"))
+    )
+    uniq = (
+        w.withColumn("n", F.count("*").over(Window.partitionBy("rowkey")))
+        .filter("n = 1")
+        .drop("n")
+    )
+    kv = unpivot_kv(uniq, F.col("rowkey"), RECORD_COLS).repartition(8)
+    a = pivot_wide(kv, RECORD_COLS)
+    b = pivot_wide(kv, RECORD_COLS, partial=True)
+    assert b.count() == a.count()
+    assert b.exceptAll(a).count() == 0 and a.exceptAll(b).count() == 0
+
+    rows = [
+        ("k1", "c", "q0", None),
+        ("k1", "c", "q0", "a"),
+        ("k1", "c", "q1", "x"),
+        ("k2", "c", "zz", "junk"),
+        ("k2", "c", "q1", "y"),
+    ]
+    messy = spark.createDataFrame(
+        rows, "rowkey string, family string, qualifier string, value string"
+    ).repartition(4)
+    out = {r.rowkey: r for r in pivot_wide(messy, ["q0", "q1"], partial=True).collect()}
+    assert out["k1"].q0 == "a" and out["k1"].q1 == "x"
+    assert out["k2"].q0 is None and out["k2"].q1 == "y"
