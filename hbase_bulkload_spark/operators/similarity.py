@@ -105,7 +105,7 @@ def cosine_pairs_exact(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold as a distributed blocked GEMM.
 
@@ -119,14 +119,21 @@ def cosine_pairs_exact(
     the baseline — :func:`cosine_pairs_lsh` is the sub-quadratic path),
     but each task is a dense GEMM instead of an expression interpreter.
 
-    Scale note: work is B(B+1)/2 independent tasks; pick
-    ``n_blocks ≈ n_vectors / 4096`` so a block matrix stays ~1 MB and
-    task count ≫ cores. Numpy emits raw float64 cosines; the round-6 +
+    Scale note: work is B(B+1)/2 independent tasks. ``n_blocks=None``
+    auto-sizes to ``clamp(ceil(n_vectors / 4096), 1, 128)`` (one cheap
+    count job) so a block matrix stays ~1-2 MB and task count tracks
+    corpus size instead of drowning small corpora in task overhead —
+    136 tasks for 500 vectors measured 5× slower than the work itself.
+    Numpy emits raw float64 cosines; the round-6 +
     threshold runs JVM-side so HALF_UP rounding matches the oracle
     exactly (numpy would use banker's rounding). The 1e-6 margin below
     keeps any pair that could round up across the threshold.
     """
     import pandas as pd  # noqa: F811 — local for executor pickling
+
+    if n_blocks is None:
+        n = embeddings.count()
+        n_blocks = max(1, min(128, -(-n // 4096)))
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk")
     packed = (

@@ -62,6 +62,15 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_embed(spark, sf_dir) -> DataFrame:
+    """Op 53e: embedding-cosine near-dedup — per-doc keep/drop verdicts
+    (min-id policy) over exact cosine pairs ≥ threshold. Full oracle;
+    method='lsh' is the registered scale path's probabilistic variant."""
+    return dedup.embedding_dedup(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), threshold=SIM_THRESHOLD
+    )
+
+
 # --- similarity search --------------------------------------------------------
 
 def q_sim_topk(spark, sf_dir) -> DataFrame:
@@ -166,6 +175,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embed": q_dedup_embed,
     "q_sim_topk": q_sim_topk,
     "q_sim_topk_ivf": q_sim_topk_ivf,
     "q_sim_pairs": q_sim_pairs,
@@ -225,6 +235,26 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
               >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_embed": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= {SIM_THRESHOLD}
+        ),
+        dup AS (
+            SELECT id_b AS doc_id, MIN(id_a) AS dup_of, MAX(cos_sim) AS max_sim
+            FROM pairs GROUP BY 1
+        )
+        SELECT d.doc_id, dup.dup_of, dup.max_sim,
+               dup.dup_of IS NOT NULL AS is_dup
+        FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
     """,
     "q_sim_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -186,3 +186,42 @@ def test_multimodal_resize(docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_embedding_dedup_verdicts(spark):
+    """Min-id policy: identical vectors collapse onto the lowest id;
+    orthogonal vectors are kept; dup_of is the SMALLEST near neighbor.
+    The lsh method must flag a subset of the exact method's dups."""
+    def basis(i, scale=1.0, eps_j=None, eps=0.0):
+        # 64-dim (the LSH hyperplane width) unit-ish vectors
+        v = [0.0] * 64
+        v[i] = scale
+        if eps_j is not None:
+            v[eps_j] = eps
+        return v
+
+    rows = [
+        (0, basis(0)),
+        (1, basis(1)),                       # orthogonal to everything with id<1
+        (2, basis(0, eps_j=1, eps=0.001)),   # near-dup of 0
+        (3, basis(0, scale=2.0)),            # scaled copy of 0 (cos=1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    out = {
+        r.doc_id: r
+        for r in dedup.embedding_dedup(docs, emb, threshold=0.95).collect()
+    }
+    assert not out[0].is_dup and out[0].dup_of is None
+    assert not out[1].is_dup
+    assert out[2].is_dup and out[2].dup_of == 0
+    assert out[3].is_dup and out[3].dup_of == 0
+    assert out[3].max_sim == 1.0
+
+    exact_dups = {d for d, r in out.items() if r.is_dup}
+    lsh = dedup.embedding_dedup(docs, emb, threshold=0.95, method="lsh")
+    lsh_dups = {r.doc_id for r in lsh.collect() if r.is_dup}
+    assert lsh_dups <= exact_dups
+
+    with pytest.raises(ValueError, match="exact.*lsh"):
+        dedup.embedding_dedup(docs, emb, method="bogus")
