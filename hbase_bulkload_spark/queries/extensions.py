@@ -170,6 +170,29 @@ def q_multimodal_decode(spark, sf_dir) -> DataFrame:
     return multimodal.decode_features(media, decode_stub=True)
 
 
+def q_multimodal_resize(spark, sf_dir) -> DataFrame:
+    """Op 56b: image-row resize stage — map-only mapInPandas batch
+    transform. Stub emits target dims + scale factors (deterministic, so
+    full oracle); payload passthrough is dropped from the query surface
+    (binary hashing is engine-specific)."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.resize(media, target_width=224, target_height=224)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("scale_x", 6).alias("scale_x"),
+        F.round("scale_y", 6).alias("scale_y"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir) -> DataFrame:
+    """Op 56c: video frame-sampling plan — every 10th of the first 100
+    frame indices per video row, exploded (narrow Generate, no shuffle)."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=10, n_frames=100)
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
@@ -185,6 +208,8 @@ QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_fingerprint": q_text_fingerprint,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -341,5 +366,17 @@ ORACLES = {
                CAST(d.doc_id % 480 + 16 AS INT) AS height,
                CAST(byte_sum AS DOUBLE) / 16 AS mean_byte
         FROM documents d JOIN bytes USING (doc_id)
+    """,
+    "q_multimodal_resize": """
+        SELECT doc_id,
+               CAST(224 AS INT) AS width,
+               CAST(224 AS INT) AS height,
+               round(224.0 / (doc_id % 640 + 16), 6) AS scale_x,
+               round(224.0 / (doc_id % 480 + 16), 6) AS scale_y
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    "q_multimodal_frames": """
+        SELECT doc_id, CAST(UNNEST(range(0, 100, 10)) AS INT) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
     """,
 }
