@@ -7,7 +7,10 @@ installs are off-limits, so this module implements the public Avro 1.x
 *Object Container File* spec directly (magic `Obj\\x01`, metadata map,
 sync-marker-delimited blocks, zigzag-varint primitives) for the subset
 the engine needs: records of primitives and ``["null", primitive]``
-unions, null codec.
+unions, null + deflate codecs (deflate = raw RFC-1951 per the spec,
+stdlib zlib; blocks compress independently so the split reader below
+works on compressed containers unchanged — sync markers sit between
+compressed blocks).
 
 Spark integration is source-shaped, not driver-shaped:
 
@@ -30,10 +33,21 @@ import io
 import json
 import os
 import struct
+import zlib
 from collections.abc import Iterable, Iterator
 
 MAGIC = b"Obj\x01"
 BLOCK_ROWS = 4096
+CODECS = (b"null", b"", b"deflate")
+
+
+def _deflate(payload: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, no zlib wrapper
+    return c.compress(payload) + c.flush()
+
+
+def _inflate(payload: bytes) -> bytes:
+    return zlib.decompress(payload, -15)
 
 
 # ---------------------------------------------------------------------------
@@ -141,13 +155,17 @@ def _sync_marker(schema_json: str) -> bytes:
     return hashlib.md5(schema_json.encode()).digest()
 
 
-def write_ocf(path: str, schema: dict, rows: Iterable[tuple]) -> int:
-    """Write one OCF (null codec). ``rows`` are value tuples in field
-    order. Returns the row count."""
+def write_ocf(
+    path: str, schema: dict, rows: Iterable[tuple], codec: str = "null"
+) -> int:
+    """Write one OCF (null or deflate codec). ``rows`` are value tuples
+    in field order. Returns the row count."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
     schema_json = json.dumps(schema)
     sync = _sync_marker(schema_json)
     types = _field_types(schema)
-    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
 
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -166,6 +184,8 @@ def write_ocf(path: str, schema: dict, rows: Iterable[tuple]) -> int:
             nonlocal n_block
             if n_block:
                 payload = block.getvalue()
+                if codec == "deflate":
+                    payload = _deflate(payload)
                 f.write(_enc_long(n_block) + _enc_long(len(payload)))
                 f.write(payload)
                 f.write(sync)
@@ -218,12 +238,13 @@ def record_field_names(data: bytes) -> list[str]:
 
 
 def iter_ocf(data: bytes) -> Iterator[tuple]:
-    """Decode one OCF's bytes into value tuples (null codec only)."""
+    """Decode one OCF's bytes into value tuples (null/deflate codecs)."""
     buf = memoryview(data)
     meta, pos = _read_header(buf)
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in CODECS:
         raise NotImplementedError(f"avro codec {codec!r}")
+    deflated = codec == b"deflate"
     schema = json.loads(meta["avro.schema"].decode())
     types = _field_types(schema)
     sync_len = 16
@@ -232,31 +253,36 @@ def iter_ocf(data: bytes) -> Iterator[tuple]:
     end = len(buf)
     while pos < end:
         n_rows, pos = _dec_long(buf, pos)
-        _, pos = _dec_long(buf, pos)  # block byte size (unused, null codec)
+        block_size, pos = _dec_long(buf, pos)
+        if deflated:
+            src: bytes | memoryview = _inflate(bytes(buf[pos : pos + block_size]))
+            rp = 0
+        else:
+            src, rp = buf, pos
         for _ in range(n_rows):
             row = []
             for t in types:
-                v, pos = dec(buf, pos, t)
+                v, rp = dec(src, rp, t)
                 row.append(v)
             yield tuple(row)
-        pos += sync_len  # trailing sync marker
+        pos = (pos + block_size if deflated else rp) + sync_len
     return
 
 
-def header_info(path: str) -> tuple[dict, bytes, int, int]:
+def header_info(path: str) -> tuple[dict, bytes, int, int, str]:
     """Read ONLY the container header: returns (schema, sync_marker,
-    data_start, file_size). The header is a few hundred bytes; this is
-    the only per-file driver-side I/O the split planner needs."""
+    data_start, file_size, codec). The header is a few hundred bytes;
+    this is the only per-file driver-side I/O the split planner needs."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(min(size, 1 << 20))  # headers are tiny; 1 MB is generous
     meta, data_start = _read_header(memoryview(head))
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in CODECS:
         raise NotImplementedError(f"avro codec {codec!r}")
     sync = head[data_start - 16 : data_start]
-    return schema, sync, data_start, size
+    return schema, sync, data_start, size, (codec or b"null").decode()
 
 
 def iter_ocf_range(
@@ -266,6 +292,7 @@ def iter_ocf_range(
     data_start: int,
     sync: bytes,
     types: list,
+    codec: str = "null",
 ) -> Iterator[tuple]:
     """Decode the blocks whose start offset falls in ``[start, end)`` —
     the Hadoop input-split protocol: seek to the range, scan forward to
@@ -294,11 +321,15 @@ def iter_ocf_range(
             missing = p + block_size + sl - len(buf)
             if missing > 0:
                 buf += f.read(missing)
-            rp = p
+            if codec == "deflate":
+                src: bytes | bytearray = _inflate(bytes(buf[p : p + block_size]))
+                rp = 0
+            else:
+                src, rp = buf, p
             for _ in range(n_rows):
                 row = []
                 for t in types:
-                    v, rp = _dec_value(buf, rp, t)
+                    v, rp = _dec_value(src, rp, t)
                     row.append(v)
                 yield tuple(row)
             pos = p + block_size + sl
@@ -330,13 +361,13 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
     plan = []
     schema = None
     for p in files:
-        s, sync, data_start, fsize = header_info(p)
+        s, sync, data_start, fsize, codec = header_info(p)
         if schema is None:
             schema = s
         b = data_start
         while b < fsize:
             e = min(b + split_size, fsize)
-            plan.append((p, b, e, data_start, sync.hex()))
+            plan.append((p, b, e, data_start, sync.hex(), codec))
             b = e
     types = _field_types(schema)
     names = [f["name"] for f in schema["fields"]]
@@ -345,7 +376,7 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
     # parallelize time, not a post-hoc repartition shuffle
     sdf = spark.createDataFrame(
         spark.sparkContext.parallelize(plan, len(plan)),
-        "path string, start long, end long, data_start long, sync string",
+        "path string, start long, end long, data_start long, sync string, codec string",
     )
 
     def decode(batches):
@@ -354,7 +385,7 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
                 rows = list(
                     iter_ocf_range(
                         r.path, r.start, r.end, r.data_start,
-                        bytes.fromhex(r.sync), types,
+                        bytes.fromhex(r.sync), types, r.codec,
                     )
                 )
                 yield pd.DataFrame(rows, columns=names, dtype=object)
