@@ -45,16 +45,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def doc_shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """Exploded distinct word-n-gram shingles: (doc_id, shingle)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles_text(F.col(text_col), n)).alias("shingle"),
-    )
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -123,13 +113,25 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     """k-permutation MinHash signature per doc: min over seeded xxhash64
-    of each distinct shingle — one groupBy, all JVM expressions."""
-    sh = doc_shingles(docs, n=n)
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{s}|"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    of each distinct shingle — MAP-ONLY, all JVM expressions.
+
+    MinHash is a pure per-row function (min is duplicate-insensitive),
+    so the signature is ``array_min(transform(shingles, seeded-hash))``
+    straight off the shingle array: no explode, no groupBy, zero
+    exchanges — at 100 TB the signature pass costs one scan. (The
+    explode + k-column min-aggregate formulation shuffles per-doc vote
+    rows and adds a stage barrier for identical output, verified
+    value-for-value.) Zero-shingle docs are dropped, as the explode
+    formulation did. NB the per-seed lambda comes from a closure
+    factory: a two-arg lambda would make PySpark pass the ELEMENT INDEX
+    as the second argument, silently corrupting the seed."""
+    shs = word_shingles_text(F.col("text"), n)
+
+    def seeded(s: int):
+        return lambda x: F.xxhash64(F.concat(F.lit(f"s{s}|"), x))
+
+    cols = [F.array_min(F.transform(shs, seeded(s))).alias(f"mh{s}") for s in range(k)]
+    return docs.filter(F.size(shs) > 0).select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
