@@ -161,6 +161,63 @@ def q_text_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- end-to-end curation -------------------------------------------------------
+
+def q_curate_corpus(spark, sf_dir) -> DataFrame:
+    """Op 57: the composed training-data curation pipeline — the stages
+    a real corpus prep runs in sequence, as ONE declarative plan:
+
+      1. quality gate   (n_tokens ≥ 20, punct_ratio ≤ 0.3)
+      2. language gate  (labeled lang = 'en')
+      3. exact dedup    (keep min doc_id per content hash)
+      4. embedding near-dedup (drop any doc with a lower-id neighbor at
+         cosine ≥ threshold — the q_dedup_embed min-id policy, restricted
+         to gate survivors)
+
+    Every stage is SQL-expressible, so the whole pipeline is one
+    value-hash oracle. Plan-shape notes: the content-hash dedup is a
+    min-over-window (one exchange on the hash, no self-join, no double
+    scan of the gating chain); the GEMM block count is pre-sized from
+    the bare embeddings table's metadata count so the pair operator's
+    auto-sizing never re-evaluates the gated upstream."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = T.tokens("text")
+    metrics = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n_tokens"),
+        T.stopword_ratio(w, "en").alias("stop_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+    gated = metrics.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("lang") == "en")
+    )
+    rep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = gated.withColumn("_rep", rep).filter(
+        F.col("doc_id") == F.col("_rep")
+    ).drop("_rep")
+    bare = _emb(spark, sf_dir)
+    # survivors ≈ 40% of the corpus; size blocks from the cheap
+    # metadata-only count, not from the gated plan
+    n_blocks = max(1, min(128, -(-(bare.count() // 2) // 4096)))
+    emb = bare.join(
+        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    drop = (
+        similarity.cosine_pairs_exact(emb, threshold=SIM_THRESHOLD, n_blocks=n_blocks)
+        .select(F.col("vec_id_b").alias("doc_id"))
+        .distinct()
+    )
+    return deduped.join(drop, "doc_id", "anti").select(
+        "doc_id", "lang", "n_tokens", "stop_ratio"
+    )
+
+
 # --- multimodal -----------------------------------------------------------------
 
 def q_multimodal_decode(spark, sf_dir) -> DataFrame:
@@ -210,6 +267,7 @@ QUERIES = {
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_curate_corpus": q_curate_corpus,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -366,6 +424,36 @@ ORACLES = {
                CAST(d.doc_id % 480 + 16 AS INT) AS height,
                CAST(byte_sum AS DOUBLE) / 16 AS mean_byte
         FROM documents d JOIN bytes USING (doc_id)
+    """,
+    "q_curate_corpus": f"""
+        WITH m AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_EN}))) AS DOUBLE)
+                         / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+                   round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        ),
+        gated AS (
+            SELECT * FROM m
+            WHERE n_tokens >= 20 AND punct_ratio <= 0.3 AND lang = 'en'
+        ),
+        reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        deduped AS (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id IN (SELECT doc_id FROM deduped)
+        ),
+        drop_ids AS (
+            SELECT DISTINCT b.vec_id AS doc_id
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= {SIM_THRESHOLD}
+        )
+        SELECT doc_id, lang, n_tokens, stop_ratio
+        FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
     """,
     "q_multimodal_resize": """
         SELECT doc_id,
