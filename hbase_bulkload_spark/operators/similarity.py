@@ -12,6 +12,8 @@ row is exactly what vectorized UDFs are for.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -204,38 +206,24 @@ def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
     return sig
 
 
-def ivf_topk(
+def _ivf_centroids(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF approximate top-k: the inverted-file ANN scale path.
+) -> np.ndarray:
+    """Deterministic coarse centroids: the vectors with the
+    ``n_centroids`` smallest ids, refined by one Lloyd iteration over
+    the corpus (means in float64), returned normalized.
 
-    Index build = one pass assigning every vector to its nearest coarse
-    centroid (the partition key). Search probes only the ``n_probe``
-    closest cells per query, so the scored fraction is ~n_probe /
-    n_centroids of the corpus — sub-linear scan cost at a recall knob,
-    the standard IVF trade. At 100 TB the cell assignment is written as
-    a partition column so a probe prunes file listings, not just rows.
-
-    Centroids are deterministic: the vectors with the ``n_centroids``
-    smallest ids, refined by one Lloyd iteration over the corpus (means
-    in float64). The refinement is a map-side partial aggregation: each
-    partition's assign pass emits ``n_centroids`` rows of (cell,
-    partial-sum vector, count), so the only shuffle moving data for the
-    index build is n_partitions × n_centroids tiny rows — never the
-    n_vectors × d exploded cells a naive posexplode/groupBy would move
-    (at 100 TB that difference is trillions of rows vs thousands).
-    Candidate scoring reuses the exact GEMM; precision is exact, recall
-    depends on the probe count (rows-only oracle).
-    """
+    The refinement is a map-side partial aggregation: each partition's
+    assign pass emits ``n_centroids`` rows of (cell, partial-sum vector,
+    count), so the only shuffle moving data for the build is
+    n_partitions × n_centroids tiny rows — never the n_vectors × d
+    exploded cells a naive posexplode/groupBy would move (at 100 TB
+    that difference is trillions of rows vs thousands)."""
     import pandas as pd
 
-    # --- deterministic coarse centroids: seed + one Lloyd step ----------
     seed_rows = (
         embeddings.orderBy(F.asc(id_col)).limit(n_centroids).select(vec_col).collect()
     )
@@ -307,6 +295,145 @@ def ivf_topk(
         if counts[c]:
             v = sums[c] / counts[c]
             C2[c] = v / np.linalg.norm(v)
+    return C2
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: vectors written as parquet PARTITIONED
+    BY their coarse cell, centroids stored in a JSON sidecar. This is
+    the at-scale counterpart of :func:`ivf_topk`'s fused index-free
+    probe — with the cell as a physical partition column, a probe scans
+    only ``n_probe`` of ``n_centroids`` directories (partition pruning
+    at the file-listing level, asserted by tests on the scan plan).
+    Returns the centroid matrix."""
+    import json
+
+    import pandas as pd
+
+    C2 = _ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": np.argmax(Vn @ C2.T, axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump({"centroids": C2.tolist()}, f)
+    return C2
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: load centroids from the sidecar,
+    pick each query's ``n_probe`` nearest cells driver-side, and scan
+    ONLY those cell partitions (`cell IN (...)` is a partition filter —
+    pruned at file-listing time, before any I/O). Scoring reuses the
+    exact GEMM per Arrow batch; results match :func:`ivf_topk` exactly
+    for the same centroid/probe parameters."""
+    import json
+
+    import pandas as pd
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        C2 = np.array(json.load(f)["centroids"], dtype=np.float64)
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
+    probe_cells = np.argsort(-(Q @ C2.T), axis=1)[:, :n_probe]
+    needed = sorted({int(c) for row in probe_cells for c in row})
+
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            out_q, out_c, out_s = [], [], []
+            for i in range(len(qids)):
+                mask = np.isin(cell, probe_cells[i]) & (ids != qids[i])
+                if not mask.any():
+                    continue
+                out_q.append(np.full(mask.sum(), qids[i], dtype=np.int64))
+                out_c.append(ids[mask])
+                out_s.append(Vn[mask] @ Q[i])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "raw_cos": np.concatenate(out_s),
+                }
+            )
+
+    scored = scan.mapInPandas(
+        score, "query_id long, cand_id long, raw_cos double"
+    ).select("query_id", "cand_id", F.round("raw_cos", 6).alias("cos_sim"))
+
+    from hbase_bulkload_spark.operators.relational import ranked
+
+    return ranked(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("cand_id")], n=k
+    ).select("query_id", "cand_id", "cos_sim", "rn")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the inverted-file ANN scale path.
+
+    Index build = one pass assigning every vector to its nearest coarse
+    centroid (the partition key). Search probes only the ``n_probe``
+    closest cells per query, so the scored fraction is ~n_probe /
+    n_centroids of the corpus — sub-linear scan cost at a recall knob,
+    the standard IVF trade. At 100 TB the cell assignment is written as
+    a partition column so a probe prunes file listings, not just rows.
+
+    Centroids come from :func:`_ivf_centroids` (deterministic seed + one
+    map-side-partial Lloyd step); the materialized-index counterpart
+    (:func:`ivf_build_index` / :func:`ivf_probe_index`) persists the
+    cell as a physical partition column instead. Candidate scoring
+    reuses the exact GEMM; precision is exact, recall depends on the
+    probe count (rows-only oracle).
+    """
+    import pandas as pd
+
+    C2 = _ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    base = embeddings.select(id_col, vec_col)
 
     # --- probe: n_probe nearest cells per query -------------------------
     # The probe plan (query -> cells) is computed driver-side from the

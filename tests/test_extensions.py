@@ -225,3 +225,31 @@ def test_embedding_dedup_verdicts(spark):
 
     with pytest.raises(ValueError, match="exact.*lsh"):
         dedup.embedding_dedup(docs, emb, method="bogus")
+
+
+def test_ivf_materialized_index_matches_fused(spark, sf_dir, tmp_path):
+    """The materialized IVF index (cell as a physical partition column)
+    must return exactly the fused index-free probe's results, and its
+    probe scan must carry a partition filter on cell — pruning whole
+    cell directories at file-listing time."""
+    from hbase_bulkload_spark.datasets import table
+    from hbase_bulkload_spark.plans import physical_plan
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, idx, n_centroids=16)
+
+    probed = similarity.ivf_probe_index(spark, idx, queries, k=5, n_probe=4)
+    fused = similarity.ivf_topk(emb, queries, k=5, n_probe=4)
+    got = sorted(tuple(r) for r in probed.collect())
+    want = sorted(tuple(r) for r in fused.collect())
+    assert got == want
+
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan
+    # the filter must actually constrain cell, not be empty
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
