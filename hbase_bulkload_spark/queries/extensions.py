@@ -28,6 +28,15 @@ def _docs(spark, sf_dir) -> DataFrame:
     return table(oracle_safe(spark), sf_dir, "documents")
 
 
+def q_scan_jsonl(spark, sf_dir) -> DataFrame:
+    """Op 5b: JSON-lines corpus scan (explicit schema, no inference) —
+    the interchange format of real web-corpus pipelines, read through
+    Spark's native JSON source (sources.records.scan_jsonl)."""
+    from hbase_bulkload_spark.sources import records
+
+    return records.scan_jsonl(oracle_safe(spark), sf_dir)
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     return table(oracle_safe(spark), sf_dir, "embeddings")
 
@@ -251,6 +260,7 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
 
 
 QUERIES = {
+    "q_scan_jsonl": q_scan_jsonl,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_near": q_dedup_near,
@@ -285,6 +295,9 @@ scored AS (
 """.format(en=_STOP_EN, de=_STOP_DE, fr=_STOP_FR)
 
 ORACLES = {
+    "q_scan_jsonl": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash,
                CAST(COUNT(*) AS BIGINT) AS n_copies,

@@ -173,3 +173,29 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_bulkload_spark.sources import avro_ocf
 
     return avro_ocf.scan_splits(spark, avro_path(spark, sf_dir))
+
+
+def jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """JSON-lines corpus fixture: the `documents` table as one JSON
+    object per line — the interchange format real web-corpus pipelines
+    exchange (one doc per line, flat metadata)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _materialize(
+        lambda p: docs.coalesce(8).write.mode("overwrite").json(p),
+        _fixture_path(sf_dir, "documents_jsonl"),
+    )
+
+
+DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines corpus scan with an EXPLICIT schema. At 100 TB schema
+    inference is never acceptable — it reads the corpus once just to
+    guess types — and a pinned schema keeps column pruning effective
+    (Spark's JSON reader skips parsing fields the query never selects).
+    Column order is normalized to the documents contract."""
+    path = jsonl_path(spark, sf_dir)
+    return spark.read.schema(DOCUMENTS_SCHEMA).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
