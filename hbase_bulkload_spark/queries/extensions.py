@@ -170,6 +170,35 @@ def q_text_fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_repetition(spark, sf_dir) -> DataFrame:
+    """Op 55e: repetition / diversity quality signals — MAP-ONLY array
+    math per doc, no explode/groupBy (the per-token counts come from
+    ``transform(distinct, t -> count in tokens)``, O(n·distinct) per row
+    on doc-sized arrays):
+
+      distinct_ratio  — |distinct tokens| / |tokens| (low = repetitive)
+      top_token_ratio — max token frequency / |tokens| (high = degenerate)
+      token_entropy   — Shannon entropy of the token distribution in
+                        bits (low = templated/repetitive text)
+
+    The standard cheap filters for templated or degenerate web text."""
+    docs = _docs(spark, sf_dir)
+    w = T.tokens("text")
+    n = F.size(w)
+    distinct = F.array_distinct(w)
+    freqs = F.transform(distinct, lambda t: F.size(F.filter(w, lambda x: x == t)))
+    probs = F.transform(freqs, lambda f: f.cast("double") / n.cast("double"))
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        F.round(F.size(distinct).cast("double") / n, 6).alias("distinct_ratio"),
+        F.round(F.array_max(freqs).cast("double") / n, 6).alias("top_token_ratio"),
+        F.round(entropy, 6).alias("token_entropy"),
+    )
+
+
 # --- end-to-end curation -------------------------------------------------------
 
 def q_curate_corpus(spark, sf_dir) -> DataFrame:
@@ -274,6 +303,7 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_repetition": q_text_repetition,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
@@ -419,6 +449,24 @@ ORACLES = {
     # the fake decode is deterministic (payload = unhex(md5(text)),
     # mean_byte = byte mean), so even the multimodal mapInPandas stage is
     # fully oracle-checkable: the byte sum is recovered from the md5 hex
+    "q_text_repetition": """
+        WITH m AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        f AS (
+            SELECT doc_id, w, len(w) AS n,
+                   list_transform(list_distinct(w),
+                                  t -> len(list_filter(w, x -> x = t))) AS freqs
+            FROM m WHERE len(w) > 0
+        )
+        SELECT doc_id,
+               round(CAST(len(freqs) AS DOUBLE) / n, 6) AS distinct_ratio,
+               round(CAST(list_max(freqs) AS DOUBLE) / n, 6) AS top_token_ratio,
+               round(-list_sum(list_transform(freqs,
+                     c -> (CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n))), 6)
+                   AS token_entropy
+        FROM f
+    """,
     "q_multimodal_decode": """
         WITH bytes AS (
             SELECT doc_id,

@@ -253,3 +253,29 @@ def test_ivf_materialized_index_matches_fused(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_text_repetition_metrics(spark):
+    """Hand-computed repetition signals: 'a a a b' has distinct 2/4,
+    top 3/4, entropy = -(3/4 log2 3/4 + 1/4 log2 1/4) ≈ 0.811278."""
+    import math
+
+    from hbase_bulkload_spark.functions import text as T2
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    w = T2.tokens("text")
+    n = F2.size(w)
+    distinct = F2.array_distinct(w)
+    freqs = F2.transform(distinct, lambda t: F2.size(F2.filter(w, lambda x: x == t)))
+    probs = F2.transform(freqs, lambda f: f.cast("double") / n.cast("double"))
+    entropy = -F2.aggregate(probs, F2.lit(0.0), lambda acc, p: acc + p * F2.log2(p))
+    r = df.select(
+        F2.round(F2.size(distinct).cast("double") / n, 6).alias("dr"),
+        F2.round(F2.array_max(freqs).cast("double") / n, 6).alias("tr"),
+        F2.round(entropy, 6).alias("ent"),
+    ).first()
+    assert r.dr == 0.5
+    assert r.tr == 0.75
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(r.ent - round(want, 6)) < 1e-9
