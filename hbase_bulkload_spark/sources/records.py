@@ -199,3 +199,16 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SCHEMA).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+def write_corpus_jsonl(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ("lang",)
+) -> None:
+    """Corpus JSONL sink: one JSON object per line, sharded into a
+    directory per partition value (`lang=en/part-*.json` ...) — the
+    layout downstream training jobs glob a language subset from without
+    listing the whole corpus. Shard count follows the upstream
+    partitioning; at scale, `df.repartition(n, *partition_by)` first to
+    set shard sizes. Executors write in parallel; the driver only
+    commits."""
+    df.write.mode("overwrite").partitionBy(*partition_by).json(path)

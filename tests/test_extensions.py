@@ -279,3 +279,30 @@ def test_text_repetition_metrics(spark):
     assert r.tr == 0.75
     want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert abs(r.ent - round(want, 6)) < 1e-9
+
+
+def test_corpus_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """The JSONL sink round-trips the documents table exactly through
+    lang-partitioned shards, and the layout is one directory per lang."""
+    import os
+
+    from hbase_bulkload_spark.datasets import table
+    from hbase_bulkload_spark.sources import records as R
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    R.write_corpus_jsonl(docs, out)
+
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == {f"lang={lang}" for lang in langs}
+
+    back = (
+        spark.read.schema("doc_id bigint, text string, source string, n_chars bigint, lang string")
+        .option("basePath", out)
+        .json(out + "/lang=*")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    want = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    assert back.count() == want.count()
+    assert back.exceptAll(want).count() == 0 and want.exceptAll(back).count() == 0
