@@ -199,6 +199,71 @@ def q_text_repetition(spark, sf_dir) -> DataFrame:
     )
 
 
+#: per-language sampling rates (percent) for the stratified sample —
+#: upsample scarce langs, downsample the head, drop the rest
+SAMPLE_PCT = {"en": 50, "de": 100, "fr": 100}
+
+
+def q_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Op 59: deterministic stratified sampling — reproducible corpus
+    subsampling with per-language rates. The keep decision is a pure
+    function of the row key (first 8 hex chars of md5(doc_id) as an
+    integer, mod 100 < rate), NOT an RNG: re-runs, retries, and other
+    engines (the DuckDB oracle) select the identical subset — the
+    property that matters when a sampled corpus must be reproducible.
+    Map-only: the decision is a scan-side filter, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    bucket = (bucket.cast("long") % 100).alias("bucket")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_PCT.items()
+        ],
+        F.lit(0),
+    )
+    return docs.select("doc_id", "lang", bucket, rate.alias("rate")).filter(
+        F.col("bucket") < F.col("rate")
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training context
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Op 60: sequence packing — assign each document to a fixed-budget
+    training context by streaming concatenation: within a (lang, shard)
+    stream ordered by doc_id, a doc's bin is its start token offset
+    div the budget (window cumulative sum; deterministic, no RNG).
+
+    The shard key (md5-derived, reproducible) is the parallelism knob:
+    packing is inherently sequential within a stream, so at 100 TB you
+    raise PACK_SHARDS until each stream fits a reducer — the window
+    partitions by (lang, shard), never by lang alone (5 languages would
+    mean 5 reducers regardless of cluster size)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    n_tokens = F.size(T.tokens("text"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "doc_id", "lang", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.withColumn(
+        "bin", F.floor(start / PACK_BUDGET).cast("long")
+    )
+
+
 # --- end-to-end curation -------------------------------------------------------
 
 def q_curate_corpus(spark, sf_dir) -> DataFrame:
@@ -308,6 +373,8 @@ QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     "q_curate_corpus": q_curate_corpus,
+    "q_sample_stratified": q_sample_stratified,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -485,6 +552,37 @@ ORACLES = {
                CAST(d.doc_id % 480 + 16 AS INT) AS height,
                CAST(byte_sum AS DOUBLE) / 16 AS mean_byte
         FROM documents d JOIN bytes USING (doc_id)
+    """,
+    "q_sample_stratified": """
+        WITH b AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(range(0, 8), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1)
+                       * CAST(pow(16, 7 - j) AS BIGINT))) % 100 AS bucket,
+                   CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100
+                             WHEN 'fr' THEN 100 ELSE 0 END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+               CAST(rate AS INT) AS rate
+        FROM b WHERE bucket < rate
+    """,
+    "q_pack_sequences": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(range(0, 8), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1)
+                       * CAST(pow(16, 7 - j) AS BIGINT))) % {PACK_SHARDS} AS shard,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+        FROM s
     """,
     "q_curate_corpus": f"""
         WITH m AS (
