@@ -109,6 +109,16 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return records.scan_avro(spark, sf_dir)
 
 
+def q_scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 4, true wire format: RCFile row-group scan through the
+    pure-Python layout codec (`RCFileMapReduceInputFormat`,
+    BulkImporterFromRC.java:94-95). Same full oracle as the other scans:
+    the fixture derives from lineitem, so DuckDB reproduces it
+    relationally without reading RCFile."""
+    oracle_safe(spark)
+    return records.scan_rcfile(spark, sf_dir)
+
+
 def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 10: emit iff exactly COLUMN_COUNT fields; the skipped branch is
     counted rather than println'd (BulkImporterFromText.java:56,68-70)."""
@@ -261,6 +271,7 @@ QUERIES = {
     "q_scan_csv": q_scan_csv,
     "q_scan_columnar": q_scan_columnar,
     "q_scan_avro": q_scan_avro,
+    "q_scan_rcfile": q_scan_rcfile,
     "q_filter_arity": q_filter_arity,
     "q_filter_notnull": q_filter_notnull,
     "q_project": q_project,
@@ -293,6 +304,7 @@ ORACLES = {
     "q_scan_csv": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_columnar": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_avro": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_rcfile": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_filter_arity": f"""
         WITH {WIDE9_CTE}
         SELECT (_seq % 97 <> 0 AND z8 IS NOT NULL) AS is_valid,

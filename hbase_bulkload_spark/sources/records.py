@@ -114,6 +114,21 @@ def orc_path(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def rcfile_path(spark: SparkSession, sf_dir: str) -> str:
+    """True RCFile fixture (`RCFileMapReduceInputFormat` analog,
+    BulkImporterFromRC.java:94-95): the 9-string record frame written as
+    real RCFiles (sources.rcfile, public Hive layout) one file per
+    partition by the executors. Deflate-compressed per column so the
+    scan also exercises the codec path."""
+    from hbase_bulkload_spark.sources import rcfile
+
+    path = _fixture_path(sf_dir, "records_rc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = wide9(spark, sf_dir).select(*RECORD_COLS).repartition(8)
+        rcfile.write_partitioned(w, path, codec="deflate")
+    return path
+
+
 def avro_path(spark: SparkSession, sf_dir: str) -> str:
     """Avro OCF fixture (the `pw_schema.avsc` shape: 9 nullable strings),
     written one file per partition by the executors (sources.avro_ocf)."""
@@ -160,6 +175,17 @@ def scan_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown reach the file, unlike the reference's RC mapper
     which materializes every column — SURVEY.md §4.1)."""
     return spark.read.orc(orc_path(spark, sf_dir))
+
+
+def scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 4 (true format): RCFile row-group scan via the pure-Python
+    layout codec (sources.rcfile.scan_splits) — byte-range splits,
+    per-column decompression, decode-time column pruning. The ORC scan
+    (`scan_columnar`) remains the *native columnar* analog; this one
+    reads the reference's actual wire format."""
+    from hbase_bulkload_spark.sources import rcfile
+
+    return rcfile.scan_splits(spark, rcfile_path(spark, sf_dir), RECORD_COLS)
 
 
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
