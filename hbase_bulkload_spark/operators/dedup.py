@@ -112,26 +112,39 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature per doc: min over seeded xxhash64
+    """k-permutation MinHash signature per doc: min over k seeded hashes
     of each distinct shingle — MAP-ONLY, all JVM expressions.
 
     MinHash is a pure per-row function (min is duplicate-insensitive),
-    so the signature is ``array_min(transform(shingles, seeded-hash))``
-    straight off the shingle array: no explode, no groupBy, zero
-    exchanges — at 100 TB the signature pass costs one scan. (The
-    explode + k-column min-aggregate formulation shuffles per-doc vote
-    rows and adds a stage barrier for identical output, verified
-    value-for-value.) Zero-shingle docs are dropped, as the explode
-    formulation did. NB the per-seed lambda comes from a closure
-    factory: a two-arg lambda would make PySpark pass the ELEMENT INDEX
-    as the second argument, silently corrupting the seed."""
-    shs = word_shingles_text(F.col("text"), n)
+    so the signature needs no explode, no groupBy, zero exchanges — at
+    100 TB the signature pass costs one scan. Cost shape matters as much
+    as shuffle count: each shingle is string-hashed ONCE
+    (``transform(shs, xxhash64)``), then each of the k "permutations" is
+    a cheap integer re-mix ``xxhash64(seed, h)`` over the pre-hashed
+    array — the standard one-strong-hash + k-mix construction. Hashing
+    the string k times instead (and letting the k projections each
+    re-evaluate the regex shingler) measured 4.7× slower at sf0.1
+    because the expensive shingle expression was re-computed per seed.
+    The shingle array and hash array live in their own projections so
+    CollapseProject cannot inline the expensive expression into its k
+    consumers. Zero-shingle docs are dropped, as the explode formulation
+    did. NB the per-seed lambda comes from a closure factory: a two-arg
+    lambda would make PySpark pass the ELEMENT INDEX as the second
+    argument, silently corrupting the seed."""
+    base = docs.select(
+        "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
+    ).filter(F.size("shs") > 0)
+    hashed = base.select(
+        "doc_id", F.transform("shs", lambda x: F.xxhash64(x)).alias("hs")
+    )
 
     def seeded(s: int):
-        return lambda x: F.xxhash64(F.concat(F.lit(f"s{s}|"), x))
+        return lambda h: F.xxhash64(F.lit(s), h)
 
-    cols = [F.array_min(F.transform(shs, seeded(s))).alias(f"mh{s}") for s in range(k)]
-    return docs.filter(F.size(shs) > 0).select("doc_id", *cols)
+    cols = [
+        F.array_min(F.transform("hs", seeded(s))).alias(f"mh{s}") for s in range(k)
+    ]
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -147,9 +160,13 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
-    # all band keys in one pass: posexplode + a single self-join on
-    # (band, key) instead of `bands` separate self-joins/unions — one
-    # shuffle, `bands`× fewer stages
+    # all band keys in one pass, then POSTING LISTS per bucket instead of
+    # a self-join: the signature stage is map-only (no exchange), so a
+    # self-join would recompute it on BOTH sides (no ReusedExchange to
+    # fall back on — measured 2× the signature cost); grouping buckets
+    # once and expanding each bucket's C(m,2) member pairs computes the
+    # signatures exactly once and shuffles only (band, key, doc_id)
+    # triples. Same two chained Generate nodes as ngram_jaccard_pairs.
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -159,47 +176,42 @@ def minhash_lsh_pairs(
         ]
     )
     bd = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bkey"))
-    a = bd.alias("a")
-    b = bd.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    buckets = (
+        bd.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    p1 = buckets.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+    cand = p1.select(
+        "doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b")
+    ).distinct()
+    # exact-Jaccard verification restricted to candidate pairs — the
+    # whole point of LSH is that the quadratic join never happens. The
+    # candidate DOC set is tiny relative to the corpus (that is what
+    # banding is for), so it broadcast-semi-filters the corpus scan and
+    # shingles are computed only for candidate docs; the pair join then
+    # runs over that small frame and the intersection is row-wise
+    # array_intersect — the full shingle explosion is never shuffled.
+    # (If a pathological corpus made the candidate set huge, drop the
+    # broadcast hint and AQE plans a shuffle join — same semantics.)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b")))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidate pairs — the
-    # whole point of LSH is that the quadratic join never happens; only
-    # |candidates| × shingle intersections are computed. sh is read
-    # twice (both join sides) so the explode output is cached; each
-    # doc's shingle-set size is computed row-wise in the explode
-    # projection and rides through both join sides, so no sizes table
-    # is ever aggregated or joined back in.
-    sh = docs.select(
-        F.col("doc_id"), word_shingles_text(F.col("text"), n).alias("shs")
-    ).select(
-        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
-    ).cache()
-    sha = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    shs = docs.join(F.broadcast(cand_docs), "doc_id").select(
+        "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
     )
-    shb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "n_a", "doc_b", "n_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = F.round(
-        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 6
     )
     return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -248,8 +260,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ max_hamming via 16-bit chunk
     banding (pigeonhole: ≤3 differing bits can't hit all 4 chunks)."""
     sig = simhash64(docs)
-    # all 4 chunk keys in one posexplode + a single self-join (same
-    # restructure as minhash_lsh_pairs: one shuffle, 4x fewer stages)
+    # all 4 chunk keys in one posexplode, then POSTING LISTS per bucket:
+    # the signature stage is map-only (pandas-UDF packer, no exchange),
+    # so a self-join would run it on BOTH sides — grouping each chunk
+    # bucket once computes signatures exactly once and the C(m,2) pair
+    # expansion happens on the (doc_id, simhash) structs inside the
+    # bucket (same restructure as minhash_lsh_pairs / ngram pairs).
     chunk_keys = F.array(
         *[
             F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
@@ -257,13 +273,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         ]
     )
     bd = sig.select("doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ck"))
-    a = bd.alias("a")
-    b = bd.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.ck") == F.col("b.ck"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bd.groupBy("chunk", "ck")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    p1 = buckets.select("ds", F.posexplode("ds").alias("i", "a"))
+    cand = p1.select(
+        "a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b")
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
