@@ -1,0 +1,302 @@
+"""HFile bulk-load orchestration (SURVEY.md §2.1 op 9): executor-written
+region HFiles → `doBulkLoad`-style handoff → distributed verification
+scan.
+
+Reference dataflow: `HFileOutputFormat2` writes one sorted HFile per
+region partition (`BulkImporterFromText.java:104-111`), then the client
+calls `LoadIncrementalHFiles.doBulkLoad(tmpPath, table)`
+(`BulkImporterFromText.java:129-130`), which for each HFile reads first/
+last keys, assigns it to the region containing its first key, SPLITS any
+file that straddles a region boundary, and moves the file into the
+region's family directory. This module reproduces that contract against
+a local filesystem "table" (no HBase cluster exists in-container; the
+region-server RPC is the one piece with no runnable analog — the file
+placement, splitting, and resulting on-disk layout are the loadable
+artifact and are verified by reading the table back).
+
+Scale posture:
+- the HFiles are written by the EXECUTORS, one per region bucket, off
+  the same single wide-row exchange the parquet sink uses — the driver
+  only collects a tiny per-file manifest;
+- `do_bulk_load` reads ~4 KB of metadata per file (trailer + index) to
+  place it; split rounds are dispatched back through Spark so
+  rewriting crossing files is cluster-parallel, mirroring
+  LoadIncrementalHFiles' bulk-load thread pool;
+- the verification scan plans block-range splits from each file's root
+  index, so read parallelism tracks bytes, not file count.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from bisect import bisect_right
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_bulkload_spark.sources import hfile as hf
+
+
+def write_region_hfiles(
+    kv: DataFrame,
+    out_dir: str,
+    ts: int = 0,
+    compression: str | None = "snappy",
+) -> list[dict]:
+    """Write one HFile per region bucket from a region-aligned KV frame
+    (columns rowkey, family, qualifier, value, bucket — sorted within
+    partitions by (bucket, rowkey, qualifier), i.e. the output of
+    `operators.bulkload.region_align`). Executors stream Arrow batches
+    into at most a handful of open writers (buckets are contiguous in
+    the sort); the returned manifest is one row per file."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = None
+        writers: dict[str, hf.HFileWriter] = {}
+        for pdf in batches:
+            if ctx is None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get().partitionId()
+            for bucket, grp in pdf.groupby("bucket", sort=False):
+                w = writers.get(bucket)
+                if w is None:
+                    path = os.path.join(
+                        out_dir, f"part-{ctx:05d}-{bucket}.hfile"
+                    )
+                    w = writers[bucket] = hf.HFileWriter(path, compression)
+                for rowkey, family, qualifier, value in zip(
+                    grp["rowkey"], grp["family"], grp["qualifier"], grp["value"]
+                ):
+                    w.add(
+                        rowkey.encode(),
+                        family.encode(),
+                        qualifier.encode(),
+                        ts,
+                        value.encode(),
+                    )
+        out = []
+        for bucket, w in writers.items():
+            m = w.close()
+            out.append(
+                {
+                    "path": m["path"],
+                    "bucket": bucket,
+                    "entry_count": m["entry_count"],
+                    "n_blocks": m["n_blocks"],
+                }
+            )
+        yield pd.DataFrame(
+            out, columns=["path", "bucket", "entry_count", "n_blocks"]
+        )
+
+    manifest = kv.mapInPandas(
+        write_parts,
+        "path string, bucket string, entry_count long, n_blocks long",
+    ).collect()
+    return [r.asDict() for r in manifest]
+
+
+def _region_dirs(table_dir: str, boundaries: list[bytes], family: str) -> list[str]:
+    dirs = []
+    for i, start in enumerate(boundaries):
+        d = os.path.join(
+            table_dir, f"region-{i:04d}-{start.decode() or 'START'}", family
+        )
+        os.makedirs(d, exist_ok=True)
+        dirs.append(d)
+    return dirs
+
+
+def do_bulk_load(
+    src_paths: list[str],
+    table_dir: str,
+    boundaries: list[bytes],
+    family: str = "c",
+    spark: SparkSession | None = None,
+    compression: str | None = "snappy",
+) -> list[dict]:
+    """`LoadIncrementalHFiles.doBulkLoad` against a local-FS table layout.
+
+    ``boundaries`` are the region start keys, sorted; region i covers
+    [boundaries[i], boundaries[i+1]). Each file is placed by its first
+    row; files whose last row crosses the owning region's end are split
+    at the boundary (`groupOrSplit` → `splitStoreFile`) and both halves
+    re-queued — split rounds run as Spark tasks when a session is given,
+    serially otherwise. Placement is an atomic rename, matching the
+    region server's commitStoreFile move. Returns one manifest row per
+    loaded file: {region, path, entry_count}."""
+    if boundaries != sorted(boundaries):
+        raise ValueError("region boundaries must be sorted")
+    region_dirs = _region_dirs(table_dir, boundaries, family)
+    loaded: list[dict] = []
+    queue = list(src_paths)
+    round_no = 0
+    while queue:
+        placements: list[tuple[str, int]] = []
+        splits: list[tuple[str, bytes]] = []
+        for path in queue:
+            first_row, last_row = hf.file_key_range(path)
+            idx = bisect_right(boundaries, first_row) - 1
+            if idx < 0:
+                raise ValueError(
+                    f"{path}: first row {first_row!r} precedes the first "
+                    f"region start {boundaries[0]!r}"
+                )
+            if idx + 1 < len(boundaries) and last_row >= boundaries[idx + 1]:
+                splits.append((path, boundaries[idx + 1]))
+            else:
+                placements.append((path, idx))
+
+        for path, idx in placements:
+            dest = os.path.join(region_dirs[idx], os.path.basename(path))
+            os.rename(path, dest)
+            loaded.append(
+                {
+                    "region": idx,
+                    "path": dest,
+                    "entry_count": hf.read_trailer(open(dest, "rb")).entry_count,
+                }
+            )
+
+        def run_split(task: tuple[str, bytes]) -> list[str]:
+            path, split_row = task
+            stem = path[: -len(".hfile")] if path.endswith(".hfile") else path
+            bottom, top = hf.split_hfile(
+                path,
+                split_row,
+                stem + ".bottom.hfile",
+                stem + ".top.hfile",
+                compression,
+            )
+            os.unlink(path)
+            return [m["path"] for m in (bottom, top) if m]
+
+        if splits and spark is not None:
+            halves = (
+                spark.sparkContext.parallelize(splits, len(splits))
+                .map(run_split)
+                .collect()
+            )
+        else:
+            halves = [run_split(t) for t in splits]
+        queue = [p for pair in halves for p in pair]
+        round_no += 1
+        if round_no > 64:  # a file can only split log(regions) times
+            raise RuntimeError("bulk load did not converge")
+    return loaded
+
+
+# 8 MiB of on-disk blocks per task: small enough that a 16-file local
+# table still fans out past the core count, large enough that at cluster
+# scale (GB-sized region files) task overhead stays negligible
+DEFAULT_SPLIT_BYTES = 8 << 20
+
+
+def scan_hfiles(
+    spark: SparkSession,
+    table_dir: str,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    verify_checksums: bool = True,
+) -> DataFrame:
+    """Distributed scan of a bulk-loaded table directory: the driver
+    reads each file's trailer + root index (a few KB) and plans
+    block-range splits of ~``split_bytes``; tasks decode their block
+    subset and emit cells. Output: region, rowkey, family, qualifier,
+    ts, value."""
+    import glob as _glob
+
+    import pandas as pd
+
+    files = sorted(
+        _glob.glob(os.path.join(table_dir, "region-*", "*", "*.hfile"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no hfiles under {table_dir}")
+
+    plan = []
+    for path in files:
+        region = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        with open(path, "rb") as f:
+            t = hf.read_trailer(f)
+            entries = hf.read_root_index(f, t)
+        chunk: list[tuple[int, int]] = []
+        acc = 0
+        for off, size, _key in entries:
+            chunk.append((off, size))
+            acc += size
+            if acc >= split_bytes:
+                plan.append((path, region, t.compression or "", chunk))
+                chunk, acc = [], 0
+        if chunk:
+            plan.append((path, region, t.compression or "", chunk))
+
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(plan, len(plan)),
+        "path string, region string, codec string, "
+        "blocks array<struct<off: long, size: long>>",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows, fams, quals, tss, vals = [], [], [], [], []
+                with open(r.path, "rb") as f:
+                    for b in r.blocks:
+                        plain = hf._read_block(
+                            f, b["off"], r.codec or None, hf.DATA_MAGIC,
+                            verify_checksums,
+                        )
+                        cr, cf, cq, ct, cv = hf.decode_cells_columns(plain)
+                        rows += cr
+                        fams += cf
+                        quals += cq
+                        tss += ct
+                        vals += cv
+                yield pd.DataFrame(
+                    {
+                        "region": r.region,
+                        "rowkey": rows,
+                        "family": fams,
+                        "qualifier": quals,
+                        "ts": tss,
+                        "value": vals,
+                    }
+                )
+
+    return sdf.mapInPandas(
+        decode,
+        "region string, rowkey string, family string, qualifier string, "
+        "ts long, value string",
+    )
+
+
+def bulkload_hfile_roundtrip(
+    kv: DataFrame,
+    work_dir: str,
+    boundaries: list[bytes],
+    family: str = "c",
+    compression: str | None = "snappy",
+) -> DataFrame:
+    """The full op-7+9 dataflow: executor-written region HFiles →
+    doBulkLoad placement (splitting any boundary-crossers) → distributed
+    read-back of the loaded table. Returns the scanned cell frame."""
+    spark = kv.sparkSession
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    staging = os.path.join(work_dir, "staging")
+    table_dir = os.path.join(work_dir, "table")
+    manifest = write_region_hfiles(kv, staging, compression=compression)
+    do_bulk_load(
+        [m["path"] for m in manifest],
+        table_dir,
+        boundaries,
+        family=family,
+        spark=spark,
+        compression=compression,
+    )
+    return scan_hfiles(spark, table_dir)

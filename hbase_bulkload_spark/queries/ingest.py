@@ -9,6 +9,8 @@ scan round-trips and key derivations are checked value-for-value.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -265,6 +267,48 @@ def q_bulkload_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bulkload_pipeline(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
 
 
+def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 7+9 end-to-end in the reference's ACTUAL sink format: the KV
+    pipeline's cells are written as HFile v3 files by the executors
+    (`HFileOutputFormat2`, BulkImporterFromText.java:108-111), placed
+    into a 16-region table by the `doBulkLoad` analog
+    (BulkImporterFromText.java:129-130), then the loaded table is
+    scanned BACK through the index-planned distributed HFile reader
+    (checksums verified) and summarized per region. The oracle computes
+    the same per-bucket summary relationally from the raw table, so a
+    green row certifies the whole write→load→read round trip
+    value-for-value."""
+    import tempfile
+
+    from hbase_bulkload_spark.operators.hfile_load import (
+        bulkload_hfile_roundtrip,
+    )
+
+    oracle_safe(spark)
+    kv = bulkload_pipeline(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hfile_load_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    boundaries = [format(i, "x").encode() for i in range(16)]
+    scanned = bulkload_hfile_roundtrip(kv, work, boundaries)
+    per_key = (
+        scanned.withColumn("bucket", F.substring("rowkey", 1, 1))
+        .groupBy("bucket", "rowkey")
+        .agg(
+            F.count("*").alias("nc"),
+            F.sum(F.length("value")).alias("vl"),
+        )
+    )
+    return per_key.groupBy("bucket").agg(
+        F.sum("nc").alias("n_cells"),
+        F.count("*").alias("n_keys"),
+        F.min("rowkey").alias("min_rk"),
+        F.max("rowkey").alias("max_rk"),
+        F.sum("vl").alias("sum_value_len"),
+    )
+
+
 QUERIES = {
     "q_scan_text": q_scan_text,
     "q_parse_delimited": q_parse_delimited,
@@ -284,6 +328,7 @@ QUERIES = {
     "q_range_partition": q_range_partition,
     "q_sorted_ingest": q_sorted_ingest,
     "q_bulkload_pipeline": q_bulkload_pipeline,
+    "q_bulkload_hfile": q_bulkload_hfile,
 }
 
 _Z = ", ".join(RECORD_COLS)
@@ -371,5 +416,15 @@ ORACLES = {
         WITH {WIDE9_CTE}, {KV_CTE}
         SELECT rowkey, family, qualifier, value, substr(rowkey, 1, 1) AS bucket
         FROM kv
+    """,
+    "q_bulkload_hfile": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT substr(rowkey, 1, 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys,
+               MIN(rowkey) AS min_rk,
+               MAX(rowkey) AS max_rk,
+               CAST(SUM(LENGTH(value)) AS BIGINT) AS sum_value_len
+        FROM kv GROUP BY 1
     """,
 }
