@@ -115,6 +115,7 @@ def ingest(
     fix_permissions: int | None = None,
     raw_binary_keys: bool = False,
     positional_qualifiers: bool = False,
+    sink: str = "parquet",
 ) -> None:
     """One importer run, end to end (the `run()` body of each reference
     entry point, SURVEY.md §3.1, as a single Spark plan)."""
@@ -140,7 +141,24 @@ def ingest(
         raw_binary_keys=raw_binary_keys,
         positional_qualifiers=positional_qualifiers,
     )
-    write_bulkload(kv, output_path, n_buckets=n_buckets)
+    if sink == "hfile":
+        from hbase_bulkload_spark.operators.bulkload import region_align
+        from hbase_bulkload_spark.operators.hfile_load import bulkload_to_table
+
+        # region boundaries = the 16 hex-nibble buckets the key layer
+        # emits (create_table.rb:1 pre-splits analogously on '0'..'9');
+        # raw-key mode buckets on the digest's first nibble, so the
+        # byte boundaries are the same fences over raw bytes
+        boundaries = (
+            [bytes([i << 4]) for i in range(16)]
+            if raw_binary_keys
+            else [format(i, "x").encode() for i in range(16)]
+        )
+        if raw_binary_keys:
+            boundaries[0] = b""  # region 0 starts at the empty key
+        bulkload_to_table(region_align(kv, n_buckets), output_path, boundaries)
+    else:
+        write_bulkload(kv, output_path, n_buckets=n_buckets)
 
     if fix_permissions is not None:  # op 8 post-processing (reference: 0o777)
         from hbase_bulkload_spark.sources.fsutil import set_permissions_recursive
@@ -169,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated key column indexes (default 0,1,2,3)",
     )
     p.add_argument("--n-buckets", type=int, default=16, help="output buckets (default 16)")
+    p.add_argument(
+        "--sink",
+        choices=["parquet", "hfile"],
+        default="parquet",
+        help="output format: region-aligned sorted Snappy parquet (the "
+        "analytics-native default) or true HFile v3 files bulk-loaded "
+        "into a 16-region table layout (the reference's artifact, "
+        "HFileOutputFormat2 + doBulkLoad)",
+    )
     p.add_argument("--sep", default=SOH, help="text-format field delimiter (default SOH)")
     p.add_argument(
         "--conf",

@@ -72,12 +72,16 @@ def write_region_hfiles(
                 for rowkey, family, qualifier, value in zip(
                     grp["rowkey"], grp["family"], grp["qualifier"], grp["value"]
                 ):
+                    # str in the canonical hex-key mode; already bytes in
+                    # the reference-fidelity raw-key/positional modes
                     w.add(
-                        rowkey.encode(),
-                        family.encode(),
-                        qualifier.encode(),
+                        rowkey if isinstance(rowkey, bytes) else rowkey.encode(),
+                        family if isinstance(family, bytes) else family.encode(),
+                        qualifier
+                        if isinstance(qualifier, bytes)
+                        else qualifier.encode(),
                         ts,
-                        value.encode(),
+                        value if isinstance(value, bytes) else value.encode(),
                     )
         out = []
         for bucket, w in writers.items():
@@ -191,6 +195,35 @@ def do_bulk_load(
     return loaded
 
 
+def bulkload_to_table(
+    kv: DataFrame,
+    out_dir: str,
+    boundaries: list[bytes],
+    family: str = "c",
+    compression: str | None = "snappy",
+) -> list[dict]:
+    """Ops 7+9 as a sink (no read-back): executor-written region HFiles
+    staged under ``out_dir/_staging``, then doBulkLoad placement into
+    ``out_dir`` — the loaded-table layout the reference leaves behind.
+    ``kv`` must be region-aligned (`operators.bulkload.region_align`).
+    Returns the per-file load manifest."""
+    spark = kv.sparkSession
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    staging = os.path.join(out_dir, "_staging")
+    manifest = write_region_hfiles(kv, staging, compression=compression)
+    loaded = do_bulk_load(
+        [m["path"] for m in manifest],
+        out_dir,
+        boundaries,
+        family=family,
+        spark=spark,
+        compression=compression,
+    )
+    os.rmdir(staging)
+    return loaded
+
+
 # 8 MiB of on-disk blocks per task: small enough that a 16-file local
 # table still fans out past the core count, large enough that at cluster
 # scale (GB-sized region files) task overhead stays negligible
@@ -202,12 +235,21 @@ def scan_hfiles(
     table_dir: str,
     split_bytes: int = DEFAULT_SPLIT_BYTES,
     verify_checksums: bool = True,
+    start_row: bytes | None = None,
+    stop_row: bytes | None = None,
 ) -> DataFrame:
     """Distributed scan of a bulk-loaded table directory: the driver
     reads each file's trailer + root index (a few KB) and plans
     block-range splits of ~``split_bytes``; tasks decode their block
     subset and emit cells. Output: region, rowkey, family, qualifier,
-    ts, value."""
+    ts, value.
+
+    ``start_row``/``stop_row`` give HBase `Scan(startRow, stopRow)`
+    semantics ([start, stop), row granularity): whole files outside the
+    range are skipped from their metadata alone, blocks are pruned
+    against the index's first-key fences before any data byte is read,
+    and the residual cell filter runs in the decode task — the same
+    prune-then-filter discipline as a parquet min/max scan."""
     import glob as _glob
 
     import pandas as pd
@@ -221,12 +263,28 @@ def scan_hfiles(
     plan = []
     for path in files:
         region = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        if start_row is not None or stop_row is not None:
+            first_row, last_row = hf.file_key_range(path)
+            if start_row is not None and last_row < start_row:
+                continue
+            if stop_row is not None and first_row >= stop_row:
+                continue
         with open(path, "rb") as f:
             t = hf.read_trailer(f)
             entries = hf.read_root_index(f, t)
+        first_rows = [hf.decode_key(k)[0] for _, _, k in entries]
         chunk: list[tuple[int, int]] = []
         acc = 0
-        for off, size, _key in entries:
+        for i, (off, size, _key) in enumerate(entries):
+            # block i holds rows in [first_rows[i], first_rows[i+1])
+            if (
+                start_row is not None
+                and i + 1 < len(first_rows)
+                and first_rows[i + 1] <= start_row
+            ):
+                continue
+            if stop_row is not None and first_rows[i] >= stop_row:
+                break
             chunk.append((off, size))
             acc += size
             if acc >= split_bytes:
@@ -234,6 +292,13 @@ def scan_hfiles(
                 chunk, acc = [], 0
         if chunk:
             plan.append((path, region, t.compression or "", chunk))
+
+    out_schema = (
+        "region string, rowkey string, family string, qualifier string, "
+        "ts long, value string"
+    )
+    if not plan:  # fully pruned range
+        return spark.createDataFrame([], out_schema)
 
     sdf = spark.createDataFrame(
         spark.sparkContext.parallelize(plan, len(plan)),
@@ -257,7 +322,7 @@ def scan_hfiles(
                         quals += cq
                         tss += ct
                         vals += cv
-                yield pd.DataFrame(
+                pdf_out = pd.DataFrame(
                     {
                         "region": r.region,
                         "rowkey": rows,
@@ -267,12 +332,79 @@ def scan_hfiles(
                         "value": vals,
                     }
                 )
+                if start_row is not None:
+                    pdf_out = pdf_out[pdf_out.rowkey >= start_row.decode()]
+                if stop_row is not None:
+                    pdf_out = pdf_out[pdf_out.rowkey < stop_row.decode()]
+                yield pdf_out
 
-    return sdf.mapInPandas(
-        decode,
-        "region string, rowkey string, family string, qualifier string, "
-        "ts long, value string",
+    return sdf.mapInPandas(decode, out_schema)
+
+
+def compact_region(
+    family_dir: str,
+    compression: str | None = "snappy",
+    max_versions: int | None = None,
+    ttl_min_ts: int | None = None,
+) -> dict:
+    """Region (major) compaction: k-way-merge every HFile in a region's
+    family directory into one, applying the table semantics the
+    reference's DDL encodes (`create_table.rb:1`): keep at most
+    ``max_versions`` newest cells per (row, qualifier) and drop cells
+    with ts < ``ttl_min_ts`` — the file-level face of the logical
+    `q_versions_top3` / `q_ttl_filter` / `q_compaction` operators
+    (`operators/semantics.py`). Successive bulk loads leave a region
+    with overlapping files (exactly why region servers compact); the
+    merged file restores the one-sorted-file invariant. Inputs must
+    hold cells in HBase order — (row, qualifier, ts desc) — which is
+    what every writer in this package emits. Replacement is
+    write-to-temp + rename, so a crash leaves the originals intact."""
+    import glob as _glob
+    import heapq
+
+    files = sorted(_glob.glob(os.path.join(family_dir, "*.hfile")))
+    if not files:
+        raise FileNotFoundError(f"no hfiles under {family_dir}")
+    tmp = os.path.join(family_dir, "_compact.tmp")
+    w = hf.HFileWriter(tmp, compression)
+    dropped_versions = 0
+    dropped_expired = 0
+    merged = heapq.merge(
+        *[hf.iter_hfile(p) for p in files],
+        # HBase cell order: row, qualifier, newest ts first
+        key=lambda c: (c[0], c[2], -c[3]),
     )
+    current: tuple[bytes, bytes] | None = None
+    n_versions = 0
+    for row, fam, qual, ts, value in merged:
+        if ttl_min_ts is not None and ts < ttl_min_ts:
+            dropped_expired += 1
+            continue
+        if (row, qual) != current:
+            current = (row, qual)
+            n_versions = 0
+        n_versions += 1
+        if max_versions is not None and n_versions > max_versions:
+            dropped_versions += 1
+            continue
+        w.add(row, fam, qual, ts, value)
+    if w.entry_count:
+        m = w.close()
+    else:  # every cell expired: the compacted region holds no file
+        w._f.close()
+        os.unlink(tmp)
+        m = {"path": None, "entry_count": 0, "n_blocks": 0}
+    for p in files:
+        os.unlink(p)
+    final = None
+    if m["path"] is not None:
+        final = os.path.join(family_dir, "compacted-00000.hfile")
+        os.rename(tmp, final)
+    m["path"] = final
+    m["n_input_files"] = len(files)
+    m["dropped_versions"] = dropped_versions
+    m["dropped_expired"] = dropped_expired
+    return m
 
 
 def bulkload_hfile_roundtrip(

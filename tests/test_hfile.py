@@ -235,6 +235,59 @@ def test_bulk_load_rejects_out_of_range(tmp_path):
         hl.do_bulk_load([p], str(tmp_path / "table"), [b"99999999"])
 
 
+def test_compact_region(tmp_path):
+    """Two overlapping files (as two bulk loads would leave) merge into
+    one sorted file; version retention keeps the newest 2 per (row,
+    qualifier) and TTL drops expired cells — create_table.rb:1 semantics
+    at the file level."""
+    fam_dir = tmp_path / "r" / "c"
+    fam_dir.mkdir(parents=True)
+    # load 1: rows 0..49 at ts=100; load 2: rows 25..74 at ts=200, plus
+    # an old ts=5 version (expired under ttl_min_ts=10)
+    hf.write_hfile(
+        str(fam_dir / "a.hfile"),
+        [(f"{i:04d}".encode(), b"c", b"q", 100, b"old") for i in range(50)],
+    )
+    hf.write_hfile(
+        str(fam_dir / "b.hfile"),
+        [
+            c
+            for i in range(25, 75)
+            for c in (
+                (f"{i:04d}".encode(), b"c", b"q", 200, b"new"),
+                (f"{i:04d}".encode(), b"c", b"q", 5, b"ancient"),
+            )
+        ],
+    )
+    m = hl.compact_region(str(fam_dir), max_versions=2, ttl_min_ts=10)
+    assert m["n_input_files"] == 2
+    assert m["dropped_expired"] == 50  # every ts=5 cell
+    assert m["dropped_versions"] == 0  # never more than 2 live versions
+    files = sorted(os.listdir(fam_dir))
+    assert files == ["compacted-00000.hfile"]
+    cells = list(hf.iter_hfile(str(fam_dir / files[0])))
+    # 0..24 one version, 25..49 two versions (200 then 100), 50..74 one
+    assert len(cells) == 25 + 50 + 25
+    keys = [(c[0], c[3]) for c in cells]
+    assert keys == sorted(keys, key=lambda k: (k[0], -k[1]))
+    assert hf.hfile_get(str(fam_dir / files[0]), b"0030") == [
+        (b"q", 200, b"new"), (b"q", 100, b"old"),
+    ]
+
+
+def test_compact_region_version_cap(tmp_path):
+    fam_dir = tmp_path / "c"
+    fam_dir.mkdir()
+    for ts in (1, 2, 3, 4):
+        hf.write_hfile(
+            str(fam_dir / f"t{ts}.hfile"), [(b"r", b"c", b"q", ts, b"v%d" % ts)]
+        )
+    m = hl.compact_region(str(fam_dir), max_versions=3)
+    assert m["dropped_versions"] == 1
+    cells = list(hf.iter_hfile(m["path"]))
+    assert [c[3] for c in cells] == [4, 3, 2]  # newest three, desc
+
+
 # ---------------------------------------------------------------------------
 # Spark integration: write → load → scan round trip
 # ---------------------------------------------------------------------------
@@ -262,6 +315,56 @@ def test_spark_roundtrip(spark, sf_dir, tmp_path):
         ~scanned.region.endswith(scanned.rowkey.substr(1, 1))
     ).count()
     assert bad == 0
+
+
+def test_scan_range_pushdown(spark, tmp_path, monkeypatch):
+    """Scan(startRow, stopRow): correct [start, stop) results AND block
+    pruning — the planned block set must shrink versus a full scan."""
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    p = os.path.join(staging, "a.hfile")
+    hf.write_hfile(
+        p,
+        [(f"{i:04d}".encode(), b"c", b"q", 0, b"v%d" % i) for i in range(2000)],
+        compression=None,
+        block_size=1024,  # many small blocks so pruning is observable
+    )
+    hl.do_bulk_load([p], str(tmp_path / "t"), [b""])
+
+    # count planned blocks by shrinking split_bytes to one block per task
+    full = hl.scan_hfiles(spark, str(tmp_path / "t"), split_bytes=1)
+    ranged = hl.scan_hfiles(
+        spark,
+        str(tmp_path / "t"),
+        split_bytes=1,
+        start_row=b"0500",
+        stop_row=b"0520",
+    )
+    got = sorted(r.rowkey for r in ranged.collect())
+    assert got == [f"{i:04d}" for i in range(500, 520)]
+    assert ranged.rdd.getNumPartitions() < full.rdd.getNumPartitions() / 10
+    # fully-pruned range: empty frame, same schema, no tasks
+    none = hl.scan_hfiles(spark, str(tmp_path / "t"), start_row=b"zzzz")
+    assert none.count() == 0
+    assert none.schema == full.schema
+
+
+def test_cli_hfile_sink(spark, tmp_path):
+    """--sink hfile end-to-end: CSV in, loaded 16-region table out."""
+    from hbase_bulkload_spark import cli
+
+    src = tmp_path / "in.csv"
+    rows = [",".join(str(i * 10 + j) for j in range(9)) for i in range(200)]
+    src.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "table")
+    cli.ingest(spark, str(src), out, fmt="csv", sink="hfile")
+    scanned = hl.scan_hfiles(spark, out)
+    cells = scanned.collect()
+    assert len(cells) == 200 * 9
+    assert {r.rowkey[:1] for r in cells} <= set("0123456789abcdef")
+    for r in cells[:50]:
+        region_start = r.region.rsplit("-", 1)[1]
+        assert r.rowkey.startswith(region_start)
 
 
 def test_spark_roundtrip_with_splits(spark, tmp_path):
