@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from hbase_bulkload_spark.functions.numeric import dsum
 
@@ -78,8 +79,15 @@ def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "90 days") -> DataFrame:
     """Op 47: late-data bound — the streaming analog of the TTL filter
-    (`create_table.rb:1` TTL => 90 days). No-op on batch frames."""
+    (`create_table.rb:1` TTL => 90 days). No-op on batch frames.
+
+    Watermarks require instant (TIMESTAMP_LTZ) event time; parquet
+    wall-clock columns arrive as TIMESTAMP_NTZ, so the streaming path
+    reinterprets them as UTC instants (session tz is pinned to UTC by
+    session.oracle_safe, so the wall-clock values are unchanged)."""
     if df.isStreaming:
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return df.withWatermark(ts_col, delay)
     return df
 

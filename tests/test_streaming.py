@@ -34,9 +34,27 @@ def _run_to_memory(stream_df, name: str):
     return name
 
 
+def _canon_ts(df):
+    """Cast instant (LTZ) timestamp columns to wall-clock NTZ so stream
+    results (watermarking forces LTZ event time) compare against batch
+    results (parquet NTZ) value-for-value. Session tz is UTC, so the
+    cast is a pure reinterpretation."""
+    from pyspark.sql.types import TimestampType
+
+    return df.select(
+        *[
+            F.col(f.name).cast("timestamp_ntz").alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def _assert_same(spark, batch_df, stream_df, name):
     _run_to_memory(stream_df, name)
-    got = spark.table(name)
+    got = _canon_ts(spark.table(name))
+    batch_df = _canon_ts(batch_df)
     assert got.exceptAll(batch_df).count() == 0
     assert batch_df.exceptAll(got).count() == 0
 
