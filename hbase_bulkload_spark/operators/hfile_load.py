@@ -54,6 +54,14 @@ def write_region_hfiles(
 
     os.makedirs(out_dir, exist_ok=True)
 
+    def as_bytes(col: pd.Series) -> list[bytes]:
+        # str in the canonical hex-key mode; already bytes in the
+        # reference-fidelity raw-key/positional modes
+        vals = col.tolist()
+        if vals and isinstance(vals[0], str):
+            return [v.encode() for v in vals]
+        return vals
+
     def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = None
         writers: dict[str, hf.HFileWriter] = {}
@@ -69,20 +77,13 @@ def write_region_hfiles(
                         out_dir, f"part-{ctx:05d}-{bucket}.hfile"
                     )
                     w = writers[bucket] = hf.HFileWriter(path, compression)
-                for rowkey, family, qualifier, value in zip(
-                    grp["rowkey"], grp["family"], grp["qualifier"], grp["value"]
-                ):
-                    # str in the canonical hex-key mode; already bytes in
-                    # the reference-fidelity raw-key/positional modes
-                    w.add(
-                        rowkey if isinstance(rowkey, bytes) else rowkey.encode(),
-                        family if isinstance(family, bytes) else family.encode(),
-                        qualifier
-                        if isinstance(qualifier, bytes)
-                        else qualifier.encode(),
-                        ts,
-                        value if isinstance(value, bytes) else value.encode(),
-                    )
+                w.add_many(
+                    as_bytes(grp["rowkey"]),
+                    as_bytes(grp["family"]),
+                    as_bytes(grp["qualifier"]),
+                    ts,
+                    as_bytes(grp["value"]),
+                )
         out = []
         for bucket, w in writers.items():
             m = w.close()

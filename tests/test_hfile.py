@@ -66,6 +66,47 @@ def test_roundtrip_codecs(tmp_path, codec):
     assert list(hf.iter_hfile(path)) == data
 
 
+def test_add_many_matches_add_bytes(tmp_path):
+    """Bulk add_many must produce a byte-identical file to per-cell add —
+    same blocks, same index, same trailer — for both constant and
+    per-cell timestamps, across chunked calls that land mid-block."""
+    data = cells(700, quals=(b"q0", b"q1", b"q2"))
+    p1 = str(tmp_path / "percell.hfile")
+    w1 = hf.HFileWriter(p1, "snappy", block_size=2048)
+    for row, fam, qual, ts, value in data:
+        w1.add(row, fam, qual, ts, value)
+    m1 = w1.close()
+
+    p2 = str(tmp_path / "bulk.hfile")
+    w2 = hf.HFileWriter(p2, "snappy", block_size=2048)
+    # feed in uneven chunks so bulk calls start mid-block
+    for lo in range(0, len(data), 311):
+        chunk = data[lo : lo + 311]
+        w2.add_many(
+            [c[0] for c in chunk],
+            [c[1] for c in chunk],
+            [c[2] for c in chunk],
+            7,  # constant-ts fast path; cells() stamps ts=7
+            [c[4] for c in chunk],
+        )
+    m2 = w2.close()
+    assert m1["entry_count"] == m2["entry_count"] == len(data)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    # per-cell timestamp list path
+    p3 = str(tmp_path / "bulk_ts.hfile")
+    w3 = hf.HFileWriter(p3, "snappy", block_size=2048)
+    w3.add_many(
+        [c[0] for c in data],
+        [c[1] for c in data],
+        [c[2] for c in data],
+        [c[3] for c in data],
+        [c[4] for c in data],
+    )
+    w3.close()
+    assert open(p1, "rb").read() == open(p3, "rb").read()
+
+
 def test_trailer_and_fileinfo(tmp_path):
     data = cells(100)
     path = str(tmp_path / "t.hfile")
