@@ -172,29 +172,58 @@ def q_text_fingerprint(spark, sf_dir) -> DataFrame:
 
 def q_text_repetition(spark, sf_dir) -> DataFrame:
     """Op 55e: repetition / diversity quality signals — MAP-ONLY array
-    math per doc, no explode/groupBy (the per-token counts come from
-    ``transform(distinct, t -> count in tokens)``, O(n·distinct) per row
-    on doc-sized arrays):
+    math per doc, no explode/groupBy:
 
       distinct_ratio  — |distinct tokens| / |tokens| (low = repetitive)
       top_token_ratio — max token frequency / |tokens| (high = degenerate)
       token_entropy   — Shannon entropy of the token distribution in
                         bits (low = templated/repetitive text)
 
-    The standard cheap filters for templated or degenerate web text."""
+    Token frequencies come from RUN LENGTHS over the sorted token array
+    (run starts found by one O(n) filter, lengths by one zip_with), not
+    from ``transform(distinct, t -> count in tokens)`` — higher-order
+    lambdas are interpreted per element, so the count-per-distinct
+    formulation pays O(n·distinct) lambda evals per doc (quadratic on
+    natural text) where this pays O(n). Measured ~3× faster at sf0.1;
+    the gap widens with document length. The standard cheap filters for
+    templated or degenerate web text."""
     docs = _docs(spark, sf_dir)
-    w = T.tokens("text")
-    n = F.size(w)
-    distinct = F.array_distinct(w)
-    freqs = F.transform(distinct, lambda t: F.size(F.filter(w, lambda x: x == t)))
-    probs = F.transform(freqs, lambda f: f.cast("double") / n.cast("double"))
-    entropy = -F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    # each intermediate array lives in its OWN projection so lambdas see
+    # a cheap attribute reference — inlined, array_sort(w) would be
+    # re-evaluated per lambda element (measured 30× slower; same
+    # CollapseProject hazard minhash_signatures documents)
+    base = docs.select("doc_id", T.tokens("text").alias("w")).filter(
+        F.size("w") > 0
     )
-    return docs.filter(n > 0).select(
+    sorted_ = base.select("doc_id", F.size("w").alias("n"), F.array_sort("w").alias("sw"))
+    n = F.col("n")
+    sw = F.col("sw")
+    # 1-based start index of each equal-token run in the sorted array
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1)) | (F.element_at(sw, i) != F.element_at(sw, i - 1)),
+    )
+    with_starts = sorted_.select("doc_id", "n", starts.alias("starts"))
+    # run length = next run's start (n+1 past the last) minus own start
+    run_ends = F.concat(
+        F.slice("starts", 2, F.size("starts")), F.array(F.col("n") + 1)
+    )
+    with_freqs = with_starts.select(
         "doc_id",
-        F.round(F.size(distinct).cast("double") / n, 6).alias("distinct_ratio"),
-        F.round(F.array_max(freqs).cast("double") / n, 6).alias("top_token_ratio"),
+        "n",
+        F.size("starts").alias("n_distinct"),
+        F.zip_with("starts", run_ends, lambda s, e: e - s).alias("freqs"),
+    )
+    n = F.col("n")
+    entropy = -F.aggregate(
+        F.col("freqs"),
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log2(c / n),
+    )
+    return with_freqs.select(
+        "doc_id",
+        F.round(F.col("n_distinct").cast("double") / n, 6).alias("distinct_ratio"),
+        F.round(F.array_max("freqs").cast("double") / n, 6).alias("top_token_ratio"),
         F.round(entropy, 6).alias("token_entropy"),
     )
 
