@@ -293,6 +293,43 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
     )
 
 
+CHUNK_WINDOW = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # overlap = window - stride = 8 tokens
+
+
+def q_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Op 61: span extraction / document chunking — split each document
+    into overlapping fixed-size token windows (the doc→context step of a
+    training pipeline; stride < window gives the standard overlap so no
+    span falls on a chunk boundary unseen).
+
+    Map-only + one narrow Generate: token starts come from a per-row
+    ``sequence(1, n, stride)``, the chunk text from ``slice`` on the
+    token array — no shuffle, no lambda-per-token, so the operator runs
+    at scan speed regardless of corpus size. Chunk identity
+    (doc_id, chunk_idx) is deterministic; n_tokens marks the (possibly
+    short) tail chunk."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("w")
+    ).filter(F.size("w") > 0)
+    staged = base.select(
+        "doc_id", "w", F.size("w").alias("n"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    return staged.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("w", F.col("start"), F.lit(CHUNK_WINDOW))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(CHUNK_WINDOW), F.col("n") - F.col("start") + 1).alias(
+            "n_tokens"
+        ),
+    )
+
+
 # --- end-to-end curation -------------------------------------------------------
 
 def q_curate_corpus(spark, sf_dir) -> DataFrame:
@@ -404,6 +441,7 @@ QUERIES = {
     "q_curate_corpus": q_curate_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_pack_sequences": q_pack_sequences,
+    "q_chunk_documents": q_chunk_documents,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -612,6 +650,22 @@ ORACLES = {
                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                            - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
         FROM s
+    """,
+    "q_chunk_documents": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               array_to_string(
+                   list_slice(w, CAST(start AS BIGINT),
+                              CAST(start + {CHUNK_WINDOW} - 1 AS BIGINT)),
+                   ' ') AS chunk_text,
+               CAST(least({CHUNK_WINDOW}, n - start + 1) AS INT) AS n_tokens
+        FROM d, UNNEST(range(1, n + 1, {CHUNK_STRIDE})) AS t(start)
     """,
     "q_curate_corpus": f"""
         WITH m AS (

@@ -16,6 +16,7 @@ Window-alignment notes for the oracles:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hbase_bulkload_spark.datasets import table
 from hbase_bulkload_spark.functions.numeric import dsum_expr
@@ -51,12 +52,33 @@ def q_stream_stateful(spark, sf_dir) -> DataFrame:
     return stream_ops.user_running_stats(_events(spark, sf_dir))
 
 
+def q_stream_join(spark, sf_dir) -> DataFrame:
+    """Op 48c: stream-stream interval join — each click matched to the
+    same user's views in the preceding hour (batch form of the
+    watermark-bounded streaming join; parity pinned by
+    tests/test_streaming.py)."""
+    ev = _events(spark, sf_dir)
+    j = stream_ops.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        within="1 hour",
+    )
+    return j.select(
+        "user_id",
+        F.col("left_id").alias("click_id"),
+        F.col("left_ts").alias("click_ts"),
+        F.col("right_id").alias("view_id"),
+        F.col("right_ts").alias("view_ts"),
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_stateful": q_stream_stateful,
+    "q_stream_join": q_stream_join,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -105,6 +127,16 @@ ORACLES = {
         FROM isl GROUP BY user_id, sid
     """,
     "q_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_join": f"""
+        WITH {EV_CTE}
+        SELECT c.user_id,
+               c.event_id AS click_id, c.ts AS click_ts,
+               v.event_id AS view_id, v.ts AS view_ts
+        FROM ev c JOIN ev v
+          ON v.user_id = c.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
     "q_stream_stateful": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,

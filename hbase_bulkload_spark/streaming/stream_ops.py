@@ -92,6 +92,46 @@ def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "90 days") ->
     return df
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Op 48c: stream-stream interval join — each left event matches
+    right events of the same key whose timestamp falls in
+    ``[left_ts - within, left_ts]`` (right happened first, at most
+    ``within`` before).
+
+    Written once against plain DataFrames: in batch it is an equi-join
+    on ``key`` with a range residual (one shuffle per side, no range
+    blow-up); on streams the same plan + a watermark on BOTH sides lets
+    Spark bound the join state — the interval condition tells it when a
+    buffered right row can never match again and is evicted
+    (stream-stream inner join, Structured Streaming guide). The caller
+    watermarks each stream via ``with_watermark`` before joining;
+    tests/test_streaming.py::test_stream_interval_join_matches_batch
+    drives both file-source streams through availableNow and asserts
+    stream == batch."""
+    l = left.select(
+        F.col(key),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("__rkey"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col("right_ts") <= F.col("left_ts"))
+        & (F.col("left_ts") <= F.col("right_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).select(key, "left_id", "left_ts", "right_id", "right_ts")
+
+
 # ---------------------------------------------------------------------------
 # Op 48b: custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -306,3 +306,47 @@ def test_corpus_jsonl_roundtrip(spark, sf_dir, tmp_path):
     want = docs.select("doc_id", "text", "lang", "source", "n_chars")
     assert back.count() == want.count()
     assert back.exceptAll(want).count() == 0 and want.exceptAll(back).count() == 0
+
+
+def test_chunk_documents_boundaries(spark, tmp_path, monkeypatch):
+    """Chunk semantics pinned on hand-computable docs: a doc shorter
+    than the window yields one short chunk; a doc exactly one window
+    long yields one full chunk plus the stride-tail chunks the start
+    sequence implies; overlap = window - stride tokens."""
+    from hbase_bulkload_spark.queries import extensions as X
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),    # n=5 < window
+        (2, " ".join(f"t{i}" for i in range(32))),   # n == window
+        (3, " ".join(f"t{i}" for i in range(60))),   # n = 60: starts 1,25,49
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        X, "_docs", lambda _spark, _sf: docs
+    )
+    out = X.q_chunk_documents(spark, "unused").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+
+    assert [(r.chunk_idx, r.n_tokens) for r in by_doc[1]] == [(0, 5)]
+    assert by_doc[1][0].chunk_text == "t0 t1 t2 t3 t4"
+
+    # n=32: starts 1, 25 -> full chunk + 8-token tail
+    assert [(r.chunk_idx, r.n_tokens) for r in by_doc[2]] == [(0, 32), (1, 8)]
+    assert by_doc[2][0].chunk_text.split(" ")[0] == "t0"
+    assert by_doc[2][1].chunk_text.split(" ")[0] == "t24"  # overlap of 8
+
+    # n=60: starts 1, 25, 49 -> 32, 32, 12 tokens
+    assert [(r.chunk_idx, r.n_tokens) for r in by_doc[3]] == [
+        (0, 32), (1, 32), (2, 12),
+    ]
+    # consecutive chunks overlap by window - stride = 8 tokens
+    a = by_doc[3][0].chunk_text.split(" ")
+    b = by_doc[3][1].chunk_text.split(" ")
+    assert a[-8:] == b[:8]

@@ -112,6 +112,41 @@ def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (two file-source streams, both
+    watermarked) emits exactly the batch join's rows."""
+    batch, stream = _stream_events(spark, sf_dir, tmp_path)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    b_clicks, b_views = split(batch)
+    s_clicks, s_views = split(stream)
+    want = stream_ops.interval_join(b_clicks, b_views, within="1 hour")
+    got_stream = stream_ops.interval_join(
+        stream_ops.with_watermark(s_clicks, "ts", "1 day"),
+        stream_ops.with_watermark(s_views, "ts", "1 day"),
+        within="1 hour",
+    )
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        got_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon_ts(spark.table(name))
+    want = _canon_ts(want)
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_watermark_is_noop_on_batch(spark, sf_dir):
     batch = table(spark, sf_dir, "events")
     assert stream_ops.with_watermark(batch) is batch
