@@ -103,6 +103,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return avro_ocf.scan_splits(spark, path)
 
 
+def read_rcfile(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
+    """RCFile scan (op 4, the reference's actual wire format —
+    `RCFileMapReduceInputFormat`, `BulkImporterFromRC.java:94-95`):
+    byte-range splits from per-file headers, per-column decompression
+    through the pure-Python layout codec."""
+    from hbase_bulkload_spark.sources import rcfile
+
+    return rcfile.scan_splits(spark, path, _cols(n_columns))
+
+
 def ingest(
     spark: SparkSession,
     input_path: str,
@@ -129,6 +139,8 @@ def ingest(
         df = read_columnar(spark, input_path)
     elif fmt == "avro":
         df = read_avro(spark, input_path)
+    elif fmt == "rcfile":
+        df = read_rcfile(spark, input_path, n_columns)
     else:  # pragma: no cover - argparse choices gate this
         raise ValueError(f"unknown format {fmt!r}")
 
@@ -176,9 +188,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output", help="output directory (overwritten)")
     p.add_argument(
         "--format",
-        choices=["text", "csv", "columnar", "avro"],
+        choices=["text", "csv", "columnar", "avro", "rcfile"],
         default="csv",
-        help="input format (default csv, the reference's canonical path)",
+        help="input format (default csv, the reference's canonical path; "
+        "rcfile reads the RC importer's true wire format)",
     )
     p.add_argument("--columns", type=int, default=9, help="record arity (default 9)")
     p.add_argument(

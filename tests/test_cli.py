@@ -25,6 +25,7 @@ def inputs(spark, sf_dir, tmp_path_factory):
         "csv": records.csv_path(spark, sf_dir),
         "columnar": records.orc_path(spark, sf_dir),
         "avro": records.avro_path(spark, sf_dir),
+        "rcfile": records.rcfile_path(spark, sf_dir),
     }
 
 
@@ -32,7 +33,7 @@ def _load_out(spark, path):
     return spark.read.parquet(path)
 
 
-@pytest.mark.parametrize("fmt", ["text", "csv", "columnar", "avro"])
+@pytest.mark.parametrize("fmt", ["text", "csv", "columnar", "avro", "rcfile"])
 def test_cli_ingest_contract(spark, inputs, tmp_path, fmt):
     out = str(tmp_path / f"out_{fmt}")
     cli.ingest(spark, inputs[fmt], out, fmt=fmt, n_buckets=4)
@@ -55,7 +56,7 @@ def test_cli_formats_agree(spark, inputs, tmp_path):
     its arity gate and is skipped wholesale, while the columnar/Avro
     importers keep the row and skip only the null *field*."""
     cells = {}
-    for fmt in ["csv", "columnar", "avro"]:
+    for fmt in ["csv", "columnar", "avro", "rcfile"]:
         out = str(tmp_path / f"agree_{fmt}")
         cli.ingest(spark, inputs[fmt], out, fmt=fmt, n_buckets=4)
         cells[fmt] = _load_out(spark, out).select("rowkey", "qualifier", "value")
@@ -63,6 +64,9 @@ def test_cli_formats_agree(spark, inputs, tmp_path):
     col, avro, csv = cells["columnar"], cells["avro"], cells["csv"]
     assert col.exceptAll(avro).count() == 0
     assert avro.exceptAll(col).count() == 0
+    rc = cells["rcfile"]
+    assert col.exceptAll(rc).count() == 0
+    assert rc.exceptAll(col).count() == 0
     # csv == columnar restricted to rows that kept their z8 cell
     with_z8 = col.filter(F.col("qualifier") == "z8").select("rowkey").distinct()
     expected = col.join(with_z8, "rowkey")
