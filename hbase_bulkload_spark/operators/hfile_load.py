@@ -272,7 +272,7 @@ def scan_hfiles(
                 continue
         with open(path, "rb") as f:
             t = hf.read_trailer(f)
-            entries = hf.read_root_index(f, t)
+            entries = hf.read_data_index(f, t)
         first_rows = [hf.decode_key(k)[0] for _, _, k in entries]
         chunk: list[tuple[int, int]] = []
         acc = 0

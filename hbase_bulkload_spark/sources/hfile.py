@@ -20,10 +20,15 @@ directly:
 - **cells**: the KeyValue wire format — int key length, int value
   length, key = (short row length, row, byte family length, family,
   qualifier, long timestamp, byte type=Put), then the value bytes;
-- **data index**: a single-level root index block (``IDXROOT2``) of
-  (long offset, int on-disk-size-with-header, vint-prefixed first key)
-  entries — the multi-level tree is the documented growth path for
-  files whose root index outgrows a block;
+- **data index**: a block-index TREE of (long offset, int
+  on-disk-size-with-header, vint-prefixed first key) entries — one
+  root block (``IDXROOT2``) for small files, growing bottom-up through
+  leaf (``IDXLEAF2``) and intermediate (``IDXINTE2``) levels once a
+  level exceeds ``INDEX_CHUNK_ENTRIES``, with the depth recorded in
+  the trailer (`HFileBlockIndex`); point gets walk one block per level,
+  scans/splits read depth−1 index levels. (Simplification vs HBase:
+  non-root blocks reuse the root entry encoding rather than HBase's
+  secondary-offset layout — documented, byte-self-consistent);
 - **file info**: ``FILEINF2`` block holding ``PBUF`` + a
   varint-delimited protobuf map (``FileInfoProto`` of
   ``HFile.proto``) with ``hfile.LASTKEY`` / ``hfile.AVG_KEY_LEN`` /
@@ -70,8 +75,16 @@ from hbase_bulkload_spark.sources.rcfile import dec_vlong, enc_vlong
 # block magics — BlockType of org.apache.hadoop.hbase.io.hfile
 DATA_MAGIC = b"DATABLK*"
 ROOT_INDEX_MAGIC = b"IDXROOT2"
+LEAF_INDEX_MAGIC = b"IDXLEAF2"
+INTERMEDIATE_INDEX_MAGIC = b"IDXINTE2"
 FILE_INFO_MAGIC = b"FILEINF2"
 TRAILER_MAGIC = b'TRABLK"$'
+
+#: Max entries per index block before the data index grows another
+#: level (HFileBlockIndex splits on hfile.index.block.max.size — 128 KiB
+#: of encoded entries; 128 entries of our ~140 B encoding keeps index
+#: blocks a few KiB while exercising the same growth path).
+INDEX_CHUNK_ENTRIES = 128
 
 PB_MAGIC = b"PBUF"  # ProtobufMagic.PB_MAGIC
 COMPARATOR = b"org.apache.hadoop.hbase.CellComparator"
@@ -246,6 +259,15 @@ _PACK_II = struct.Struct(">ii").pack
 _PACK_QB = struct.Struct(">qB").pack
 
 
+def _enc_index_entries(entries: list[tuple[int, int, bytes]]) -> bytes:
+    """Index-block payload: (long offset, int on-disk size, vint-len
+    first key) per child — the same encoding at every tree level."""
+    return b"".join(
+        struct.pack(">q", off) + struct.pack(">i", size) + enc_vlong(len(key)) + key
+        for off, size, key in entries
+    )
+
+
 class HFileWriter:
     """Streaming single-file writer. ``add`` must be called in cell order
     (rowkey, qualifier) — the bulk-load contract the PutSortReducer
@@ -259,12 +281,14 @@ class HFileWriter:
         path: str,
         compression: str | None = "snappy",
         block_size: int = DEFAULT_BLOCK_SIZE,
+        index_chunk: int = INDEX_CHUNK_ENTRIES,
     ):
         if compression not in COMPRESSION_ORDINAL:
             raise NotImplementedError(f"hfile codec {compression!r}")
         self.path = path
         self.compression = compression
         self.block_size = block_size
+        self.index_chunk = index_chunk
         self._f = open(path, "wb")
         self._cells: list[bytes] = []
         self._cells_len = 0
@@ -403,14 +427,24 @@ class HFileWriter:
         first_data_offset = self._index[0][0]
         last_data_offset = self._index[-1][0]
 
-        # load-on-open section: root data index, then file info
-        index_plain = b"".join(
-            struct.pack(">q", off)
-            + struct.pack(">i", size)
-            + enc_vlong(len(key))
-            + key
-            for off, size, key in self._index
-        )
+        # load-on-open section: the data index (grown bottom-up — leaf
+        # blocks, then intermediate levels, until one root block holds
+        # the remainder; a small file stays single-level), then file
+        # info. Each index block carries the same (offset, size,
+        # vint-len first-key) entry encoding; non-root blocks are parsed
+        # to exhaustion, the root by the trailer's entry count.
+        entries = self._index
+        levels = 1
+        while len(entries) > self.index_chunk:
+            magic = LEAF_INDEX_MAGIC if levels == 1 else INTERMEDIATE_INDEX_MAGIC
+            parents = []
+            for i in range(0, len(entries), self.index_chunk):
+                chunk = entries[i : i + self.index_chunk]
+                off, size = self._write_block(magic, _enc_index_entries(chunk))
+                parents.append((off, size, chunk[0][2]))
+            entries = parents
+            levels += 1
+        index_plain = _enc_index_entries(entries)
         load_on_open_offset, _ = self._write_block(ROOT_INDEX_MAGIC, index_plain)
 
         n = self.entry_count
@@ -432,10 +466,10 @@ class HFileWriter:
                 pb_uint(2, load_on_open_offset),
                 pb_uint(3, len(index_plain)),
                 pb_uint(4, self.total_uncompressed),
-                pb_uint(5, len(self._index)),
+                pb_uint(5, len(entries)),  # ROOT-level entry count
                 pb_uint(6, 0),  # meta index count
                 pb_uint(7, self.entry_count),
-                pb_uint(8, 1),  # single-level data index
+                pb_uint(8, levels),  # data index depth
                 pb_uint(9, first_data_offset),
                 pb_uint(10, last_data_offset),
                 pb_bytes(11, COMPARATOR),
@@ -479,6 +513,7 @@ class Trailer:
         "file_info_offset",
         "load_on_open_offset",
         "data_index_count",
+        "index_levels",
         "entry_count",
         "first_data_offset",
         "last_data_offset",
@@ -508,6 +543,7 @@ def read_trailer(f) -> Trailer:
     t.load_on_open_offset = fields[2][0]
     t.data_index_count = fields[5][0]
     t.entry_count = fields[7][0]
+    t.index_levels = fields[8][0]
     t.first_data_offset = fields[9][0]
     t.last_data_offset = fields[10][0]
     t.compression = ORDINAL_COMPRESSION[fields[12][0]]
@@ -544,19 +580,43 @@ def _read_block(
     return plain
 
 
-def read_root_index(f, trailer: Trailer) -> list[tuple[int, int, bytes]]:
-    """Root data index entries: (offset, on-disk size, first key)."""
-    plain = _read_block(
-        f, trailer.load_on_open_offset, trailer.compression, ROOT_INDEX_MAGIC
-    )
+def _parse_index_entries(
+    plain: bytes, count: int | None = None
+) -> list[tuple[int, int, bytes]]:
+    """Decode index entries from a block payload; ``count`` bounds the
+    root block (trailer-known), non-root blocks parse to exhaustion."""
     entries = []
     pos = 0
-    for _ in range(trailer.data_index_count):
+    while (pos < len(plain)) if count is None else (len(entries) < count):
         off, size = struct.unpack_from(">qi", plain, pos)
         pos += 12
         klen, pos = dec_vlong(plain, pos)
         entries.append((off, size, plain[pos : pos + klen]))
         pos += klen
+    return entries
+
+
+def read_root_index(f, trailer: Trailer) -> list[tuple[int, int, bytes]]:
+    """Root data index entries: (offset, on-disk size, first key) —
+    children are data blocks at depth 1, index blocks below otherwise."""
+    plain = _read_block(
+        f, trailer.load_on_open_offset, trailer.compression, ROOT_INDEX_MAGIC
+    )
+    return _parse_index_entries(plain, trailer.data_index_count)
+
+
+def read_data_index(f, trailer: Trailer) -> list[tuple[int, int, bytes]]:
+    """All DATA-block entries, walking the index tree breadth-first —
+    the full-scan / split-planning view of a (possibly multi-level)
+    index. Reads depth-1 levels of index blocks beyond the root; a
+    single-level file costs exactly the old one root read."""
+    entries = read_root_index(f, trailer)
+    for _ in range(trailer.index_levels - 1):
+        children: list[tuple[int, int, bytes]] = []
+        for off, _size, _key in entries:
+            plain = _read_block(f, off, trailer.compression, None)
+            children.extend(_parse_index_entries(plain))
+        entries = children
     return entries
 
 
@@ -591,7 +651,7 @@ def iter_hfile(
     """Full scan, index-ordered: yields (row, family, qualifier, ts, value)."""
     with open(path, "rb") as f:
         t = read_trailer(f)
-        for off, _size, _key in read_root_index(f, t):
+        for off, _size, _key in read_data_index(f, t):
             plain = _read_block(f, off, t.compression, DATA_MAGIC, verify)
             yield from _decode_cells(plain)
 
@@ -646,14 +706,23 @@ def iter_blocks_range(
 
 
 def hfile_get(path: str, row: bytes) -> list[tuple[bytes, int, bytes]]:
-    """Point Get: binary-search the root index, decode the one candidate
-    block (plus successors while the row continues — it won't, given the
-    writer's row-boundary rolls, but the format allows it). Returns
-    [(qualifier, ts, value)] for the row; [] if absent. This is the
-    HBase read path the bulk-loaded file serves (`Table.get`)."""
+    """Point Get: binary-search each index level down the tree (one
+    block read per level — O(log n) IO on a multi-level index), then
+    decode the one candidate data block (plus successors while the row
+    continues — it won't, given the writer's row-boundary rolls, but the
+    format allows it). Returns [(qualifier, ts, value)] for the row; []
+    if absent. This is the HBase read path the bulk-loaded file serves
+    (`Table.get`)."""
     with open(path, "rb") as f:
         t = read_trailer(f)
         entries = read_root_index(f, t)
+        for _ in range(t.index_levels - 1):
+            rows0 = [decode_key(k)[0] for _, _, k in entries]
+            j = bisect_right(rows0, row) - 1
+            if j < 0:
+                return []
+            plain = _read_block(f, entries[j][0], t.compression, None)
+            entries = _parse_index_entries(plain)
         first_rows = [decode_key(k)[0] for _, _, k in entries]
         i = bisect_right(first_rows, row) - 1
         if i < 0:

@@ -182,6 +182,45 @@ def test_point_get(tmp_path):
     assert hf.hfile_get(path, b"0000077a") == []  # between rows
 
 
+def test_multilevel_index_roundtrip(tmp_path):
+    """A file whose block count exceeds the index chunk grows a
+    multi-level index: depth recorded in the trailer, full scans and
+    point gets agree with the single-level file's results, and old
+    single-level files keep depth 1."""
+    data = cells(900, quals=(b"q0", b"q1"))
+    flat = str(tmp_path / "flat.hfile")
+    hf.write_hfile(flat, data, block_size=1024)
+
+    deep = str(tmp_path / "deep.hfile")
+    w = hf.HFileWriter(deep, "snappy", block_size=1024, index_chunk=4)
+    for row, fam, qual, ts, value in data:
+        w.add(row, fam, qual, ts, value)
+    m = w.close()
+
+    with open(flat, "rb") as f:
+        assert hf.read_trailer(f).index_levels == 1
+    with open(deep, "rb") as f:
+        t = hf.read_trailer(f)
+        assert t.index_levels >= 3  # >16 blocks at chunk 4 → 3+ levels
+        assert t.data_index_count <= 4  # root fits one chunk
+        # the flattened tree re-finds every data block
+        entries = hf.read_data_index(f, t)
+        assert len(entries) == m["n_blocks"]
+    # identical logical content through the tree
+    assert list(hf.iter_hfile(deep)) == list(hf.iter_hfile(flat)) == data
+    # point gets walk the levels
+    for probe in (b"00000000", b"00000450", b"00000899"):
+        assert hf.hfile_get(deep, probe) == hf.hfile_get(flat, probe)
+    assert hf.hfile_get(deep, b"00000900") == []
+    # splitting a multi-level file works (re-encode path)
+    bot, top = hf.split_hfile(
+        deep, b"00000450",
+        str(tmp_path / "b.hfile"), str(tmp_path / "t2.hfile"),
+    )
+    assert bot["entry_count"] + top["entry_count"] == len(data)
+    assert hf.file_key_range(str(tmp_path / "b.hfile"))[1] == b"00000449"
+
+
 def test_rows_never_straddle_blocks(tmp_path):
     """The writer rolls blocks only at row boundaries, so a row's cells
     are always co-located (keeps point-gets single-block)."""
