@@ -29,6 +29,12 @@ directly:
   scans/splits read depth−1 index levels. (Simplification vs HBase:
   non-root blocks reuse the root entry encoding rather than HBase's
   secondary-offset layout — documented, byte-self-consistent);
+- **row bloom**: a ``BLMFBLK2`` chunk (BloomType.ROW — 10 bits/row,
+  7 double hashes over the row's md5 halves, ~1% false positives);
+  point gets consult it first so an absent row costs one small block
+  read. Location/shape ride in file-info keys (simplification vs
+  HBase's GENERAL_BLOOM_META + meta index — same data, one fewer
+  indirection, noted at the key definitions);
 - **file info**: ``FILEINF2`` block holding ``PBUF`` + a
   varint-delimited protobuf map (``FileInfoProto`` of
   ``HFile.proto``) with ``hfile.LASTKEY`` / ``hfile.AVG_KEY_LEN`` /
@@ -62,6 +68,7 @@ split discipline as the RCFile/Avro scans.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import math
 import os
@@ -104,6 +111,17 @@ ORDINAL_COMPRESSION = {v: k for k, v in COMPRESSION_ORDINAL.items()}
 FILEINFO_LASTKEY = b"hfile.LASTKEY"
 FILEINFO_AVG_KEY_LEN = b"hfile.AVG_KEY_LEN"
 FILEINFO_AVG_VALUE_LEN = b"hfile.AVG_VALUE_LEN"
+# row-bloom metadata (BloomType.ROW). Simplification vs HBase: the
+# bloom chunk's location/shape ride in file-info keys instead of a
+# dedicated GENERAL_BLOOM_META block + meta index — same information,
+# one fewer indirection, documented here so a reader knows the
+# deviation. Absent keys = file written without a bloom.
+FILEINFO_BLOOM_OFFSET = b"hfile.BLOOM_OFFSET"
+FILEINFO_BLOOM_NBITS = b"hfile.BLOOM_NBITS"
+FILEINFO_BLOOM_NHASH = b"hfile.BLOOM_NHASH"
+BLOOM_CHUNK_MAGIC = b"BLMFBLK2"  # BlockType.BLOOM_CHUNK
+BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate
+BLOOM_NHASH = 7  # round(ln2 * bits_per_key)
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +300,7 @@ class HFileWriter:
         compression: str | None = "snappy",
         block_size: int = DEFAULT_BLOCK_SIZE,
         index_chunk: int = INDEX_CHUNK_ENTRIES,
+        bloom: bool = True,
     ):
         if compression not in COMPRESSION_ORDINAL:
             raise NotImplementedError(f"hfile codec {compression!r}")
@@ -289,6 +308,8 @@ class HFileWriter:
         self.compression = compression
         self.block_size = block_size
         self.index_chunk = index_chunk
+        self.bloom = bloom
+        self._bloom_hashes: list[bytes] = []  # md5 digest per distinct row
         self._f = open(path, "wb")
         self._cells: list[bytes] = []
         self._cells_len = 0
@@ -346,6 +367,8 @@ class HFileWriter:
     def add(self, row: bytes, fam: bytes, qual: bytes, ts: int, value: bytes) -> None:
         if self._cells_len >= self.block_size and row != self._last_row:
             self._flush_data()
+        if self.bloom and row != self._last_row:  # rows sorted: one hash per row
+            self._bloom_hashes.append(hashlib.md5(row).digest())
         key = encode_key(row, fam, qual, ts)
         cell = struct.pack(">ii", len(key), len(value)) + key + value
         if self._first_key is None:
@@ -397,7 +420,11 @@ class HFileWriter:
         buf_len = self._cells_len
         first_key = self._first_key
         last_row = self._last_row
+        bloom = self._bloom_hashes if self.bloom else None
+        md5 = hashlib.md5
         for r, k, c in zip(rows, keys, cells):
+            if bloom is not None and r != last_row:
+                bloom.append(md5(r).digest())
             if buf_len >= block_size and r != last_row:
                 # rare path: sync writer state, flush, re-localize
                 self._cells, self._cells_len = buf, buf_len
@@ -433,6 +460,30 @@ class HFileWriter:
         # info. Each index block carries the same (offset, size,
         # vint-len first-key) entry encoding; non-root blocks are parsed
         # to exhaustion, the root by the trailer's entry count.
+        # row bloom chunk (BloomType.ROW): m = 10 bits/row, k = 7 double
+        # hashes from the row's md5 halves — ~1% false positives. Bit
+        # sets are vectorized (numpy bitwise_or.at over all k probes).
+        bloom_info: list[tuple[bytes, bytes]] = []
+        if self.bloom and self._bloom_hashes:
+            import numpy as np
+
+            d = np.frombuffer(b"".join(self._bloom_hashes), dtype=">u8")
+            d = d.reshape(-1, 2).astype(np.uint64)
+            m = ((max(64, len(self._bloom_hashes) * BLOOM_BITS_PER_KEY) + 7) // 8) * 8
+            ks = np.arange(BLOOM_NHASH, dtype=np.uint64)
+            g = (d[:, :1] + ks[None, :] * d[:, 1:2]) % np.uint64(m)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            np.bitwise_or.at(
+                bits, (g >> np.uint64(3)).ravel(),
+                (np.uint64(1) << (g & np.uint64(7))).ravel().astype(np.uint8),
+            )
+            bloom_offset, _ = self._write_block(BLOOM_CHUNK_MAGIC, bits.tobytes())
+            bloom_info = [
+                (FILEINFO_BLOOM_OFFSET, struct.pack(">q", bloom_offset)),
+                (FILEINFO_BLOOM_NBITS, struct.pack(">i", m)),
+                (FILEINFO_BLOOM_NHASH, struct.pack(">i", BLOOM_NHASH)),
+            ]
+
         entries = self._index
         levels = 1
         while len(entries) > self.index_chunk:
@@ -452,6 +503,7 @@ class HFileWriter:
             (FILEINFO_AVG_KEY_LEN, struct.pack(">i", self._key_len_sum // n)),
             (FILEINFO_AVG_VALUE_LEN, struct.pack(">i", self._value_len_sum // n)),
             (FILEINFO_LASTKEY, self.last_key),
+            *bloom_info,
         ]
         info_pb = b"".join(
             pb_bytes(1, pb_bytes(1, k) + pb_bytes(2, v)) for k, v in info_entries
@@ -635,6 +687,39 @@ def read_file_info(f, trailer: Trailer) -> dict[bytes, bytes]:
     return out
 
 
+def read_bloom(
+    f, trailer: Trailer, info: dict[bytes, bytes] | None = None
+) -> tuple[bytes, int, int] | None:
+    """(bitset, n_bits, n_hashes) of the row bloom, or None for files
+    written without one (incl. all pre-bloom files — the keys are simply
+    absent from their file info)."""
+    if info is None:
+        info = read_file_info(f, trailer)
+    if FILEINFO_BLOOM_OFFSET not in info:
+        return None
+    (off,) = struct.unpack(">q", info[FILEINFO_BLOOM_OFFSET])
+    (m,) = struct.unpack(">i", info[FILEINFO_BLOOM_NBITS])
+    (k,) = struct.unpack(">i", info[FILEINFO_BLOOM_NHASH])
+    bits = _read_block(f, off, trailer.compression, BLOOM_CHUNK_MAGIC)
+    return bits, m, k
+
+
+def bloom_may_contain(bloom: tuple[bytes, int, int], row: bytes) -> bool:
+    """Standard double-hashing membership probe: g_i = h1 + i*h2 mod m
+    over the row's md5 halves. False ⇒ the row is definitely absent."""
+    bits, m, k = bloom
+    d = hashlib.md5(row).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big")
+    for i in range(k):
+        # mask to 64 bits: the writer's probe runs in uint64 (numpy),
+        # so the combined hash must wrap before the modulo
+        g = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m
+        if not (bits[g >> 3] >> (g & 7)) & 1:
+            return False
+    return True
+
+
 def file_key_range(path: str) -> tuple[bytes, bytes]:
     """(first row, last row) from index + file info only — the metadata
     `LoadIncrementalHFiles.groupOrSplit` reads to place a file."""
@@ -712,9 +797,17 @@ def hfile_get(path: str, row: bytes) -> list[tuple[bytes, int, bytes]]:
     continues — it won't, given the writer's row-boundary rolls, but the
     format allows it). Returns [(qualifier, ts, value)] for the row; []
     if absent. This is the HBase read path the bulk-loaded file serves
-    (`Table.get`)."""
+    (`Table.get`).
+
+    When the file carries a row bloom, it is consulted first: a miss
+    answers "absent" from one small block read, no index/data IO — the
+    point of BloomType.ROW. (HBase serves bloom + index from block
+    cache; here each get re-reads them, the open-file analog.)"""
     with open(path, "rb") as f:
         t = read_trailer(f)
+        bloom = read_bloom(f, t)
+        if bloom is not None and not bloom_may_contain(bloom, row):
+            return []
         entries = read_root_index(f, t)
         for _ in range(t.index_levels - 1):
             rows0 = [decode_key(k)[0] for _, _, k in entries]

@@ -182,6 +182,59 @@ def test_point_get(tmp_path):
     assert hf.hfile_get(path, b"0000077a") == []  # between rows
 
 
+def test_row_bloom(tmp_path, monkeypatch):
+    """Row bloom: zero false negatives over every present row, absent
+    rows short-circuit before any index/data block read, ~1% false
+    positives, and bloom-less files (bloom=False, or pre-bloom) still
+    serve gets through the index."""
+    data = cells(500)
+    path = str(tmp_path / "b.hfile")
+    hf.write_hfile(path, data, block_size=2048)
+
+    with open(path, "rb") as f:
+        t = hf.read_trailer(f)
+        bloom = hf.read_bloom(f, t)
+    assert bloom is not None
+    # no false negatives
+    for i in range(500):
+        assert hf.bloom_may_contain(bloom, f"{i:08d}".encode())
+    # false-positive rate ~1%
+    fp = sum(
+        hf.bloom_may_contain(bloom, f"absent-{i}".encode()) for i in range(2000)
+    )
+    assert fp < 2000 * 0.05
+    # absent-row get stops at the bloom: no DATA block is ever decoded
+    reads = []
+    orig = hf._read_block
+
+    def spy(f, offset, codec, expect_magic=None, verify=True):
+        reads.append(expect_magic)
+        return orig(f, offset, codec, expect_magic, verify)
+
+    monkeypatch.setattr(hf, "_read_block", spy)
+    assert hf.hfile_get(path, b"zzzz-not-there") == []
+    assert hf.DATA_MAGIC not in reads
+    assert hf.ROOT_INDEX_MAGIC not in reads
+    # present rows still resolve with the bloom on
+    assert hf.hfile_get(path, b"00000123") == [
+        (b"q0", 7, b"v123-q0"), (b"q1", 7, b"v123-q1"),
+    ]
+    monkeypatch.setattr(hf, "_read_block", orig)
+
+    # bloom=False files carry no bloom keys and still serve gets
+    p2 = str(tmp_path / "nb.hfile")
+    w = hf.HFileWriter(p2, "snappy", block_size=2048, bloom=False)
+    for row, fam, qual, ts, value in data:
+        w.add(row, fam, qual, ts, value)
+    w.close()
+    with open(p2, "rb") as f:
+        assert hf.read_bloom(f, hf.read_trailer(f)) is None
+    assert hf.hfile_get(p2, b"00000123") == [
+        (b"q0", 7, b"v123-q0"), (b"q1", 7, b"v123-q1"),
+    ]
+    assert hf.hfile_get(p2, b"zzzz-not-there") == []
+
+
 def test_multilevel_index_roundtrip(tmp_path):
     """A file whose block count exceeds the index chunk grows a
     multi-level index: depth recorded in the trailer, full scans and
