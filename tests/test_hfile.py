@@ -527,3 +527,63 @@ def test_spark_roundtrip_with_splits(spark, tmp_path):
     # 8 regions x >=1 file each
     regions = {r.region for r in out}
     assert len(regions) == 8
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _cell_bytes = st.binary(min_size=0, max_size=24)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.binary(min_size=1, max_size=16),  # rowkey
+                st.lists(
+                    st.tuples(_cell_bytes, st.integers(0, 2**62), _cell_bytes),
+                    min_size=1,
+                    max_size=3,
+                    unique_by=lambda q: q[0],
+                ),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda r: r[0],
+        ),
+        codec=st.sampled_from(["snappy", "gz", None]),
+        block_size=st.sampled_from([64, 512, 65536]),
+        index_chunk=st.sampled_from([2, 128]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_hfile_roundtrip_property(rows, codec, block_size, index_chunk):
+        """Arbitrary binary rows/qualifiers/values (empty values, NUL
+        bytes, any codec, tiny blocks forcing multi-level indexes)
+        survive the write→iter→point-get path exactly."""
+        import tempfile
+
+        # writer contract: cells sorted by (row, qualifier)
+        rows = sorted(rows, key=lambda r: r[0])
+        data = [
+            (rk, b"f", qual, ts, val)
+            for rk, quals in rows
+            for qual, ts, val in sorted(quals, key=lambda q: q[0])
+        ]
+        with tempfile.NamedTemporaryFile(suffix=".hfile", delete=False) as f:
+            path = f.name
+        try:
+            w = hf.HFileWriter(path, codec, block_size, index_chunk=index_chunk)
+            for c in data:
+                w.add(*c)
+            m = w.close()
+            assert m["entry_count"] == len(data)
+            assert list(hf.iter_hfile(path)) == data
+            for rk, quals in rows:
+                want = [
+                    (q, ts, v) for q, ts, v in sorted(quals, key=lambda x: x[0])
+                ]
+                assert hf.hfile_get(path, rk) == want
+        finally:
+            os.unlink(path)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass

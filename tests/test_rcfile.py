@@ -154,3 +154,42 @@ def test_scan_splits_column_pruning(spark, tmp_path):
     df = rcfile.scan_splits(spark, path, ["c0", "c1", "c2"], columns=["c2"])
     assert df.columns == ["c2"]
     assert {r["c2"] for r in df.collect()} == {None, "yy", "z", "end"}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.text(max_size=30)),
+                st.one_of(st.none(), st.text(max_size=30)),
+                st.one_of(st.none(), st.text(max_size=30)),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        codec=st.sampled_from([None, "deflate"]),
+        rows_per_group=st.sampled_from([1, 3, 64]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_rcfile_roundtrip_property(rows, codec, rows_per_group):
+        """Any mix of nulls, empty strings, and unicode survives the
+        RCFile round trip across group sizes and codecs."""
+        import os
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".rc", delete=False) as f:
+            path = f.name
+        try:
+            n = rcfile.write_rcfile(
+                path, rows, 3, codec=codec, rows_per_group=rows_per_group
+            )
+            assert n == len(rows)
+            assert list(rcfile.iter_rcfile(open(path, "rb").read())) == rows
+        finally:
+            os.unlink(path)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
+    pass
