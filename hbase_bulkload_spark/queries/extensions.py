@@ -293,6 +293,54 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_vocab(spark, sf_dir) -> DataFrame:
+    """Op 55f: vocabulary build — the corpus token table with total and
+    document frequencies and a deterministic frequency-ranked id
+    (count desc, token asc — the tie-break that makes re-runs and other
+    engines assign identical ids). The global ranking window runs on the
+    POST-AGGREGATION frame (|vocab| ≪ corpus: distinct tokens, not
+    occurrences), so the single-partition rank is over thousands of
+    rows regardless of corpus size — the same "aggregate first, rank
+    the small result" shape as q_topk."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return stats.select(
+        "token", "tf", "df", F.row_number().over(w).alias("vocab_id")
+    )
+
+
+def q_text_tfidf(spark, sf_dir) -> DataFrame:
+    """Op 55g: TF-IDF scoring per (document, token) — smoothed idf
+    ``ln((N+1)/(df+1)) + 1``. Two hash aggregations over the exploded
+    token stream (per-doc tf, then per-token df on the already-reduced
+    tf frame — never a second pass over occurrences) plus a corpus-size
+    scalar joined in by broadcast; the df side of the join is
+    vocabulary-sized, so AQE broadcasts it too."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
 CHUNK_WINDOW = 32  # tokens per training chunk
 CHUNK_STRIDE = 24  # overlap = window - stride = 8 tokens
 
@@ -442,6 +490,8 @@ QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_pack_sequences": q_pack_sequences,
     "q_chunk_documents": q_chunk_documents,
+    "q_text_vocab": q_text_vocab,
+    "q_text_tfidf": q_text_tfidf,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -650,6 +700,39 @@ ORACLES = {
                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                            - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
         FROM s
+    """,
+    "q_text_vocab": """
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        s AS (
+            SELECT token,
+                   CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM t GROUP BY token
+        )
+        SELECT token, tf, df,
+               CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+                   AS vocab_id
+        FROM s
+    """,
+    "q_text_tfidf": """
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
     """,
     "q_chunk_documents": f"""
         WITH d AS (
