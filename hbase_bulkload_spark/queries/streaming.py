@@ -72,6 +72,38 @@ def q_stream_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_funnel(spark, sf_dir) -> DataFrame:
+    """Sequential-pattern funnel over the event stream: per user, the
+    first view, the first click at-or-after that view, and the first
+    purchase at-or-after that click — the classic ordered conversion
+    funnel. Three per-user min aggregations chained by joins; each
+    stage's frame is one row per user (≪ events), so the chaining joins
+    broadcast under AQE and the only full-data work is three filtered
+    scans' partial aggregations."""
+    ev = _events(spark, sf_dir)
+
+    def first_after(event_type: str, prev, prev_col: str, out_col: str):
+        f = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            f = f.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_col))
+        return f.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = first_after("view", None, "", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
@@ -79,6 +111,7 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_stateful": q_stream_stateful,
     "q_stream_join": q_stream_join,
+    "q_events_funnel": q_events_funnel,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -127,6 +160,30 @@ ORACLES = {
         FROM isl GROUP BY user_id, sid
     """,
     "q_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_events_funnel": f"""
+        WITH {EV_CTE},
+        v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM ev e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM ev e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               p.t_purchase IS NOT NULL AS converted
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+    """,
     "q_stream_join": f"""
         WITH {EV_CTE}
         SELECT c.user_id,
