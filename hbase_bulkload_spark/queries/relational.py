@@ -186,6 +186,16 @@ def q_agg_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_agg_cube(spark, sf_dir) -> DataFrame:
+    """Op 30b: cube — every grouping-set combination including the
+    cross-dimension slices rollup skips."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_agg_conditional(spark, sf_dir) -> DataFrame:
     """Op 31: filtered/conditional aggregation (sum over CASE)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -482,6 +492,7 @@ QUERIES = {
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
     "q_agg_conditional": q_agg_conditional,
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
@@ -594,6 +605,12 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                {dsum_expr('l_quantity')} AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_expr('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_agg_conditional": f"""
         SELECT l_linestatus,
