@@ -7,8 +7,10 @@ installs are off-limits, so this module implements the public Avro 1.x
 *Object Container File* spec directly (magic `Obj\\x01`, metadata map,
 sync-marker-delimited blocks, zigzag-varint primitives) for the subset
 the engine needs: records of primitives and ``["null", primitive]``
-unions, null + deflate codecs (deflate = raw RFC-1951 per the spec,
-stdlib zlib; blocks compress independently so the split reader below
+unions, null + deflate + snappy codecs (deflate = raw RFC-1951 per the
+spec, stdlib zlib; snappy = raw snappy + 4-byte big-endian CRC32 of the
+uncompressed data, per the spec's snappy codec section; blocks compress
+independently so the split reader below
 works on compressed containers unchanged — sync markers sit between
 compressed blocks).
 
@@ -38,7 +40,7 @@ from collections.abc import Iterable, Iterator
 
 MAGIC = b"Obj\x01"
 BLOCK_ROWS = 4096
-CODECS = (b"null", b"", b"deflate")
+CODECS = (b"null", b"", b"deflate", b"snappy")
 
 
 def _deflate(payload: bytes) -> bytes:
@@ -48,6 +50,37 @@ def _deflate(payload: bytes) -> bytes:
 
 def _inflate(payload: bytes) -> bytes:
     return zlib.decompress(payload, -15)
+
+
+def _snappy(payload: bytes) -> bytes:
+    """Avro snappy block: raw-snappy data + 4-byte big-endian CRC32 of
+    the UNCOMPRESSED data (Avro spec, "snappy codec")."""
+    import pyarrow as pa
+
+    comp = pa.Codec("snappy").compress(payload, asbytes=True)
+    return comp + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+
+
+def _unsnappy(raw: bytes) -> bytes:
+    import pyarrow as pa
+
+    comp, (crc,) = raw[:-4], struct.unpack(">I", raw[-4:])
+    # raw snappy's preamble is a LE varint of the uncompressed length —
+    # parse it ourselves since pyarrow wants the size up front
+    n = shift = 0
+    for b in comp:
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    plain = pa.Codec("snappy").decompress(comp, n, asbytes=True)
+    if zlib.crc32(plain) & 0xFFFFFFFF != crc:
+        raise ValueError("avro snappy block CRC mismatch")
+    return plain
+
+
+#: codec name -> block decoder (None = stored uncompressed)
+_DECODERS = {b"null": None, b"": None, b"deflate": _inflate, b"snappy": _unsnappy}
 
 
 # ---------------------------------------------------------------------------
@@ -158,9 +191,9 @@ def _sync_marker(schema_json: str) -> bytes:
 def write_ocf(
     path: str, schema: dict, rows: Iterable[tuple], codec: str = "null"
 ) -> int:
-    """Write one OCF (null or deflate codec). ``rows`` are value tuples
-    in field order. Returns the row count."""
-    if codec not in ("null", "deflate"):
+    """Write one OCF (null, deflate, or snappy codec). ``rows`` are
+    value tuples in field order. Returns the row count."""
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec!r}")
     schema_json = json.dumps(schema)
     sync = _sync_marker(schema_json)
@@ -186,6 +219,8 @@ def write_ocf(
                 payload = block.getvalue()
                 if codec == "deflate":
                     payload = _deflate(payload)
+                elif codec == "snappy":
+                    payload = _snappy(payload)
                 f.write(_enc_long(n_block) + _enc_long(len(payload)))
                 f.write(payload)
                 f.write(sync)
@@ -238,13 +273,13 @@ def record_field_names(data: bytes) -> list[str]:
 
 
 def iter_ocf(data: bytes) -> Iterator[tuple]:
-    """Decode one OCF's bytes into value tuples (null/deflate codecs)."""
+    """Decode one OCF's bytes into value tuples (null/deflate/snappy)."""
     buf = memoryview(data)
     meta, pos = _read_header(buf)
     codec = meta.get("avro.codec", b"null")
     if codec not in CODECS:
         raise NotImplementedError(f"avro codec {codec!r}")
-    deflated = codec == b"deflate"
+    decode_block = _DECODERS[codec]
     schema = json.loads(meta["avro.schema"].decode())
     types = _field_types(schema)
     sync_len = 16
@@ -254,8 +289,8 @@ def iter_ocf(data: bytes) -> Iterator[tuple]:
     while pos < end:
         n_rows, pos = _dec_long(buf, pos)
         block_size, pos = _dec_long(buf, pos)
-        if deflated:
-            src: bytes | memoryview = _inflate(bytes(buf[pos : pos + block_size]))
+        if decode_block is not None:
+            src: bytes | memoryview = decode_block(bytes(buf[pos : pos + block_size]))
             rp = 0
         else:
             src, rp = buf, pos
@@ -265,7 +300,7 @@ def iter_ocf(data: bytes) -> Iterator[tuple]:
                 v, rp = dec(src, rp, t)
                 row.append(v)
             yield tuple(row)
-        pos = (pos + block_size if deflated else rp) + sync_len
+        pos = (pos + block_size if decode_block is not None else rp) + sync_len
     return
 
 
@@ -321,8 +356,9 @@ def iter_ocf_range(
             missing = p + block_size + sl - len(buf)
             if missing > 0:
                 buf += f.read(missing)
-            if codec == "deflate":
-                src: bytes | bytearray = _inflate(bytes(buf[p : p + block_size]))
+            decode_block = _DECODERS[codec.encode() if isinstance(codec, str) else codec]
+            if decode_block is not None:
+                src: bytes | bytearray = decode_block(bytes(buf[p : p + block_size]))
                 rp = 0
             else:
                 src, rp = buf, p

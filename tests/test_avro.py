@@ -162,28 +162,40 @@ def test_scan_splits_primitive_schema(spark, tmp_path):
     assert sorted((r.i, r.d, r.u) for r in df.collect()) == sorted(rows)
 
 
-def test_deflate_roundtrip_and_split_scan(spark, tmp_path):
-    """Deflate codec: write compresses (file strictly smaller than the
-    null-codec twin), whole-buffer decode and the sync-marker split scan
-    both recover every row exactly once."""
+@pytest.mark.parametrize("codec", ["deflate", "snappy"])
+def test_compressed_roundtrip_and_split_scan(spark, tmp_path, codec):
+    """Compressed codecs: write compresses (file strictly smaller than
+    the null-codec twin), whole-buffer decode and the sync-marker split
+    scan both recover every row exactly once."""
     schema = avro_ocf.nullable_string_record("T", ["a", "b"])
     rows = [(f"key{i:06d}", None if i % 11 == 0 else f"val{i}" * 3) for i in range(20_000)]
-    src = str(tmp_path / "defl")
+    src = str(tmp_path / "comp")
     os.makedirs(src)
-    p_defl = os.path.join(src, "d.avro")
+    p_comp = os.path.join(src, "c.avro")
     p_null = str(tmp_path / "n.avro")
-    assert avro_ocf.write_ocf(p_defl, schema, rows, codec="deflate") == len(rows)
+    assert avro_ocf.write_ocf(p_comp, schema, rows, codec=codec) == len(rows)
     avro_ocf.write_ocf(p_null, schema, rows)
-    assert os.path.getsize(p_defl) < os.path.getsize(p_null)
+    assert os.path.getsize(p_comp) < os.path.getsize(p_null)
 
-    with open(p_defl, "rb") as f:
+    with open(p_comp, "rb") as f:
         got = list(avro_ocf.iter_ocf(f.read()))
     assert got == rows
 
-    fsize = os.path.getsize(p_defl)
+    fsize = os.path.getsize(p_comp)
     df = avro_ocf.scan_splits(spark, src, split_size=max(fsize // 5, 1))
     assert df.rdd.getNumPartitions() > 1
     assert sorted((r.a, r.b) for r in df.collect()) == sorted(rows)
+
+
+def test_snappy_crc_validated(tmp_path):
+    """A corrupted snappy block fails the spec's uncompressed-data CRC."""
+    schema = avro_ocf.nullable_string_record("T", ["a"])
+    p = str(tmp_path / "s.avro")
+    avro_ocf.write_ocf(p, schema, [(f"row{i}",) for i in range(100)], codec="snappy")
+    data = bytearray(open(p, "rb").read())
+    data[-21] ^= 0xFF  # flip a byte inside the last block's payload/CRC
+    with pytest.raises((ValueError, OSError)):
+        list(avro_ocf.iter_ocf(bytes(data)))
 
 
 def test_unsupported_codec_rejected(tmp_path):
