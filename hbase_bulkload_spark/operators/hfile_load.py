@@ -109,8 +109,13 @@ def write_region_hfiles(
 def _region_dirs(table_dir: str, boundaries: list[bytes], family: str) -> list[str]:
     dirs = []
     for i, start in enumerate(boundaries):
+        # directory label: the start key if it is printable ASCII (the
+        # canonical hex-nibble boundaries), else its hex — raw-binary
+        # boundaries (e.g. b"\x80") are not valid path text
+        printable = all(0x20 <= b < 0x7F for b in start)
+        label = start.decode("ascii") if (start and printable) else start.hex()
         d = os.path.join(
-            table_dir, f"region-{i:04d}-{start.decode() or 'START'}", family
+            table_dir, f"region-{i:04d}-{label or 'START'}", family
         )
         os.makedirs(d, exist_ok=True)
         dirs.append(d)
@@ -238,6 +243,7 @@ def scan_hfiles(
     verify_checksums: bool = True,
     start_row: bytes | None = None,
     stop_row: bytes | None = None,
+    binary: bool = False,
 ) -> DataFrame:
     """Distributed scan of a bulk-loaded table directory: the driver
     reads each file's trailer + root index (a few KB) and plans
@@ -294,9 +300,13 @@ def scan_hfiles(
         if chunk:
             plan.append((path, region, t.compression or "", chunk))
 
+    # binary mode keeps raw cell bytes — required for tables written in
+    # the reference-fidelity raw-key/positional modes, whose keys and
+    # qualifiers are not UTF-8
+    cell_t = "binary" if binary else "string"
     out_schema = (
-        "region string, rowkey string, family string, qualifier string, "
-        "ts long, value string"
+        f"region string, rowkey {cell_t}, family {cell_t}, "
+        f"qualifier {cell_t}, ts long, value {cell_t}"
     )
     if not plan:  # fully pruned range
         return spark.createDataFrame([], out_schema)
@@ -317,7 +327,9 @@ def scan_hfiles(
                             f, b["off"], r.codec or None, hf.DATA_MAGIC,
                             verify_checksums,
                         )
-                        cr, cf, cq, ct, cv = hf.decode_cells_columns(plain)
+                        cr, cf, cq, ct, cv = hf.decode_cells_columns(
+                            plain, binary=binary
+                        )
                         rows += cr
                         fams += cf
                         quals += cq
@@ -334,9 +346,11 @@ def scan_hfiles(
                     }
                 )
                 if start_row is not None:
-                    pdf_out = pdf_out[pdf_out.rowkey >= start_row.decode()]
+                    lo = start_row if binary else start_row.decode()
+                    pdf_out = pdf_out[pdf_out.rowkey >= lo]
                 if stop_row is not None:
-                    pdf_out = pdf_out[pdf_out.rowkey < stop_row.decode()]
+                    hi = stop_row if binary else stop_row.decode()
+                    pdf_out = pdf_out[pdf_out.rowkey < hi]
                 yield pdf_out
 
     return sdf.mapInPandas(decode, out_schema)

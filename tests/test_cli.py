@@ -202,6 +202,46 @@ def test_cli_reference_fidelity_flags(spark, tmp_path):
     }
 
 
+def test_cli_fidelity_hfile_sink_binary_scan(spark, tmp_path):
+    """Reference-fidelity cells through the HFile sink and back: raw
+    64-byte rowkeys and positional qualifiers are not UTF-8, so the
+    read-back uses the binary scan mode and must recover the exact
+    reference bytes."""
+    import hashlib
+
+    from hbase_bulkload_spark.operators.hfile_load import scan_hfiles
+
+    src = str(tmp_path / "fidh_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "p.csv"), "w") as fh:
+        fh.write("35218,195,Alabama Power Co,AL,Bundled\n")
+        fh.write("10000,42,Example Utility,TX,Delivery\n")
+    out = str(tmp_path / "fidh_out")
+    cli.ingest(
+        spark, src, out, fmt="csv", n_columns=5, n_buckets=16,
+        raw_binary_keys=True, positional_qualifiers=True, sink="hfile",
+    )
+    got = scan_hfiles(spark, out, binary=True).collect()
+    assert len(got) == 10  # 2 rows x 5 cells
+    want_keys = {
+        b"".join(
+            hashlib.md5(f.encode()).digest()
+            for f in ("35218", "195", "Alabama Power Co", "AL")
+        ),
+        b"".join(
+            hashlib.md5(f.encode()).digest()
+            for f in ("10000", "42", "Example Utility", "TX")
+        ),
+    }
+    assert {bytes(r.rowkey) for r in got} == want_keys
+    assert {bytes(r.qualifier) for r in got} == {
+        bytes([0, 0, 0, i]) for i in range(5)
+    }
+    # values decode as the original fields
+    vals = {bytes(r.value).decode() for r in got}
+    assert "Alabama Power Co" in vals and "Delivery" in vals
+
+
 def test_cli_conf_passthrough(spark, tmp_path):
     """--conf K=V lands in the session (the ToolRunner -D generic
     option surface, BulkImporterFromCSVText.java:164-168)."""
