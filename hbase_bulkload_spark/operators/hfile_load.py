@@ -422,6 +422,26 @@ def compact_region(
     return m
 
 
+def compact_table(
+    table_dir: str,
+    compression: str | None = "snappy",
+    max_versions: int | None = None,
+    ttl_min_ts: int | None = None,
+) -> list[dict]:
+    """Major-compact every region family directory under ``table_dir``
+    (see compact_region) — the table-wide pass a region server runs
+    after repeated incremental bulk loads leave overlapping files."""
+    import glob as _glob
+
+    out = []
+    for fam_dir in sorted(_glob.glob(os.path.join(table_dir, "region-*", "*"))):
+        if os.path.isdir(fam_dir) and _glob.glob(os.path.join(fam_dir, "*.hfile")):
+            m = compact_region(fam_dir, compression, max_versions, ttl_min_ts)
+            m["family_dir"] = fam_dir
+            out.append(m)
+    return out
+
+
 def bulkload_hfile_roundtrip(
     kv: DataFrame,
     work_dir: str,

@@ -219,3 +219,56 @@ def start_bulkload_sink(cells: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_bulkload_hfile_sink(
+    cells: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    compression: str | None = "snappy",
+):
+    """Stream → loaded HFile table: each microbatch is region-aligned,
+    written as executor-side region HFiles under a batch-scoped staging
+    dir (file names batch-stamped so successive loads never collide),
+    and placed by the doBulkLoad analog — HBase's own incremental
+    bulk-load pattern. Successive batches leave overlapping files per
+    region, exactly as successive `doBulkLoad` calls do on a live
+    table; `hfile_load.compact_table` restores the one-sorted-file
+    invariant, completing stream → load → compact."""
+    import os
+    import shutil
+
+    from hbase_bulkload_spark.operators import hfile_load
+    from hbase_bulkload_spark.operators.bulkload import region_align
+
+    boundaries = [format(i, "x").encode() for i in range(n_buckets)]
+
+    def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staging = os.path.join(table_dir, f"_staging_{batch_id:05d}")
+        manifest = hfile_load.write_region_hfiles(
+            region_align(batch_df, n_buckets), staging, compression=compression
+        )
+        paths = []
+        for m in manifest:
+            unique = os.path.join(
+                staging, f"b{batch_id:05d}-{os.path.basename(m['path'])}"
+            )
+            os.rename(m["path"], unique)
+            paths.append(unique)
+        if paths:
+            hfile_load.do_bulk_load(
+                paths,
+                table_dir,
+                boundaries,
+                spark=batch_df.sparkSession,
+                compression=compression,
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return (
+        cells.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

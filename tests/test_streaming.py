@@ -5,6 +5,7 @@ is genuinely streaming-capable, not batch-only."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import functions as F
@@ -204,6 +205,64 @@ def test_stream_bulkload_sink(spark, sf_dir, tmp_path):
     assert sorted(r.bucket for r in got.select("bucket").distinct().collect()) == sorted(
         r.bucket for r in want.select("bucket").distinct().collect()
     )
+
+
+def test_stream_bulkload_hfile_sink(spark, sf_dir, tmp_path):
+    """Stream → incremental doBulkLoad → compact: three microbatches
+    leave overlapping region files (as successive bulk loads do), the
+    scanned table equals the batch pipeline's cells, and table
+    compaction restores one file per region without changing content."""
+    import glob
+
+    from hbase_bulkload_spark.operators import hfile_load
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv
+    from hbase_bulkload_spark.sources import records
+    from hbase_bulkload_spark.sources.records import RECORD_COLS
+
+    wide = records.wide9(spark, sf_dir).select(*RECORD_COLS)
+    src = str(tmp_path / "wide_src")
+    wide.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(wide.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple microbatches
+        .parquet(src)
+    )
+    cells = stream_ops.stream_bulkload_cells(stream, RECORD_COLS[:4], RECORD_COLS)
+    table = str(tmp_path / "table")
+    q = stream_ops.start_bulkload_hfile_sink(
+        cells, table, str(tmp_path / "ckpt_h")
+    )
+    q.awaitTermination(180)
+
+    want = bulkload_kv(wide, RECORD_COLS[:4], RECORD_COLS).select(
+        "rowkey", "qualifier", "value"
+    )
+    got = hfile_load.scan_hfiles(spark, table).select(
+        "rowkey", "qualifier", "value"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # incremental loads left >1 file in at least one region
+    per_region = [
+        len(glob.glob(os.path.join(d, "*", "*.hfile")))
+        for d in glob.glob(os.path.join(table, "region-*"))
+    ]
+    assert max(per_region) > 1
+
+    manifests = hfile_load.compact_table(table)
+    assert manifests  # compacted something
+    per_region = [
+        len(glob.glob(os.path.join(d, "*", "*.hfile")))
+        for d in glob.glob(os.path.join(table, "region-*"))
+    ]
+    assert max(per_region) == 1
+    again = hfile_load.scan_hfiles(spark, table).select(
+        "rowkey", "qualifier", "value"
+    )
+    assert again.count() == want.count()
+    assert again.exceptAll(want).count() == 0
 
 
 def test_session_gap_boundary(spark):
