@@ -341,6 +341,44 @@ def q_text_tfidf(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark, sf_dir) -> DataFrame:
+    """Op 62: scalar (min-max int8) quantization of embedding vectors —
+    the 4×-compression step vector stores apply before serving ANN at
+    scale. Per vector: code_d = floor((x_d − min) · 255 / (max − min)),
+    constant vectors quantize to 0. Map-only + one narrow posexplode
+    (no shuffle); every operation is plain IEEE double arithmetic (no
+    transcendentals), and the output codes are integers, so the DuckDB
+    oracle is value-EXACT, not round-tolerant. min/max ride along
+    (round-6) as the dequantization parameters."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
+    ex = base.select(
+        "vec_id", "mn", "mx", F.posexplode("embedding").alias("dim", "x")
+    )
+    span = F.col("mx") - F.col("mn")
+    code = (
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("x").cast("double") - F.col("mn")) * 255.0 / span)
+        )
+        .cast("int")
+    )
+    return ex.select(
+        "vec_id",
+        "dim",
+        code.alias("code"),
+        F.round("mn", 6).alias("vec_min"),
+        F.round("mx", 6).alias("vec_max"),
+    )
+
+
 CHUNK_WINDOW = 32  # tokens per training chunk
 CHUNK_STRIDE = 24  # overlap = window - stride = 8 tokens
 
@@ -492,6 +530,7 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,
     "q_text_vocab": q_text_vocab,
     "q_text_tfidf": q_text_tfidf,
+    "q_embed_quantize": q_embed_quantize,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -700,6 +739,24 @@ ORACLES = {
                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                            - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
         FROM s
+    """,
+    "q_embed_quantize": """
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS mn,
+                   CAST(list_max(embedding) AS DOUBLE) AS mx
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+        )
+        SELECT vec_id,
+               CAST(t.dim AS INT) AS dim,
+               CAST(CASE WHEN mx = mn THEN 0
+                    ELSE floor((CAST(embedding[CAST(t.dim AS INT) + 1] AS DOUBLE) - mn)
+                               * 255.0 / (mx - mn))
+                    END AS INT) AS code,
+               round(mn, 6) AS vec_min,
+               round(mx, 6) AS vec_max
+        FROM b, UNNEST(range(0, len(embedding))) AS t(dim)
     """,
     "q_text_vocab": """
         WITH t AS (
