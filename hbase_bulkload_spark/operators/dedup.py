@@ -291,6 +291,60 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Op 53f: connected components of the near-dup pair graph by
+    iterative min-label propagation — the transitive-closure complement
+    of the single-pass min-id policy (`embedding_dedup`): a whole
+    near-dup CLUSTER collapses to one representative even when its
+    members only touch pairwise through intermediaries.
+
+    Each node starts labeled with its own id; every round a node takes
+    the min of its label and its neighbors' labels; fixed point after
+    O(component diameter) rounds. Near-dup clusters are shallow (dup
+    chains, not long paths), so a handful of rounds suffices — the
+    driver loop is O(diameter) iterations of fully-distributed joins,
+    with `localCheckpoint` cutting lineage each round so plans don't
+    compound. (For adversarially deep graphs at 100 TB the standard
+    upgrade is large-star/small-star contraction — same interface,
+    fewer rounds; documented as the growth path.) Singleton nodes keep
+    their own id as ``comp_id``."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("comp_id"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels[id_col])
+            .groupBy(F.col("dst").alias("__n_id"))
+            .agg(F.min("comp_id").alias("__n_min"))
+        )
+        new = (
+            labels.join(neigh, labels[id_col] == neigh["__n_id"], "left")
+            .select(
+                id_col,
+                F.least(
+                    "comp_id", F.coalesce("__n_min", "comp_id")
+                ).alias("comp_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.comp_id") != F.col("o.comp_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_dedup(
     docs: DataFrame,
     embeddings: DataFrame,

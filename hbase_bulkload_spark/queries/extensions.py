@@ -341,6 +341,22 @@ def q_text_tfidf(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_components(spark, sf_dir) -> DataFrame:
+    """Op 53f: connected components of the exact n-gram near-dup graph —
+    every document labeled with the min doc_id reachable through dup
+    pairs (singletons label themselves). Iterative min-label
+    propagation on Spark; the oracle is the same fixpoint computed by a
+    DuckDB RECURSIVE CTE over the identical edge set, so even this
+    iterative operator carries a full value-hash oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=dedup.DEFAULT_MAX_SHINGLE_FREQ,
+    )
+    return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
 def q_embed_quantize(spark, sf_dir) -> DataFrame:
     """Op 62: scalar (min-max int8) quantization of embedding vectors —
     the 4×-compression step vector stores apply before serving ANN at
@@ -531,6 +547,7 @@ QUERIES = {
     "q_text_vocab": q_text_vocab,
     "q_text_tfidf": q_text_tfidf,
     "q_embed_quantize": q_embed_quantize,
+    "q_dedup_components": q_dedup_components,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -547,6 +564,40 @@ scored AS (
 )
 """.format(en=_STOP_EN, de=_STOP_DE, fr=_STOP_FR)
 
+# shared by the ngram-pairs oracle and the connected-components oracle
+# (same edge definition, one source of truth): yields CTE `jac`
+# (doc_a, doc_b, jaccard) — word-3-gram Jaccard ≥ threshold with the
+# identical hot-shingle cap predicate the Spark side applies
+_NGRAM_PAIRS_CTES = f"""
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        kept AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {dedup.DEFAULT_MAX_SHINGLE_FREQ}
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN kept k ON k.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        )
+"""
+
 ORACLES = {
     "q_scan_jsonl": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -558,32 +609,22 @@ ORACLES = {
         FROM documents GROUP BY 1
     """,
     "q_dedup_ngram": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WITH {_NGRAM_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jac
+    """,
+    "q_dedup_components": f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jac
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM jac
         ),
-        sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        kept AS (
-            -- identical predicate to the Spark side's hot-shingle cap
-            SELECT shingle FROM sh GROUP BY shingle
-            HAVING COUNT(*) <= {dedup.DEFAULT_MAX_SHINGLE_FREQ}
-        ),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            JOIN kept k ON k.shingle = a.shingle
-            GROUP BY 1, 2
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
         )
-        SELECT doc_a, doc_b,
-               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
-              >= {JACCARD_THRESHOLD}
+        SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src
     """,
     "q_dedup_embed": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -350,3 +350,18 @@ def test_chunk_documents_boundaries(spark, tmp_path, monkeypatch):
     a = by_doc[3][0].chunk_text.split(" ")
     b = by_doc[3][1].chunk_text.split(" ")
     assert a[-8:] == b[:8]
+
+
+def test_connected_components_chain(spark):
+    """Label propagation reaches across chains: a-b + b-c collapse to
+    one component labeled min(a) even though a,c never pair directly;
+    isolated nodes keep their own id."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (7, 8)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 5, 7, 8, 9)], "doc_id long")
+    got = {
+        r.doc_id: r.comp_id
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 2, 9: 2, 7: 7, 8: 7}
