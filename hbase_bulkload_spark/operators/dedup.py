@@ -313,9 +313,14 @@ def connected_components(
     upgrade is large-star/small-star contraction — same interface,
     fewer rounds; documented as the growth path.) Singleton nodes keep
     their own id as ``comp_id``."""
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the (tiny) edge list once — every iteration joins it,
+    # and without the cut each round would re-derive the full pair
+    # computation (shingle explode + posting lists) from scratch
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("comp_id"))
     for _ in range(max_iter):
         neigh = (
