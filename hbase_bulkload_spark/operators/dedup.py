@@ -291,6 +291,83 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its LARGER neighbors to
+    the minimum of its neighborhood (incl. itself)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward its smaller
+    endpoint, then connect every node's SMALLER neighbors (and itself)
+    to the minimum among them."""
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Op 53f, deep-graph scale path: large-star/small-star alternation
+    (Kiveris et al.) — converges in O(log n) ROUNDS regardless of
+    component diameter, where min-label propagation needs O(diameter).
+    Each round is two groupBy+join passes over the (shrinking) edge
+    list; convergence when the edge set reaches the fixed point (every
+    edge a star spoke into its component minimum). Same output contract
+    as ``connected_components``: (id, comp_id), singletons label
+    themselves — pinned equal on random graphs by
+    tests/test_extensions.py::test_components_star_equals_propagation."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        same = (
+            new.count() == edges.count()
+            and new.exceptAll(edges).count() == 0
+        )
+        edges = new
+        if same:
+            break
+    # converged edges are (member, component-min) spokes
+    spokes = edges.select(
+        F.greatest("u", "v").alias(id_col), F.least("u", "v").alias("__m")
+    ).groupBy(id_col).agg(F.min("__m").alias("__m"))
+    return nodes.select(id_col).join(spokes, id_col, "left").select(
+        id_col, F.coalesce("__m", F.col(id_col)).alias("comp_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

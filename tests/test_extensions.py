@@ -365,3 +365,35 @@ def test_connected_components_chain(spark):
         for r in dedup.connected_components(pairs, nodes).collect()
     }
     assert got == {1: 1, 2: 2, 5: 2, 9: 2, 7: 7, 8: 7}
+
+
+def test_components_star_equals_propagation(spark):
+    """Large-star/small-star must produce exactly the propagation
+    variant's labels — random graphs plus a long path (the worst case
+    for propagation, the motivating case for star contraction)."""
+    import random
+
+    cases = []
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        cases.append(
+            (n, [(rng.randrange(n), rng.randrange(n)) for _ in range(45)])
+        )
+    perm = list(range(30))
+    random.Random(1).shuffle(perm)
+    cases.append((30, [(perm[i], perm[i + 1]) for i in range(29)]))  # path
+
+    for n, raw in cases:
+        edges = [(a, b) for a, b in raw if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        a = {
+            r.doc_id: r.comp_id
+            for r in dedup.connected_components(pairs, nodes).collect()
+        }
+        b = {
+            r.doc_id: r.comp_id
+            for r in dedup.connected_components_star(pairs, nodes).collect()
+        }
+        assert a == b
