@@ -70,6 +70,55 @@ def ttl_filter(
     return df.filter(F.col(ts_col) >= now - F.expr(f"INTERVAL {days} DAYS"))
 
 
+def kv_scan(
+    cells: DataFrame,
+    start_row: str | None = None,
+    stop_row: str | None = None,
+    qualifiers: Sequence[str] | None = None,
+    min_ts: Column | None = None,
+    max_ts: Column | None = None,
+    max_versions: int | None = None,
+    tiebreak: Sequence[str] = (),
+    row_col: str = "rowkey",
+    qual_col: str = "qualifier",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """An HBase client *Scan* over a KV cell frame — the reference
+    table's primary read path (the DDL at `create_table.rb:1` exists to
+    serve exactly these scans). Mirrors the Scan API surface:
+
+    - ``start_row``/``stop_row``: rowkey range, inclusive/exclusive like
+      `Scan.withStartRow/withStopRow` — on a sorted store this is a seek;
+      here it is a pushable range predicate (parquet row-group pruning,
+      and whole-bucket pruning when the store is hex-bucket partitioned);
+    - ``qualifiers``: `Scan.addColumn` projection (IN-list predicate);
+    - ``min_ts``/``max_ts``: `Scan.setTimeRange(min, max)` — [min, max),
+      applied BEFORE version counting, exactly as HBase does;
+    - ``max_versions``: `Scan.readVersions(n)` — newest n per cell *after*
+      the timerange filter (HBase semantics: timeRange then versions).
+
+    Every predicate is a scan-side filter (no shuffle); only the version
+    window exchanges, on the uniformly distributed cell key. Output is
+    region-scan-ordered within partitions (rowkey, qualifier, ts desc).
+    """
+    out = cells
+    if start_row is not None:
+        out = out.filter(F.col(row_col) >= start_row)
+    if stop_row is not None:
+        out = out.filter(F.col(row_col) < stop_row)
+    if qualifiers is not None:
+        out = out.filter(F.col(qual_col).isin(list(qualifiers)))
+    if min_ts is not None:
+        out = out.filter(F.col(ts_col) >= min_ts)
+    if max_ts is not None:
+        out = out.filter(F.col(ts_col) < max_ts)
+    if max_versions is not None:
+        out = keep_latest_versions(
+            out, [row_col, qual_col], ts_col, n=max_versions, tiebreak=tiebreak
+        )
+    return out.sortWithinPartitions(row_col, qual_col, F.desc(ts_col))
+
+
 def current_vs_history(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -196,6 +196,25 @@ def q_agg_cube(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_agg_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Op 30c: explicit GROUPING SETS — the general form rollup/cube
+    specialize: two non-hierarchical single-column slices plus the grand
+    total, with GROUPING() markers distinguishing subtotal NULLs from
+    data NULLs. One Expand + one hash aggregate, same single-shuffle
+    shape as rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_agg_conditional(spark, sf_dir) -> DataFrame:
     """Op 31: filtered/conditional aggregation (sum over CASE)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -493,6 +512,7 @@ QUERIES = {
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_agg_conditional": q_agg_conditional,
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
@@ -611,6 +631,15 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                {dsum_expr('l_quantity')} AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_agg_grouping_sets": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_expr('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     "q_agg_conditional": f"""
         SELECT l_linestatus,

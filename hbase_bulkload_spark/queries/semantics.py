@@ -15,6 +15,7 @@ from hbase_bulkload_spark.datasets import table
 from hbase_bulkload_spark.operators.semantics import (
     current_vs_history,
     keep_latest_versions,
+    kv_scan,
     ttl_filter,
 )
 from hbase_bulkload_spark.session import oracle_safe
@@ -95,14 +96,81 @@ def q_compaction(spark, sf_dir) -> DataFrame:
     )
 
 
+# q_kv_scan parameters: a quarter of the hex keyspace, two qualifiers,
+# a two-week time window ending one week before the horizon, 2 versions.
+SCAN_START, SCAN_STOP = "2", "6"
+SCAN_QUALS = ("click", "view")
+SCAN_LO_DAYS, SCAN_HI_DAYS = 21, 7
+SCAN_VERSIONS = 2
+
+
+def q_kv_scan(spark, sf_dir) -> DataFrame:
+    """HBase client Scan over the cell store (operators.semantics.kv_scan):
+    rowkey range ['2','6') + qualifier set + setTimeRange + readVersions(2).
+    The timerange bounds are dataset-relative (broadcast 1-row max-ts
+    aggregate, like the TTL horizon) so the query is deterministic at any
+    scale factor. Filters all run scan-side; the only exchange is the
+    version window's, on the uniform (rowkey, qualifier) cell key."""
+    ev = table(oracle_safe(spark), sf_dir, "events")
+    cells = ev.select(
+        F.md5(F.col("user_id").cast("string")).alias("rowkey"),
+        F.col("event_type").alias("qualifier"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    bounds = cells.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {SCAN_LO_DAYS} DAYS")).alias("_t0"),
+        (F.max("ts") - F.expr(f"INTERVAL {SCAN_HI_DAYS} DAYS")).alias("_t1"),
+    )
+    scanned = kv_scan(
+        cells.crossJoin(F.broadcast(bounds)),
+        start_row=SCAN_START,
+        stop_row=SCAN_STOP,
+        qualifiers=SCAN_QUALS,
+        min_ts=F.col("_t0"),
+        max_ts=F.col("_t1"),
+        max_versions=SCAN_VERSIONS,
+        tiebreak=["event_id"],
+    )
+    return scanned.select("rowkey", "qualifier", "ts", "event_id", "value", "version")
+
+
 QUERIES = {
     "q_versions_top3": q_versions_top3,
+    "q_kv_scan": q_kv_scan,
     "q_ttl_filter": q_ttl_filter,
     "q_current_vs_history": q_current_vs_history,
     "q_compaction": q_compaction,
 }
 
 ORACLES = {
+    "q_kv_scan": f"""
+        WITH {EV_CTE},
+        cells AS (
+            SELECT md5(CAST(user_id AS VARCHAR)) AS rowkey,
+                   event_type AS qualifier, ts, event_id, value
+            FROM ev
+        ),
+        bounds AS (
+            SELECT MAX(ts) - INTERVAL {SCAN_LO_DAYS} DAY AS t0,
+                   MAX(ts) - INTERVAL {SCAN_HI_DAYS} DAY AS t1
+            FROM cells
+        ),
+        scanned AS (
+            SELECT c.* FROM cells c, bounds b
+            WHERE c.rowkey >= '{SCAN_START}' AND c.rowkey < '{SCAN_STOP}'
+              AND c.qualifier IN ('click', 'view')
+              AND c.ts >= b.t0 AND c.ts < b.t1
+        )
+        SELECT rowkey, qualifier, ts, event_id, value, CAST(rn AS INT) AS version
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY rowkey, qualifier
+                ORDER BY ts DESC, event_id ASC) AS rn
+            FROM scanned
+        ) WHERE rn <= {SCAN_VERSIONS}
+    """,
     "q_versions_top3": f"""
         WITH {EV_CTE}
         SELECT user_id, event_type, event_id, ts, CAST(rn AS INT) AS version FROM (

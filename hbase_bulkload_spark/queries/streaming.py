@@ -72,6 +72,14 @@ def q_stream_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark, sf_dir) -> DataFrame:
+    """Time-series gap fill (stream_ops.gapfill_resample): daily
+    resample per user over each user's observed span, absent days
+    densified with n_events = 0 and last-observation-carried-forward
+    value — the continuous-aggregate read path of a time-series store."""
+    return stream_ops.gapfill_resample(_events(spark, sf_dir))
+
+
 def q_events_funnel(spark, sf_dir) -> DataFrame:
     """Sequential-pattern funnel over the event stream: per user, the
     first view, the first click at-or-after that view, and the first
@@ -112,6 +120,7 @@ QUERIES = {
     "q_stream_stateful": q_stream_stateful,
     "q_stream_join": q_stream_join,
     "q_events_funnel": q_events_funnel,
+    "q_events_gapfill": q_events_gapfill,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -183,6 +192,31 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON v.user_id = c.user_id
         LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "q_events_gapfill": f"""
+        WITH {EV_CTE},
+        daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {dsum_expr('value')} AS sum_value
+            FROM ev GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        )
+        SELECT g.user_id, g.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               d.sum_value,
+               LAST_VALUE(d.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS locf_value
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
     """,
     "q_stream_join": f"""
         WITH {EV_CTE}

@@ -1,13 +1,17 @@
-"""UDF / UDAF surface (SURVEY.md §2.13 ops 49-50). The reference's
-per-record mapper bodies (`map()` in each importer,
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.13 ops 49-51). The
+reference's per-record mapper bodies (`map()` in each importer,
 `BulkImporterFromText.java:50-71`) are arbitrary-Java row transforms;
-here the same extension point is Arrow-batched Python:
+here the same extension point is Python:
 
 - op 49: a vectorized pandas UDF re-deriving the composite MD5 rowkey in
   pure Python (hashlib), full-oracle-checked — which simultaneously
   cross-validates the built-in expression path (op 13b) byte-for-byte.
 - op 50: a grouped applyInPandas aggregation computing order-invariant
   per-group statistics, full-oracle-checked against DuckDB MEDIAN.
+- op 51: a Python UDTF (1 row → N rows) reproducing the reference's
+  *entire* mapper body — split, arity gate, rowkey, cell fan-out — as
+  one LATERAL table function, full-oracle-checked against the
+  relational formulation.
 """
 
 from __future__ import annotations
@@ -108,15 +112,77 @@ def q_udaf_grouped(spark, sf_dir) -> DataFrame:
     return part.mapInPandas(stats, schema=_STATS_SCHEMA)
 
 
+try:  # Python UDTFs need pyspark >= 3.5; this repo pins 4.x
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="rowkey string, qualifier string, value string")
+    class MapperCells:
+        """Op 51: the reference mapper (`BulkImporterFromText.java:50-71`)
+        as a table function — one delimited line in, 0 (arity-skipped) or
+        9 KV cells out. This is the UDTF *surface* demo; the production
+        path for the same dataflow is the codegen'd split/filter/unpivot
+        plan (queries.ingest), which beats any Python loop — same
+        positioning as q_udf_rowkey vs the built-in op 13b."""
+
+        def eval(self, line: str):
+            if line is None:
+                return
+            words = line.split("\x01")
+            if len(words) != 9:  # words.length == COLUMN_COUNT gate, :56
+                return
+            rowkey = "".join(
+                hashlib.md5(w.encode("utf-8")).hexdigest() for w in words[:4]
+            )
+            for i, w in enumerate(words):  # one addColumn per field, :60-66
+                yield rowkey, f"z{i}", w
+
+except ImportError:  # pragma: no cover
+    MapperCells = None
+
+
+def q_udtf_cells(spark, sf_dir) -> DataFrame:
+    """Op 51 first-class: LATERAL-apply the mapper UDTF to the delimited
+    fixture. The UDTF runs inside the scan stage (map-only, no shuffle);
+    parallelism is the text scan's split count."""
+    oracle_safe(spark)
+    spark.udtf.register("mapper_cells", MapperCells)
+    records.scan_text(spark, sf_dir).createOrReplaceTempView("_udtf_lines")
+    return spark.sql(
+        "SELECT c.rowkey, c.qualifier, c.value "
+        "FROM _udtf_lines, LATERAL mapper_cells(value) c"
+    )
+
+
 QUERIES = {
     "q_udf_rowkey": q_udf_rowkey,
     "q_udaf_grouped": q_udaf_grouped,
+    "q_udtf_cells": q_udtf_cells,
 }
 
 ORACLES = {
     "q_udf_rowkey": f"""
         WITH {WIDE9_CTE}
         SELECT z0, z1, z2, z3, {ROWKEY_SQL} AS rowkey FROM wide9
+    """,
+    "q_udtf_cells": f"""
+        WITH {WIDE9_CTE},
+        valid AS (
+            SELECT * FROM wide9 WHERE _seq % 97 <> 0 AND z8 IS NOT NULL
+        ),
+        keyed AS (
+            SELECT {ROWKEY_SQL} AS rowkey, * FROM valid
+        )
+        SELECT rowkey, qualifier, value FROM (
+            SELECT rowkey, 'z0' AS qualifier, z0 AS value FROM keyed
+            UNION ALL SELECT rowkey, 'z1', z1 FROM keyed
+            UNION ALL SELECT rowkey, 'z2', z2 FROM keyed
+            UNION ALL SELECT rowkey, 'z3', z3 FROM keyed
+            UNION ALL SELECT rowkey, 'z4', z4 FROM keyed
+            UNION ALL SELECT rowkey, 'z5', z5 FROM keyed
+            UNION ALL SELECT rowkey, 'z6', z6 FROM keyed
+            UNION ALL SELECT rowkey, 'z7', z7 FROM keyed
+            UNION ALL SELECT rowkey, 'z8', z8 FROM keyed
+        )
     """,
     "q_udaf_grouped": """
         SELECT o_custkey,

@@ -70,6 +70,48 @@ def session_agg(
     )
 
 
+def gapfill_resample(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 day",
+) -> DataFrame:
+    """Time-series resample + gap fill with LOCF (the hypertable-style
+    continuous-aggregate read path): bucket events to a fixed grid step,
+    then densify each key's [min, max] bucket span — absent buckets get
+    n_events = 0 and a last-observation-carried-forward value.
+
+    Scale shape: the only full-data work is the first (key, bucket) hash
+    aggregate; everything after (span agg, `sequence`/`explode` grid,
+    left join, LOCF window) runs on the aggregated frame, which is
+    |keys| × |buckets| ≪ |events|. The grid explode is a narrow map-side
+    Generate; the LOCF window partitions by key — no global window."""
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc("DAY", F.col(ts_col))  # step granularity below
+    daily = df.groupBy(F.col(key), bucket.alias("day")).agg(
+        F.count("*").alias("n_events"), dsum(value_col).alias("sum_value")
+    )
+    span = daily.groupBy(key).agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        key, F.explode(F.sequence("d0", "d1", F.expr(f"INTERVAL {step}"))).alias("day")
+    )
+    joined = grid.join(daily, [key, "day"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
 def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Op 48: stateful dedup. Output is the distinct key set — the part
     of dropDuplicates that is deterministic regardless of which physical

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from hbase_bulkload_spark.operators.semantics import (
     current_vs_history,
     keep_latest_versions,
+    kv_scan,
     ttl_filter,
 )
 
@@ -47,6 +48,30 @@ def test_ttl_filter_dataset_horizon(spark):
     df = _fixture(spark)
     out = ttl_filter(df, "ts", days=1)  # max ts = day5 → keep day4..5
     assert set(out.select("value").toPandas()["value"]) == {"v3", "v4"}
+
+
+def test_kv_scan_filters_compose(spark):
+    df = _fixture(spark)
+    out = kv_scan(df, start_row="k1", stop_row="k3", qualifiers=["q"])
+    assert set(out.select("rowkey").toPandas()["rowkey"]) == {"k1", "k2"}
+    assert kv_scan(df, qualifiers=["absent"]).count() == 0
+
+
+def test_kv_scan_timerange_before_versions(spark):
+    """HBase applies setTimeRange BEFORE readVersions: with the newest
+    cell excluded by max_ts, version 1 must be the newest *in-range*
+    cell, not a gap. k3 has v0..v4 at days 1..5; scan [day2, day5) with
+    readVersions(2) → v3 (version 1) and v2 (version 2)."""
+    df = _fixture(spark).filter("rowkey = 'k3'")
+    out = kv_scan(
+        df,
+        min_ts=F.lit("2024-01-02 00:00:00").cast("timestamp"),
+        max_ts=F.lit("2024-01-05 00:00:00").cast("timestamp"),
+        max_versions=2,
+        tiebreak=["value"],
+    )
+    got = {(r.value, r.version) for r in out.select("value", "version").collect()}
+    assert got == {("v3", 1), ("v2", 2)}
 
 
 def test_current_vs_history_split(spark):
