@@ -93,6 +93,32 @@ def salted_key(bucket: Column, key: Column, width: int = 2) -> Column:
     return F.concat(F.lpad(bucket.cast("string"), width, "0"), F.lit("|"), key)
 
 
+def _spread_bits16(c: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (0babcd → 0b0a0b0c0d) with the classic mask-and-shift ladder —
+    four shift/AND steps, all JVM codegen'd, no per-bit loop."""
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zvalue(a: Column | str, b: Column | str) -> Column:
+    """Z-order (Morton) curve value of two 16-bit dimensions: bit
+    interleave, ``a`` on even positions, ``b`` on odd. Sorting or
+    range-partitioning by this single key co-locates rows that are
+    close in BOTH dimensions, so parquet min/max row-group stats prune
+    2-D range predicates — the multi-dimensional clustering trick
+    (Delta/Iceberg `ZORDER BY`) expressed as one pure column expression.
+    Inputs are masked to 16 bits; pre-scale (e.g. ``pmod``) anything
+    wider."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _spread_bits16(ca).bitwiseOR(F.shiftleft(_spread_bits16(cb), 1))
+
+
 def hex_bucket(key: Column | str, chars: int = 1) -> Column:
     """Bucket = first hex char(s) of the key → 16**chars uniform buckets.
 

@@ -101,3 +101,23 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(joined)
+
+
+# PII patterns (redaction / scrubbing). Shared verbatim with the DuckDB
+# oracle; restricted to syntax RE2 and Java regex interpret identically.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+PII_IPV4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails, dashed phone numbers, and IPv4 literals to typed
+    placeholder tokens — the standard pre-training privacy pass. Three
+    chained `regexp_replace` (JVM, codegen, replace-all): order matters
+    only in that the email pattern must run before the phone/IP ones
+    could consume its digits; placeholders contain no digits so later
+    passes never re-match earlier rewrites. Map-only, scan-speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(c, PII_IPV4, "<IP>")

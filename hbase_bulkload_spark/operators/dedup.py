@@ -476,3 +476,46 @@ def embedding_dedup(
         "max_sim",
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    is_benchmark,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene step that
+    keeps eval data out of the training set: flag every training
+    document sharing at least one word ``n``-gram with the benchmark
+    split (the standard n-gram-overlap contamination test; n = 8-13 in
+    published pipeline reports).
+
+    ``is_benchmark`` is a boolean Column predicate splitting the corpus.
+
+    Scale shape: both sides extract shingles map-side (one codegen'd
+    regex pass, ``word_shingles_text``); the benchmark shingle set is
+    distinct-reduced and — being benchmark-sized, not corpus-sized —
+    broadcasts into a semi-join against the training side's exploded
+    shingles, so the corpus-scale frame is never shuffled on the
+    shingle key. Per-doc overlap counts then reduce on doc_id (one
+    row per doc before the join back).
+    """
+    sh = F.explode(word_shingles_text(text_col, n)).alias("shingle")
+    bench_sh = docs.filter(is_benchmark).select(sh).distinct()
+    train = docs.filter(~is_benchmark)
+    hits = (
+        train.select(F.col(id_col), sh)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

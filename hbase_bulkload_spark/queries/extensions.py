@@ -521,8 +521,57 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     return multimodal.frame_sample(media, every_n=10, n_frames=100)
 
 
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → the held-out benchmark split
+DECON_NGRAM = 8
+
+
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Op 52c: benchmark decontamination (operators.dedup.decontaminate)
+    — flag training documents sharing any word 8-gram with the held-out
+    benchmark split (doc_id % 97 == 0). The benchmark shingle set is
+    broadcast into a semi-join, so the corpus side never shuffles on the
+    shingle key."""
+    return dedup.decontaminate(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % BENCH_MOD == 0,
+        n=DECON_NGRAM,
+    )
+
+
+def q_text_redact(spark, sf_dir) -> DataFrame:
+    """Op 55h: PII redaction (functions.text.redact_pii). The synthetic
+    corpus carries no PII, so the query deterministically salts emails /
+    phones / IPv4s into every 7th document first (pure function of
+    doc_id — the oracle mirrors it), then scrubs; per-doc match counts
+    come from the pre-redaction text."""
+    docs = _docs(spark, sf_dir)
+    pii = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod("doc_id", F.lit(100)).cast("string"),
+    )
+    salted = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), pii)
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", salted.alias("text"))
+    return base.select(
+        "doc_id",
+        T.redact_pii("text").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(T.PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(T.PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(T.PII_IPV4), 0)).alias("n_ips"),
+    )
+
+
 QUERIES = {
     "q_scan_jsonl": q_scan_jsonl,
+    "q_decontaminate": q_decontaminate,
+    "q_text_redact": q_text_redact,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_near": q_dedup_near,
@@ -601,6 +650,53 @@ _NGRAM_PAIRS_CTES = f"""
 ORACLES = {
     "q_scan_jsonl": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "q_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1))) AS t(i)
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_overlap
+            FROM sh s JOIN bench b USING (shingle)
+            WHERE s.doc_id % {BENCH_MOD} <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n_overlap, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+    """,
+    "q_text_redact": f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                        text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or 415-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST(doc_id % 100 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+                         '{T.PII_PHONE}', '<PHONE>', 'g'),
+                         '{T.PII_IPV4}', '<IP>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{T.PII_PHONE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(text, '{T.PII_IPV4}')) AS INT) AS n_ips
+        FROM salted
     """,
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash,

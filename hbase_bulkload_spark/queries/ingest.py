@@ -20,6 +20,7 @@ from hbase_bulkload_spark.functions.keys import (
     mod_bucket,
     reverse_key,
     salted_key,
+    zvalue,
 )
 from hbase_bulkload_spark.operators.bulkload import (
     bulkload_kv,
@@ -199,6 +200,48 @@ def q_unpivot_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15b: Z-order (Morton) clustering key over two dimensions
+    (functions.keys.zvalue) — bit-interleaved (l_partkey, l_suppkey) plus
+    the 16-way curve bucket (top 4 bits). Range-partitioning and sorting
+    by this one key co-locates rows close in BOTH dimensions, so parquet
+    min/max stats prune 2-D range predicates (the multi-dim data-skipping
+    layout; skipping effectiveness is pinned by tests/test_zorder.py).
+    Pure codegen'd expressions — the layout key costs nothing at scan."""
+    oracle_safe(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    z = zvalue("l_partkey", "l_suppkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        z.alias("zval"),
+        F.shiftright(z, 28).cast("int").alias("zbucket"),
+    )
+
+
+def q_kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 24d: secondary-index point lookup on the KV store (the
+    Phoenix-style global index pattern over an HBase-shaped table). The
+    index is the (value → rowkey) projection of one qualifier's cells —
+    benchmark-selective, so the matched keyset broadcasts into a
+    semi-join against the main cell table; the base scan is never
+    shuffled (tests/test_plans.py asserts the broadcast-semi plan).
+    At scale the index is itself a persisted sorted table (the same
+    bulkload contract, keyed by value), turning this into an index seek
+    + multi-get instead of a table scan."""
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
+    index = kv.filter(
+        (F.col("qualifier") == "z8") & (F.col("value") == "42")
+    ).select("rowkey")
+    return kv.join(F.broadcast(index), "rowkey", "left_semi").select(
+        "rowkey", "qualifier", "value"
+    )
+
+
 def _bucket_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-pushdown-through-unpivot: every KV cell inherits its
     row's (rowkey, bucket), and a row contributes exactly its non-null
@@ -331,6 +374,8 @@ QUERIES = {
     "q_key_reverse": q_key_reverse,
     "q_salt_bucket": q_salt_bucket,
     "q_unpivot_kv": q_unpivot_kv,
+    "q_zorder_layout": q_zorder_layout,
+    "q_kv_index_lookup": q_kv_index_lookup,
     "q_pivot_wide": q_pivot_wide,
     "q_range_partition": q_range_partition,
     "q_sorted_ingest": q_sorted_ingest,
@@ -339,6 +384,19 @@ QUERIES = {
 }
 
 _Z = ", ".join(RECORD_COLS)
+
+
+def _spread_sql(e: str) -> str:
+    """DuckDB text of functions.keys._spread_bits16's mask ladder."""
+    x = f"(({e}) & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+_ZVAL_SQL = f"({_spread_sql('l_partkey')} | ({_spread_sql('l_suppkey')} << 1))"
 
 ORACLES = {
     "q_scan_text": f"""
@@ -397,6 +455,21 @@ ORACLES = {
     "q_unpivot_kv": f"""
         WITH {WIDE9_CTE}, {KV_CTE}
         SELECT rowkey, family, qualifier, value FROM kv
+    """,
+    "q_zorder_layout": f"""
+        WITH z AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST({_ZVAL_SQL} AS BIGINT) AS zval
+            FROM lineitem
+        )
+        SELECT *, CAST(zval >> 28 AS INT) AS zbucket FROM z
+    """,
+    "q_kv_index_lookup": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, qualifier, value FROM kv
+        WHERE rowkey IN (
+            SELECT rowkey FROM kv WHERE qualifier = 'z8' AND value = '42'
+        )
     """,
     "q_pivot_wide": f"""
         WITH {WIDE9_CTE}, {KV_CTE}

@@ -397,3 +397,37 @@ def test_components_star_equals_propagation(spark):
             for r in dedup.connected_components_star(pairs, nodes).collect()
         }
         assert a == b
+
+
+def test_decontaminate_flags_overlap(spark):
+    """Doc sharing an 8-gram with the benchmark doc is flagged; an
+    unrelated doc is not; benchmark docs are excluded from the output."""
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens → 3 8-grams
+    rows = [
+        (0, words + " tail"),                    # benchmark (0 % 3 == 0)
+        (1, "lead " + words),                    # shares 8-grams with 0
+        (2, " ".join(f"x{i}" for i in range(12))),  # disjoint vocabulary
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.contaminated, r.n_overlap)
+        for r in dedup.decontaminate(docs, F.col("doc_id") % 3 == 0, n=8).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][0] is True and out[1][1] >= 1
+    assert out[2] == (False, 0)
+
+
+def test_redact_pii_patterns(spark):
+    from hbase_bulkload_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_1@ex-ample.org now"),
+        (2, "call 415-555-0199 or visit 10.0.3.77 ok"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r.i: r.r for r in df.select("i", redact_pii("t").alias("r")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> or visit <IP> ok"
+    assert got[3] == rows[2][1]

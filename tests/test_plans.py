@@ -50,6 +50,14 @@ def test_scalar_queries_have_no_exchange(spark, sf_dir):
         assert count_exchanges(plan) == 0, (name, plan)
 
 
+def test_index_lookup_broadcasts_keyset(spark, sf_dir):
+    """Secondary-index lookup: the matched keyset must broadcast into a
+    semi-join — the base cell scan is never shuffled."""
+    plan = physical_plan(QUERIES["q_kv_index_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert count_exchanges(plan) == 0, plan
+
+
 def test_count_exchanges_excludes_all_broadcast_forms():
     """EXECUTOR_BROADCAST exchanges move only the small side and must not
     count as shuffles under ANY partitioning spelling."""
