@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 import shutil
 from bisect import bisect_right
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -233,7 +233,10 @@ def bulkload_to_table(
 # 8 MiB of on-disk blocks per task: small enough that a 16-file local
 # table still fans out past the core count, large enough that at cluster
 # scale (GB-sized region files) task overhead stays negligible
-DEFAULT_SPLIT_BYTES = 8 << 20
+# scan split granularity: sized so read parallelism saturates a local[32]
+# tier even on a ~60 MB verification table; on a cluster the same knob
+# trades task overhead against parallelism (HBase's own scan chunking)
+DEFAULT_SPLIT_BYTES = 2 << 20
 
 
 def scan_hfiles(
@@ -244,12 +247,15 @@ def scan_hfiles(
     start_row: bytes | None = None,
     stop_row: bytes | None = None,
     binary: bool = False,
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Distributed scan of a bulk-loaded table directory: the driver
     reads each file's trailer + root index (a few KB) and plans
     block-range splits of ~``split_bytes``; tasks decode their block
     subset and emit cells. Output: region, rowkey, family, qualifier,
-    ts, value.
+    ts, value — or the subset named by ``columns`` (region/rowkey always
+    kept): decode-side column pruning, the HFile analog of a parquet
+    ReadSchema — a pruned column's slice+str cost is never paid.
 
     ``start_row``/``stop_row`` give HBase `Scan(startRow, stopRow)`
     semantics ([start, stop), row granularity): whole files outside the
@@ -304,9 +310,14 @@ def scan_hfiles(
     # the reference-fidelity raw-key/positional modes, whose keys and
     # qualifiers are not UTF-8
     cell_t = "binary" if binary else "string"
-    out_schema = (
-        f"region string, rowkey {cell_t}, family {cell_t}, "
-        f"qualifier {cell_t}, ts long, value {cell_t}"
+    keep = (
+        ("family", "qualifier", "ts", "value")
+        if columns is None
+        else tuple(c for c in ("family", "qualifier", "ts", "value") if c in columns)
+    )
+    _types = {"family": cell_t, "qualifier": cell_t, "ts": "long", "value": cell_t}
+    out_schema = ", ".join(
+        [f"region string, rowkey {cell_t}"] + [f"{c} {_types[c]}" for c in keep]
     )
     if not plan:  # fully pruned range
         return spark.createDataFrame([], out_schema)
@@ -318,9 +329,16 @@ def scan_hfiles(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wants = {f"want_{c}": (c in keep) for c in ("family", "qualifier", "ts", "value")}
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                rows, fams, quals, tss, vals = [], [], [], [], []
+                cols: dict[str, list] = {
+                    "rowkey": [],
+                    "family": [],
+                    "qualifier": [],
+                    "ts": [],
+                    "value": [],
+                }
                 with open(r.path, "rb") as f:
                     for b in r.blocks:
                         plain = hf._read_block(
@@ -328,21 +346,18 @@ def scan_hfiles(
                             verify_checksums,
                         )
                         cr, cf, cq, ct, cv = hf.decode_cells_columns(
-                            plain, binary=binary
+                            plain, binary=binary, **wants
                         )
-                        rows += cr
-                        fams += cf
-                        quals += cq
-                        tss += ct
-                        vals += cv
+                        cols["rowkey"] += cr
+                        cols["family"] += cf
+                        cols["qualifier"] += cq
+                        cols["ts"] += ct
+                        cols["value"] += cv
                 pdf_out = pd.DataFrame(
                     {
                         "region": r.region,
-                        "rowkey": rows,
-                        "family": fams,
-                        "qualifier": quals,
-                        "ts": tss,
-                        "value": vals,
+                        "rowkey": cols["rowkey"],
+                        **{c: cols[c] for c in keep},
                     }
                 )
                 if start_row is not None:
@@ -448,6 +463,7 @@ def bulkload_hfile_roundtrip(
     boundaries: list[bytes],
     family: str = "c",
     compression: str | None = "snappy",
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """The full op-7+9 dataflow: executor-written region HFiles →
     doBulkLoad placement (splitting any boundary-crossers) → distributed
@@ -466,4 +482,4 @@ def bulkload_hfile_roundtrip(
         spark=spark,
         compression=compression,
     )
-    return scan_hfiles(spark, table_dir)
+    return scan_hfiles(spark, table_dir, columns=columns)

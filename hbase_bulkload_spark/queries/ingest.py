@@ -234,9 +234,14 @@ def q_kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_safe(spark)
     w = records.wide9(spark, sf_dir)
     kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
-    index = kv.filter(
-        (F.col("qualifier") == "z8") & (F.col("value") == "42")
-    ).select("rowkey")
+    # index-side pushdown through the unpivot: a z8 cell with value '42'
+    # exists iff the wide row has z8 = '42', so the matched keyset is a
+    # filtered scan of the wide frame — the index side never pays the 9x
+    # Expand or the full-corpus key derivation (same rewrite as
+    # _bucket_stats_frame)
+    index = w.filter(F.col("z8") == "42").select(
+        composite_rowkey(*KEY_COLS).alias("rowkey")
+    )
     return kv.join(F.broadcast(index), "rowkey", "left_semi").select(
         "rowkey", "qualifier", "value"
     )
@@ -328,7 +333,12 @@ def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     oracle_safe(spark)
-    kv = bulkload_pipeline(records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS)
+    # range-partitioned alignment: 32 balanced write tasks instead of 16
+    # hash-collided ones (multiple HFiles per region are legal — minor
+    # compaction merges them; operators.bulkload.bulkload_pipeline doc)
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS, range_partitions=32
+    )
     # scratch table on tmpfs when available: the roundtrip writes + reads
     # ~2x the table's on-disk bytes per run, and routing that through a
     # spinning /tmp makes the measured time mostly disk-cache luck
@@ -341,7 +351,9 @@ def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hfile_load_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     boundaries = [format(i, "x").encode() for i in range(16)]
-    scanned = bulkload_hfile_roundtrip(kv, work, boundaries)
+    # columns: the summary below needs only rowkey + value — decode-side
+    # pruning skips the family/qualifier/ts slice work per cell
+    scanned = bulkload_hfile_roundtrip(kv, work, boundaries, columns=("value",))
     per_key = (
         scanned.withColumn("bucket", F.substring("rowkey", 1, 1))
         .groupBy("bucket", "rowkey")

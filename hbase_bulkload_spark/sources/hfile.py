@@ -742,7 +742,12 @@ def iter_hfile(
 
 
 def decode_cells_columns(
-    plain: bytes, binary: bool = False
+    plain: bytes,
+    binary: bool = False,
+    want_family: bool = True,
+    want_qualifier: bool = True,
+    want_ts: bool = True,
+    want_value: bool = True,
 ) -> tuple[list, list, list, list[int], list]:
     """Columnar cell decode for the scan hot path: one pass, five
     output lists (row, family, qualifier, ts, value) — feeds a pandas
@@ -750,7 +755,13 @@ def decode_cells_columns(
     faster than `_decode_cells` + tuple assembly on the sf0.1 corpus.
     ``binary=True`` keeps raw bytes (the reference-fidelity raw-key /
     positional-qualifier cells are not UTF-8); default decodes to str
-    for the canonical hex-key tables."""
+    for the canonical hex-key tables.
+
+    The ``want_*`` flags are decode-side column pruning (the HFile
+    analog of a parquet ReadSchema): a pruned column's list comes back
+    empty and its per-cell slice+decode cost is never paid. Rowkey is
+    always decoded — every consumer (range filters, region sort, keyed
+    aggregation) needs it."""
     rows: list = []
     fams: list = []
     quals: list = []
@@ -770,15 +781,22 @@ def decode_cells_columns(
         fl = plain[pos + 2 + rl]
         if binary:
             rows.append(plain[pos + 2 : pos + 2 + rl])
-            fams.append(plain[fs : fs + fl])
-            quals.append(plain[fs + fl : kend - 9])
-            vals.append(plain[kend : kend + vlen])
+            if want_family:
+                fams.append(plain[fs : fs + fl])
+            if want_qualifier:
+                quals.append(plain[fs + fl : kend - 9])
+            if want_value:
+                vals.append(plain[kend : kend + vlen])
         else:
             rows.append(plain[pos + 2 : pos + 2 + rl].decode())
-            fams.append(plain[fs : fs + fl].decode())
-            quals.append(plain[fs + fl : kend - 9].decode())
-            vals.append(plain[kend : kend + vlen].decode())
-        tss.append(u_q(plain, kend - 9)[0])
+            if want_family:
+                fams.append(plain[fs : fs + fl].decode())
+            if want_qualifier:
+                quals.append(plain[fs + fl : kend - 9].decode())
+            if want_value:
+                vals.append(plain[kend : kend + vlen].decode())
+        if want_ts:
+            tss.append(u_q(plain, kend - 9)[0])
         pos = kend + vlen
     return rows, fams, quals, tss, vals
 
