@@ -177,6 +177,39 @@ def q_agg_approx_distinct(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_agg_histogram(spark, sf_dir) -> DataFrame:
+    """Op 27b: fixed-width numeric binning histogram — bin id is a pure
+    map-side expression (floor + clamp, no UDF), so the plan is one hash
+    aggregate over ≤ 24 groups; the classic first look at a numeric
+    column's distribution at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    bin_id = F.least(
+        F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(23)
+    )
+    return o.groupBy(bin_id.alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+def q_agg_hll_sketch(spark, sf_dir) -> DataFrame:
+    """Op 29c: mergeable distinct-count sketches (Apache DataSketches
+    HLL, built into Spark 3.5+): per-group sketches whose UNION equals
+    the sketch of the union — the property that makes pre-aggregated
+    distinct-count rollups work (store per-bucket sketches, merge at
+    read time; never re-scan raw data). Rows-only oracle: the estimate
+    is engine-specific; merge-equals-global and accuracy-vs-exact are
+    pinned by tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    return per.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_parts"),
+    )
+
+
 def q_agg_rollup(spark, sf_dir) -> DataFrame:
     """Op 30: rollup with grouping-null subtotal rows."""
     li = _t(spark, sf_dir, "lineitem")
@@ -510,6 +543,8 @@ QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_histogram": q_agg_histogram,
+    "q_agg_hll_sketch": q_agg_hll_sketch,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
     "q_agg_grouping_sets": q_agg_grouping_sets,
@@ -619,6 +654,12 @@ ORACLES = {
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_histogram": f"""
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 23) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum_expr('o_totalprice')} AS sum_price
+        FROM orders GROUP BY 1
     """,
     "q_agg_rollup": f"""
         SELECT l_returnflag, l_linestatus,

@@ -80,6 +80,29 @@ def q_events_gapfill(spark, sf_dir) -> DataFrame:
     return stream_ops.gapfill_resample(_events(spark, sf_dir))
 
 
+def q_events_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention — the standard event-analytics matrix: users
+    cohorted by first-event week, retention = distinct active users per
+    (cohort_week, week_offset). Two hash aggregations (per-user min, then
+    the matrix) with the user→cohort frame joined back by its own key —
+    one row per user, so AQE broadcasts it; the events side aggregates
+    before anything wide happens."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("WEEK", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("WEEK", F.col("ts")), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
 def q_events_funnel(spark, sf_dir) -> DataFrame:
     """Sequential-pattern funnel over the event stream: per user, the
     first view, the first click at-or-after that view, and the first
@@ -121,6 +144,7 @@ QUERIES = {
     "q_stream_join": q_stream_join,
     "q_events_funnel": q_events_funnel,
     "q_events_gapfill": q_events_gapfill,
+    "q_events_retention": q_events_retention,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -192,6 +216,23 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON v.user_id = c.user_id
         LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "q_events_retention": f"""
+        WITH {EV_CTE},
+        first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM ev GROUP BY user_id
+        ),
+        j AS (
+            SELECT e.user_id, f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7 AS INT)
+                       AS week_offset
+            FROM ev e JOIN first f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM j GROUP BY 1, 2
     """,
     "q_events_gapfill": f"""
         WITH {EV_CTE},
