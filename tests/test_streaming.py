@@ -290,3 +290,33 @@ def test_session_gap_boundary(spark):
         (1, "2024-01-01 01:59:59.000001"): 1,
         (2, "2024-01-01 00:00:00"): 1,
     }
+
+
+def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: microbatch partials appended by
+    foreachBatch, merged at read time, must equal the batch tumbling
+    aggregate over the raw events — with the source split so multiple
+    microbatches contribute partials for overlapping windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev_src")
+    # several files → several microbatches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    rollup = str(tmp_path / "rollup")
+    q = stream_ops.start_rollup_sink(stream, rollup, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    # more partial files than windows → genuinely incremental
+    import glob
+
+    n_files = len(glob.glob(f"{rollup}/*.parquet"))
+    assert n_files >= 4, n_files
+
+    got = _canon_ts(stream_ops.read_rollup(spark, rollup))
+    want = _canon_ts(stream_ops.tumbling_agg(ev))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
