@@ -529,6 +529,64 @@ def q_sql_star(spark, sf_dir) -> DataFrame:
     return spark.sql(SQL_STAR)
 
 
+# TPC-H-shaped analytical queries (adapted to the driver's star schema,
+# identical text on both engines). These exercise what the per-operator
+# queries cannot: multi-join reordering, selective-dim broadcast
+# cascades, agg-then-topk, and decimal-exact revenue arithmetic in one
+# Catalyst plan.
+SQL_TPCH3 = """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+SQL_TPCH5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def q_sql_tpch3(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 (shipping priority) shape: selective dim filter →
+    two-join star → grouped revenue → deterministic top-10 (revenue
+    desc, orderkey tiebreak). Catalyst broadcasts the filtered customer
+    side and plans TakeOrderedAndProject for the limit."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_TPCH3)
+
+
+def q_sql_tpch5(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) shape: a six-table join with a
+    cycle (customer↔supplier nation equality) — the join-reordering and
+    broadcast-cascade stress case; region/nation/supplier all broadcast
+    under AQE."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_TPCH5)
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
@@ -539,6 +597,8 @@ QUERIES = {
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
     "q_sql_star": q_sql_star,
+    "q_sql_tpch3": q_sql_tpch3,
+    "q_sql_tpch5": q_sql_tpch5,
     "q_join_salted": q_join_salted,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
@@ -568,6 +628,8 @@ QUERIES = {
 
 ORACLES = {
     "q_sql_star": SQL_STAR,
+    "q_sql_tpch3": SQL_TPCH3,
+    "q_sql_tpch5": SQL_TPCH5,
     "q_join_salted": f"""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

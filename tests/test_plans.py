@@ -58,6 +58,33 @@ def test_index_lookup_broadcasts_keyset(spark, sf_dir):
     assert count_exchanges(plan) == 0, plan
 
 
+def test_runtime_bloom_filter_fires_when_broadcast_impossible(spark, sf_dir):
+    """At 100 TB the dims that matter stop being broadcast-able; Spark's
+    runtime bloom filter then pre-filters the fact side of a shuffle
+    join with the selective side's key bloom (semi-join pushdown). Pin
+    that the session inherits the optimizer rule: with broadcast off and
+    the application-side size gate zeroed (simulating a >10 GB scan),
+    the plan must contain bloom_filter_agg + might_contain."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    gate = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_gate = spark.conf.get(gate)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(gate, "0")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = physical_plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(gate, old_gate)
+
+
 def test_count_exchanges_excludes_all_broadcast_forms():
     """EXECUTOR_BROADCAST exchanges move only the small side and must not
     count as shuffles under ANY partitioning spelling."""
