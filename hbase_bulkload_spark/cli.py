@@ -103,6 +103,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return avro_ocf.scan_splits(spark, path)
 
 
+def read_jsonl(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
+    """JSONL record scan (one JSON object per line, the web-corpus
+    interchange format) with an explicit pinned all-string schema — no
+    inference pass, so the read is one scan and column pruning stays
+    effective; missing fields decode as nulls (and null key fields hash
+    as md5(''), the same empty-field normalization as the Avro path)."""
+    schema = ", ".join(f"{c} string" for c in _cols(n_columns))
+    return spark.read.schema(schema).json(path)
+
+
 def read_rcfile(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
     """RCFile scan (op 4, the reference's actual wire format —
     `RCFileMapReduceInputFormat`, `BulkImporterFromRC.java:94-95`):
@@ -141,6 +151,8 @@ def ingest(
         df = read_avro(spark, input_path)
     elif fmt == "rcfile":
         df = read_rcfile(spark, input_path, n_columns)
+    elif fmt == "jsonl":
+        df = read_jsonl(spark, input_path, n_columns)
     else:  # pragma: no cover - argparse choices gate this
         raise ValueError(f"unknown format {fmt!r}")
 
@@ -188,10 +200,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output", help="output directory (overwritten)")
     p.add_argument(
         "--format",
-        choices=["text", "csv", "columnar", "avro", "rcfile"],
+        choices=["text", "csv", "columnar", "avro", "rcfile", "jsonl"],
         default="csv",
         help="input format (default csv, the reference's canonical path; "
-        "rcfile reads the RC importer's true wire format)",
+        "rcfile reads the RC importer's true wire format; jsonl is "
+        "one-JSON-object-per-line with a pinned schema)",
     )
     p.add_argument("--columns", type=int, default=9, help="record arity (default 9)")
     p.add_argument(

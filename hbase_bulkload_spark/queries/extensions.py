@@ -293,6 +293,38 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_logprob(spark, sf_dir) -> DataFrame:
+    """Op 55i: unigram LM quality signal (the CCNet-style filter): per
+    document, the mean negative log probability of its tokens under the
+    corpus's add-one-smoothed unigram distribution — high mean-NLL =
+    out-of-distribution text (boilerplate, noise, wrong language).
+
+    Plan: one token aggregation (vocab-sized result), broadcast of the
+    2-value total row, a token→count join whose right side is the vocab
+    (AQE broadcasts it), and one per-doc aggregation. Per-token NLL is
+    rounded to 6 dp then decimal-summed so the per-doc mean is exact and
+    order-independent (numeric determinism discipline of
+    functions/numeric.py)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = counts.agg(
+        F.sum("tf").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    nll = F.round(
+        -F.log((F.col("tf") + 1.0) / (F.col("n_total") + F.col("n_vocab"))), 6
+    ).cast("decimal(20,6)")
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 4).alias("mean_nll"),
+    )
+
+
 def q_text_vocab(spark, sf_dir) -> DataFrame:
     """Op 55f: vocabulary build — the corpus token table with total and
     document frequencies and a deterministic frequency-ranked id
@@ -595,6 +627,7 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,
     "q_text_vocab": q_text_vocab,
     "q_text_tfidf": q_text_tfidf,
+    "q_text_logprob": q_text_logprob,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_components": q_dedup_components,
 }
@@ -910,6 +943,28 @@ ORACLES = {
                CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
                    AS vocab_id
         FROM s
+    """,
+    "q_text_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+        ),
+        tot AS (
+            SELECT SUM(tf) AS n_total, COUNT(*) AS n_vocab FROM counts
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(round(-ln((tf + 1.0) / (n_total + n_vocab)), 6)
+                        AS DECIMAL(20,6)) AS nll
+            FROM toks JOIN counts USING (token) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS mean_nll
+        FROM scored GROUP BY doc_id
     """,
     "q_text_tfidf": """
         WITH t AS (

@@ -19,13 +19,18 @@ from hbase_bulkload_spark.sources import records
 
 @pytest.fixture(scope="module")
 def inputs(spark, sf_dir, tmp_path_factory):
-    """Materialize the four format fixtures once (shared cache dir)."""
+    """Materialize the format fixtures once (shared cache dir)."""
+    jsonl = str(tmp_path_factory.mktemp("fix") / "records_jsonl")
+    records.wide9(spark, sf_dir).select(*records.RECORD_COLS).coalesce(
+        2
+    ).write.mode("overwrite").json(jsonl)
     return {
         "text": records.delimited_lines_path(spark, sf_dir),
         "csv": records.csv_path(spark, sf_dir),
         "columnar": records.orc_path(spark, sf_dir),
         "avro": records.avro_path(spark, sf_dir),
         "rcfile": records.rcfile_path(spark, sf_dir),
+        "jsonl": jsonl,
     }
 
 
@@ -33,7 +38,7 @@ def _load_out(spark, path):
     return spark.read.parquet(path)
 
 
-@pytest.mark.parametrize("fmt", ["text", "csv", "columnar", "avro", "rcfile"])
+@pytest.mark.parametrize("fmt", ["text", "csv", "columnar", "avro", "rcfile", "jsonl"])
 def test_cli_ingest_contract(spark, inputs, tmp_path, fmt):
     out = str(tmp_path / f"out_{fmt}")
     cli.ingest(spark, inputs[fmt], out, fmt=fmt, n_buckets=4)
@@ -56,7 +61,7 @@ def test_cli_formats_agree(spark, inputs, tmp_path):
     its arity gate and is skipped wholesale, while the columnar/Avro
     importers keep the row and skip only the null *field*."""
     cells = {}
-    for fmt in ["csv", "columnar", "avro", "rcfile"]:
+    for fmt in ["csv", "columnar", "avro", "rcfile", "jsonl"]:
         out = str(tmp_path / f"agree_{fmt}")
         cli.ingest(spark, inputs[fmt], out, fmt=fmt, n_buckets=4)
         cells[fmt] = _load_out(spark, out).select("rowkey", "qualifier", "value")

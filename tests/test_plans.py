@@ -85,6 +85,42 @@ def test_runtime_bloom_filter_fires_when_broadcast_impossible(spark, sf_dir):
         spark.conf.set(gate, old_gate)
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The engine's other skew answer (besides explicit salting): AQE's
+    OptimizeSkewedJoin must split a pathological key at runtime. Build a
+    join where one key carries ~all fact rows, execute it with thresholds
+    scaled to the fixture, and assert the executed plan marks the
+    sort-merge join as skew-handled."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(60_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        j = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution, so its
+        # adaptive plan is the finalized one (a write would re-plan)
+        assert len(j.collect()) == 60_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_count_exchanges_excludes_all_broadcast_forms():
     """EXECUTOR_BROADCAST exchanges move only the small side and must not
     count as shuffles under ANY partitioning spelling."""
