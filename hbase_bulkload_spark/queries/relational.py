@@ -307,6 +307,69 @@ def q_window_moving(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark, sf_dir) -> DataFrame:
+    """Op 34b: time-based RANGE frame — per customer, total spend in the
+    trailing 30 days of each order (peers by *value distance*, not row
+    count; the frame a rows-frame cannot express when order density
+    varies). Window exchanges once on the uniform customer key."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.unix_timestamp("o_orderdate") / 86400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+def q_pivot_agg(spark, sf_dir) -> DataFrame:
+    """Op 14d: aggregating pivot (crosstab) — linestatus categories
+    become columns holding per-returnflag quantity sums. The pinned
+    category list keeps Catalyst to ONE shuffle (no distinct-values
+    pre-job); the oracle is conditional aggregation, which is exactly
+    what the pivot compiles to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+SQL_EXISTS = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+"""
+
+
+def q_sql_exists(spark, sf_dir) -> DataFrame:
+    """Op 26d: correlated scalar subquery + EXISTS — the decorrelation
+    exercise: Catalyst rewrites the scalar subquery into an aggregate
+    self-join and the EXISTS into a left-semi join; identical SQL text
+    runs on DuckDB. Cross-engine note: the strict `>` against a per-
+    customer double AVG only flips if a price lands within an ulp of the
+    group mean; groups are small and prices well-separated, so the
+    comparison is stable (and the hash gate would catch any drift)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_EXISTS)
+
+
 # --- §2.10 sorts / limits / set ops -----------------------------------------
 
 def q_agg_percentile(spark, sf_dir) -> DataFrame:
@@ -612,6 +675,9 @@ QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
     "q_window_moving": q_window_moving,
+    "q_window_range_frame": q_window_range_frame,
+    "q_pivot_agg": q_pivot_agg,
+    "q_sql_exists": q_sql_exists,
     "q_window_distribution": q_window_distribution,
     "q_agg_percentile": q_agg_percentile,
     "q_merge_upsert": q_merge_upsert,
@@ -773,6 +839,22 @@ ORACLES = {
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders
     """,
+    "q_window_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(FLOOR(epoch(o_orderdate) / 86400.0) AS BIGINT)
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d
+        FROM orders
+    """,
+    "q_pivot_agg": f"""
+        SELECT l_returnflag,
+               {dsum_expr("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+               {dsum_expr("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_sql_exists": SQL_EXISTS,
     "q_agg_percentile": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
