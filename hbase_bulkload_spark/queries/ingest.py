@@ -200,6 +200,54 @@ def q_unpivot_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
 
 
+def q_validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 10b: declarative data-quality rule summary (the dbt-test /
+    expectations pattern, generalizing the reference's arity gate +
+    skip-log): one pass over the record frame, one conditional count per
+    rule — null keys, malformed date, out-of-domain flag, non-numeric
+    quantity. Map-side partial aggregation; the result is rule-count
+    sized."""
+    oracle_safe(spark)
+    w = records.wide9(spark, sf_dir)
+    rules = {
+        "null_key_field": F.col("z0").isNull()
+        | F.col("z1").isNull()
+        | F.col("z2").isNull()
+        | F.col("z3").isNull(),
+        "null_z8": F.col("z8").isNull(),
+        "bad_date_z6": ~F.col("z6").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+        "bad_flag_z4": ~F.col("z4").isin("A", "N", "R"),
+        "nonnumeric_z7": ~F.col("z7").rlike("^[0-9]+$"),
+    }
+    return w.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in rules.items()
+        ],
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 59b: deterministic per-group k-sample — keep each language's 20
+    smallest-md5 documents (rank over md5(doc_id), a pure function of the
+    key: re-runs and other engines pick the identical subset, unlike RNG
+    sampling). One window shuffle on the group key; the balanced-subset
+    builder for per-language corpus audits."""
+    from pyspark.sql import Window
+
+    oracle_safe(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15b: Z-order (Morton) clustering key over two dimensions
     (functions.keys.zvalue) — bit-interleaved (l_partkey, l_suppkey) plus
@@ -386,6 +434,8 @@ QUERIES = {
     "q_key_reverse": q_key_reverse,
     "q_salt_bucket": q_salt_bucket,
     "q_unpivot_kv": q_unpivot_kv,
+    "q_validate_records": q_validate_records,
+    "q_sample_per_group": q_sample_per_group,
     "q_zorder_layout": q_zorder_layout,
     "q_kv_index_lookup": q_kv_index_lookup,
     "q_pivot_wide": q_pivot_wide,
@@ -467,6 +517,31 @@ ORACLES = {
     "q_unpivot_kv": f"""
         WITH {WIDE9_CTE}, {KV_CTE}
         SELECT rowkey, family, qualifier, value FROM kv
+    """,
+    "q_validate_records": f"""
+        WITH {WIDE9_CTE}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN z0 IS NULL OR z1 IS NULL OR z2 IS NULL
+                                  OR z3 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_key_field,
+               CAST(SUM(CASE WHEN z8 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_z8,
+               CAST(SUM(CASE WHEN NOT regexp_matches(z6,
+                    '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_date_z6,
+               CAST(SUM(CASE WHEN z4 NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_flag_z4,
+               CAST(SUM(CASE WHEN NOT regexp_matches(z7, '^[0-9]+$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nonnumeric_z7
+        FROM wide9
+    """,
+    "q_sample_per_group": """
+        SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+            SELECT lang, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 20
     """,
     "q_zorder_layout": f"""
         WITH z AS (
