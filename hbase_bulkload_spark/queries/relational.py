@@ -210,6 +210,42 @@ def q_agg_hll_sketch(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_agg_string_agg(spark, sf_dir) -> DataFrame:
+    """Op 27c: ordered string aggregation (LISTAGG) — per nation, its
+    customers' market segments as a sorted comma list. Ordering inside
+    the aggregate makes the result deterministic under any partitioning;
+    group results are segment-list sized."""
+    c = _t(spark, sf_dir, "customer")
+    segs = c.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("c_mktsegment"))
+        ).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+    return segs
+
+
+def q_agg_argmax(spark, sf_dir) -> DataFrame:
+    """Op 27d: argmax/argmin aggregation (max_by/min_by) — per return
+    flag, the order key holding the largest quantity (ties broken by
+    key so the answer is deterministic) and the smallest-quantity key.
+    One hash aggregate; the 'which row attains the extreme' question
+    without a self-join or window."""
+    li = _t(spark, sf_dir, "lineitem")
+    # tie-break packed into one exact double: quantity*1e10 ∓ orderkey
+    # (integer-valued, < 2^53, so the arithmetic is exact) — equal
+    # quantities resolve to the smallest orderkey on both extremes
+    q = F.col("l_quantity")
+    k = F.col("l_orderkey")
+    scale = F.lit(10_000_000_000.0)
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(k, q * scale - k).alias("max_qty_orderkey"),
+        F.min_by(k, q * scale + k).alias("min_qty_orderkey"),
+        F.max(q).alias("max_qty"),
+        F.min(q).alias("min_qty"),
+    )
+
+
 def q_agg_rollup(spark, sf_dir) -> DataFrame:
     """Op 30: rollup with grouping-null subtotal rows."""
     li = _t(spark, sf_dir, "lineitem")
@@ -668,6 +704,8 @@ QUERIES = {
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_agg_histogram": q_agg_histogram,
     "q_agg_hll_sketch": q_agg_hll_sketch,
+    "q_agg_string_agg": q_agg_string_agg,
+    "q_agg_argmax": q_agg_argmax,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
     "q_agg_grouping_sets": q_agg_grouping_sets,
@@ -781,6 +819,23 @@ ORACLES = {
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
                CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_string_agg": """
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                   AS segments,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q_agg_argmax": """
+        SELECT l_returnflag,
+               arg_max(l_orderkey, l_quantity * 10000000000.0 - l_orderkey)
+                   AS max_qty_orderkey,
+               arg_min(l_orderkey, l_quantity * 10000000000.0 + l_orderkey)
+                   AS min_qty_orderkey,
+               MAX(l_quantity) AS max_qty,
+               MIN(l_quantity) AS min_qty
         FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_histogram": f"""

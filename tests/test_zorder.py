@@ -32,6 +32,25 @@ def test_zvalue_matches_reference_bits(spark):
         assert got[(a, b)] == _interleave_py(a & 0xFFFF, b & 0xFFFF), (a, b)
 
 
+def test_zvalue_property_random(spark):
+    """Property: Spark zvalue == independent Python interleave on random
+    16-bit pairs (hypothesis-driven sample, one Spark round trip)."""
+    from hypothesis import given, settings, strategies as st
+
+    pairs: list[tuple[int, int]] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF))
+    def collect(a, b):
+        pairs.append((a, b))
+
+    collect()
+    df = spark.createDataFrame(pairs, "a int, b int").distinct()
+    got = df.select("a", "b", zvalue("a", "b").alias("z")).collect()
+    for r in got:
+        assert r.z == _interleave_py(r.a, r.b), (r.a, r.b)
+
+
 def test_zorder_monotone_in_each_dim(spark):
     """Fixing one dimension, zvalue is strictly increasing in the other
     (the property that makes per-dimension min/max stats meaningful)."""
