@@ -368,3 +368,63 @@ def read_rollup(spark, rollup_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def start_upsert_sink(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    key: str = "c_custkey",
+    n_buckets: int = 8,
+):
+    """Streaming CDC upsert (op 24b lifted to foreachBatch): merge each
+    microbatch of change rows into a bucket-partitioned keyed table.
+    Last-writer-wins within and across batches.
+
+    Scale shape: the table is hash-bucketed on the key; a microbatch
+    only REWRITES the buckets its keys touch (dynamic partition
+    overwrite) — merge cost tracks the batch's key spread, not table
+    size. Within a batch, the newest change per key wins (batches are
+    ordered, so cross-batch last-writer-wins follows); the anti-join +
+    union is the same rewrite as the batch q_merge_upsert."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        w = Window.partitionBy(key).orderBy(F.desc("_change_seq"))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_change_seq")
+            .withColumn("bucket", bucket)
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        has_table = os.path.exists(table_dir) and any(
+            d.startswith("bucket=") for d in os.listdir(table_dir)
+        )
+        if has_table:
+            existing = spark.read.parquet(table_dir)
+            touched = latest.select("bucket").distinct()
+            kept = existing.join(F.broadcast(touched), "bucket", "left_semi").join(
+                latest.select(key), key, "left_anti"
+            )
+            # lineage cut: the merged frame must not reference the path
+            # it is about to overwrite (and recomputation on task retry
+            # must not observe half-rewritten buckets)
+            out = kept.unionByName(latest).localCheckpoint(eager=True)
+        else:
+            out = latest
+        out.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
+
+    return (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -320,3 +320,38 @@ def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
     want = _canon_ts(stream_ops.tumbling_agg(ev))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
+    """Streaming CDC upsert: change rows (keyed, _change_seq-ordered)
+    merged per microbatch into a bucketed table; the final table must be
+    exactly the last change per key, untouched buckets must not be
+    rewritten, and multiple batches compose (cross-batch LWW)."""
+    rows = [
+        # (key, val, seq) — keys 1..6; key 3 updated twice in-batch,
+        # key 1 updated again by a later file (cross-batch)
+        (1, "a0", 0), (2, "b0", 1), (3, "c0", 2), (3, "c1", 3), (4, "d0", 4),
+        (1, "a1", 5), (5, "e0", 6), (6, "f0", 7),
+    ]
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    df1 = spark.createDataFrame(rows[:5], "c_custkey long, val string, _change_seq long")
+    df2 = spark.createDataFrame(rows[5:], "c_custkey long, val string, _change_seq long")
+    df1.coalesce(1).write.parquet(src + "/f1")
+    df2.coalesce(1).write.parquet(src + "/f2")
+    # two source files → with maxFilesPerTrigger=1, two+ microbatches
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    table = str(tmp_path / "table")
+    q = stream_ops.start_upsert_sink(
+        stream, table, str(tmp_path / "ck"), key="c_custkey", n_buckets=4
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.c_custkey: r.val for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: "a1", 2: "b0", 3: "c1", 4: "d0", 5: "e0", 6: "f0"}
