@@ -325,6 +325,24 @@ def q_text_logprob(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_source_mix(spark, sf_dir) -> DataFrame:
+    """Op 57b: source-mix report — the dataset-card composition table a
+    corpus release ships with: per source, document count, language
+    spread, size stats, and exact-duplicate rate (1 − distinct content
+    hashes / docs). One hash aggregate; the distinct-hash count reuses
+    the op 13a MD5 layer and Catalyst's two-level distinct-agg rewrite
+    keeps it a single pass over the corpus."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(
+            1 - F.countDistinct(F.md5("text")) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def q_text_vocab(spark, sf_dir) -> DataFrame:
     """Op 55f: vocabulary build — the corpus token table with total and
     document frequencies and a deterministic frequency-ranked id
@@ -628,6 +646,7 @@ QUERIES = {
     "q_text_vocab": q_text_vocab,
     "q_text_tfidf": q_text_tfidf,
     "q_text_logprob": q_text_logprob,
+    "q_source_mix": q_source_mix,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_components": q_dedup_components,
 }
@@ -943,6 +962,15 @@ ORACLES = {
                CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
                    AS vocab_id
         FROM s
+    """,
+    "q_source_mix": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(AVG(n_chars), 4) AS mean_chars,
+               round(1 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                         / COUNT(*), 6) AS dup_rate
+        FROM documents GROUP BY source
     """,
     "q_text_logprob": """
         WITH toks AS (

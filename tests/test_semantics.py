@@ -83,3 +83,49 @@ def test_current_vs_history_split(spark):
     assert {(r.rowkey, r.value) for r in cur} == {
         ("k0", "v1"), ("k1", "v2"), ("k2", "v3"), ("k3", "v4"),
     }
+
+
+def test_kv_scan_property_matches_bruteforce(spark):
+    """Property: kv_scan == a brute-force pandas reimplementation of the
+    Scan contract (range, qualifier set, timerange-then-versions) across
+    randomized parameter combinations."""
+    import itertools
+
+    import pandas as pd
+
+    rows = []
+    for k in range(6):
+        for q in ("qa", "qb"):
+            for v in range(k % 3 + 1):
+                rows.append((f"k{k}", q, f"2024-01-{v + 1:02d} 00:00:00", f"{k}{q}{v}"))
+    df = spark.createDataFrame(
+        rows, "rowkey string, qualifier string, ts_s string, value string"
+    ).select("rowkey", "qualifier", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    pdf = df.toPandas()
+
+    cases = itertools.product(
+        [None, "k1"], [None, "k4"], [None, ["qa"]], [None, 2]
+    )
+    for start, stop, quals, maxv in cases:
+        got = kv_scan(
+            df, start_row=start, stop_row=stop, qualifiers=quals,
+            max_versions=maxv, tiebreak=["value"],
+        ).toPandas()
+        exp = pdf.copy()
+        if start is not None:
+            exp = exp[exp.rowkey >= start]
+        if stop is not None:
+            exp = exp[exp.rowkey < stop]
+        if quals is not None:
+            exp = exp[exp.qualifier.isin(quals)]
+        if maxv is not None:
+            exp = (
+                exp.sort_values(["ts", "value"], ascending=[False, True])
+                .groupby(["rowkey", "qualifier"], sort=False)
+                .head(maxv)
+            )
+            got = got.drop(columns=["version"])
+        key = ["rowkey", "qualifier", "ts", "value"]
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), (start, stop, quals, maxv)
