@@ -325,6 +325,55 @@ def q_text_logprob(spark, sf_dir) -> DataFrame:
     )
 
 
+# q_mix_corpus: target language weights (percent) and the global budget
+# (percent of total corpus chars to keep). Integer percents keep every
+# rate computation in exact int64 products + one IEEE division, so both
+# engines derive bit-identical keep rates.
+MIX_WEIGHTS_PCT = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+MIX_BUDGET_PCT = 50
+
+
+def q_mix_corpus(spark, sf_dir) -> DataFrame:
+    """Op 59c: weighted corpus mixing — resample the corpus toward a
+    target language distribution under a global size budget (the
+    Pile/RedPajama mixture step). Per-language keep rate =
+    min(100, floor(weight% × budget% × total_chars / (100 × lang_chars)))
+    — a pure function of corpus stats, then the op-59 deterministic
+    md5-bucket filter selects documents. Two tiny aggregates broadcast
+    into a map-only scan filter; re-runs and other engines keep the
+    identical subset."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("lang").agg(F.sum("n_chars").alias("chars_l"))
+    total = stats.agg(F.sum("chars_l").alias("chars_total"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS_PCT.items() for x in kv]
+    )
+    rate = F.least(
+        F.lit(100),
+        F.floor(
+            F.element_at(wmap, F.col("lang"))
+            * F.lit(MIX_BUDGET_PCT)
+            * F.col("chars_total")
+            / (100.0 * F.col("chars_l"))
+        ),
+    ).cast("int")
+    rates = (
+        stats.crossJoin(F.broadcast(total))
+        .select("lang", rate.alias("rate"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", bucket.alias("bucket"), "rate")
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
 def q_source_mix(spark, sf_dir) -> DataFrame:
     """Op 57b: source-mix report — the dataset-card composition table a
     corpus release ships with: per source, document count, language
@@ -647,6 +696,7 @@ QUERIES = {
     "q_text_tfidf": q_text_tfidf,
     "q_text_logprob": q_text_logprob,
     "q_source_mix": q_source_mix,
+    "q_mix_corpus": q_mix_corpus,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_components": q_dedup_components,
 }
@@ -962,6 +1012,33 @@ ORACLES = {
                CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
                    AS vocab_id
         FROM s
+    """,
+    "q_mix_corpus": f"""
+        WITH stats AS (
+            SELECT lang, SUM(n_chars) AS chars_l FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(chars_l) AS chars_total FROM stats),
+        rates AS (
+            SELECT lang,
+                   CAST(LEAST(100, FLOOR(
+                       CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 15
+                                 WHEN 'es' THEN 15 WHEN 'de' THEN 15
+                                 WHEN 'fr' THEN 15 ELSE 0 END
+                       * {MIX_BUDGET_PCT} * chars_total / (100.0 * chars_l)
+                   )) AS INT) AS rate
+            FROM stats CROSS JOIN tot
+        ),
+        b AS (
+            SELECT d.doc_id, d.lang,
+                   list_sum(list_transform(range(0, 8), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1)
+                       * CAST(pow(16, 7 - j) AS BIGINT))) % 100 AS bucket,
+                   r.rate
+            FROM documents d JOIN rates r ON d.lang = r.lang
+        )
+        SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, rate
+        FROM b WHERE bucket < rate
     """,
     "q_source_mix": """
         SELECT source,
