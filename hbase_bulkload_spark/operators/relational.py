@@ -145,3 +145,44 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def binned_range_join(
+    facts: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_days: int = 16,
+) -> DataFrame:
+    """Pure interval-containment join (NO equi key) rewritten bin-to-equi
+    — the scale form of a theta join.
+
+    Naively, `fact.ts BETWEEN iv.start AND iv.end` with no shared key
+    plans a (Broadcast)NestedLoopJoin: every fact row is compared to
+    every interval — O(|facts| × |intervals|), the first thing that dies
+    at 100 TB. Discretizing time into ``bin_days`` buckets turns it into
+    an equi-join: each fact row carries its single bin id, each interval
+    is exploded to the bins it overlaps (≤ len/bin + 1 rows — pick
+    ``bin_days`` ~ the typical interval length so this stays ~2), the
+    engine hash-joins on the bin id, and the original containment
+    predicate is re-applied as a cheap residual filter. Same semantics,
+    hash-join scalability, shuffle keyed on time — uniform by
+    construction. (Plan contrast pinned by tests/test_plans.py.)
+
+    ``end_col`` is exclusive. Facts with null ts or intervals with null
+    bounds drop, as in the naive inner join.
+    """
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400)  # noqa: E731
+    fbin = F.floor(day(F.col(ts_col)) / bin_days)
+    f = facts.withColumn("_bin", fbin)
+    ibins = F.sequence(
+        F.floor(day(F.col(start_col)) / bin_days),
+        # end is exclusive: the last covered day is end - 1 day
+        F.floor((day(F.col(end_col)) - 1) / bin_days),
+    )
+    iv = intervals.withColumn("_bin", F.explode(ibins))
+    out = f.join(iv, "_bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out.drop("_bin")

@@ -108,6 +108,41 @@ def q_join_range(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_join_range_binned(spark, sf_dir) -> DataFrame:
+    """Op 25c: PURE interval-containment join (no equi key) in the
+    bin-to-equi rewrite (operators.relational.binned_range_join):
+    lineitems shipped in the first 10 days of any month, counted per
+    period. The periods dim derives deterministically from the orders
+    table (distinct month starts), so both engines see identical
+    intervals; naive theta form of the same query plans a
+    NestedLoopJoin — the rewrite hash-joins on the time bin
+    (tests/test_plans.py pins the contrast)."""
+    from hbase_bulkload_spark.operators.relational import binned_range_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    periods = (
+        orders.select(F.date_trunc("MONTH", "o_orderdate").alias("period_start"))
+        .distinct()
+        .select(
+            "period_start",
+            (F.col("period_start") + F.expr("INTERVAL 10 DAYS")).alias("period_end"),
+        )
+    )
+    j = binned_range_join(
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice"),
+        "l_shipdate",
+        periods,
+        "period_start",
+        "period_end",
+        bin_days=16,
+    )
+    return j.groupBy("period_start").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
 def q_join_cross(spark, sf_dir) -> DataFrame:
     """Op 26: cross join of the two smallest dims."""
     region = _t(spark, sf_dir, "region")
@@ -693,6 +728,7 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
+    "q_join_range_binned": q_join_range_binned,
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
     "q_sql_star": q_sql_star,
@@ -785,6 +821,19 @@ ORACLES = {
          AND l_shipdate >= o_orderdate
          AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority
+    """,
+    "q_join_range_binned": f"""
+        WITH periods AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS period_start,
+                   date_trunc('month', o_orderdate) + INTERVAL 10 DAY AS period_end
+            FROM orders
+        )
+        SELECT period_start,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {dsum_expr('l_extendedprice')} AS sum_price
+        FROM lineitem JOIN periods
+          ON l_shipdate >= period_start AND l_shipdate < period_end
+        GROUP BY period_start
     """,
     "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_asof": """

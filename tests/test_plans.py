@@ -58,6 +58,33 @@ def test_index_lookup_broadcasts_keyset(spark, sf_dir):
     assert count_exchanges(plan) == 0, plan
 
 
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    """A no-equi-key containment join plans a NestedLoopJoin; the
+    bin-to-equi rewrite must plan a hash join on the bin id with
+    identical results."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators.relational import binned_range_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    periods = (
+        orders.select(F.date_trunc("MONTH", "o_orderdate").alias("s"))
+        .distinct()
+        .select("s", (F.col("s") + F.expr("INTERVAL 10 DAYS")).alias("e"))
+    )
+    naive = li.join(
+        periods, (li.l_shipdate >= periods.s) & (li.l_shipdate < periods.e)
+    )
+    assert "NestedLoopJoin" in physical_plan(naive)
+    binned = binned_range_join(li, "l_shipdate", periods, "s", "e", bin_days=16)
+    plan = physical_plan(binned)
+    assert "NestedLoopJoin" not in plan, plan
+    assert binned.count() == naive.count()
+
+
 def test_runtime_bloom_filter_fires_when_broadcast_impossible(spark, sf_dir):
     """At 100 TB the dims that matter stop being broadcast-able; Spark's
     runtime bloom filter then pre-filters the fact side of a shuffle
