@@ -43,21 +43,38 @@ def _cols(n: int) -> list[str]:
     return [f"z{i}" for i in range(n)]
 
 
-def read_text(spark: SparkSession, path: str, n_columns: int, sep: str = SOH) -> DataFrame:
+def read_text(
+    spark: SparkSession,
+    path: str,
+    n_columns: int,
+    sep: str = SOH,
+    observation=None,
+) -> DataFrame:
     """Delimited-text scan + decode + arity gate (ops 1, 2, 10): keep a
     line iff it splits into exactly `n_columns` fields, like the mapper's
-    `words.length == COLUMN_COUNT` check (`BulkImporterFromText.java:56`)."""
+    `words.length == COLUMN_COUNT` check (`BulkImporterFromText.java:56`).
+
+    ``observation`` (a `pyspark.sql.Observation`) attaches the
+    skip-log side channel (`println("skipping record …")`,
+    `BulkImporterFromText.java:68-70`) Spark-natively: input and
+    surviving line counts are accumulated DURING the one scan — no
+    second pass, no accumulator races (observed metrics are
+    exactly-once per action)."""
     cols = _cols(n_columns)
     parts = F.split(F.col("value"), sep)
+    lines = spark.read.text(path)
+    if observation is not None:
+        lines = lines.observe(observation, F.count(F.lit(1)).alias("n_input"))
     return (
-        spark.read.text(path)
-        .select(parts.alias("p"))
+        lines.select(parts.alias("p"))
         .filter(F.size("p") == n_columns)
         .select(*[F.col("p").getItem(i).alias(cols[i]) for i in range(n_columns)])
     )
 
 
-def read_csv(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, n_columns: int, observation=None
+) -> DataFrame:
     """CSV scan (op 3) reproducing the reference mapper's dataflow
     exactly (`BulkImporterFromCSVText.java:54-56`): naive `split(",")`
     (no quoting — a quoted comma splits, as in the reference) followed
@@ -77,9 +94,11 @@ def read_csv(spark: SparkSession, path: str, n_columns: int) -> DataFrame:
     """
     cols = _cols(n_columns)
     parts = F.split(F.regexp_replace(F.col("value"), ",+$", ""), ",", -1)
+    lines = spark.read.text(path)
+    if observation is not None:
+        lines = lines.observe(observation, F.count(F.lit(1)).alias("n_input"))
     return (
-        spark.read.text(path)
-        .select(parts.alias("p"))
+        lines.select(parts.alias("p"))
         .filter(F.size("p") == n_columns)
         .select(*[F.col("p").getItem(i).alias(cols[i]) for i in range(n_columns)])
     )
@@ -136,15 +155,27 @@ def ingest(
     raw_binary_keys: bool = False,
     positional_qualifiers: bool = False,
     sink: str = "parquet",
-) -> None:
+    collect_metrics: bool = False,
+) -> dict | None:
     """One importer run, end to end (the `run()` body of each reference
-    entry point, SURVEY.md §3.1, as a single Spark plan)."""
+    entry point, SURVEY.md §3.1, as a single Spark plan).
+
+    ``collect_metrics=True`` attaches `Observation`s so the run returns
+    {n_input, n_valid, n_skipped} accumulated during the single pass —
+    the reference's skip-log side channel without a second job (text/csv
+    formats; the schema-gated formats have no row-skip path)."""
     from hbase_bulkload_spark.operators.bulkload import bulkload_kv, write_bulkload
 
+    obs_in = obs_valid = None
+    if collect_metrics and fmt in ("text", "csv"):
+        from pyspark.sql import Observation
+
+        obs_in, obs_valid = Observation(), Observation()
+
     if fmt == "text":
-        df = read_text(spark, input_path, n_columns, sep=sep)
+        df = read_text(spark, input_path, n_columns, sep=sep, observation=obs_in)
     elif fmt == "csv":
-        df = read_csv(spark, input_path, n_columns)
+        df = read_csv(spark, input_path, n_columns, observation=obs_in)
     elif fmt == "columnar":
         df = read_columnar(spark, input_path)
     elif fmt == "avro":
@@ -155,6 +186,9 @@ def ingest(
         df = read_jsonl(spark, input_path, n_columns)
     else:  # pragma: no cover - argparse choices gate this
         raise ValueError(f"unknown format {fmt!r}")
+
+    if obs_valid is not None:
+        df = df.observe(obs_valid, F.count(F.lit(1)).alias("n_valid"))
 
     cols = df.columns
     keys = [cols[i] for i in (key_cols or [0, 1, 2, 3])]
@@ -188,6 +222,23 @@ def ingest(
         from hbase_bulkload_spark.sources.fsutil import set_permissions_recursive
 
         set_permissions_recursive(output_path, fix_permissions)
+
+    if obs_in is not None:
+        n_input = obs_in.get["n_input"]
+        n_valid = obs_valid.get["n_valid"]
+        metrics = {
+            "n_input": n_input,
+            "n_valid": n_valid,
+            "n_skipped": n_input - n_valid,
+        }
+        # the reference's "skipping record" println, aggregated
+        print(
+            f"ingest: {n_input} records in, {n_valid} valid, "
+            f"{metrics['n_skipped']} skipped",
+            file=sys.stderr,
+        )
+        return metrics
+    return None
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -267,3 +267,27 @@ def test_cli_conf_passthrough(spark, tmp_path):
         assert _load_out(spark, out).count() == 3
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_ingest_metrics_one_pass(spark, inputs, tmp_path):
+    """collect_metrics attaches Observations: input/valid/skipped counts
+    accumulate during the single ingest pass (the reference's
+    "skipping record" println as exactly-once observed metrics) and must
+    reconcile with the written output."""
+    out = str(tmp_path / "obs_out")
+    m = cli.ingest(
+        spark, inputs["text"], out, fmt="text", n_buckets=4, collect_metrics=True
+    )
+    assert m is not None and m["n_input"] > 0
+    assert m["n_input"] == m["n_valid"] + m["n_skipped"]
+    assert m["n_skipped"] > 0  # the fixture plants malformed rows
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    wide = records.wide9(spark, sf)
+    n_valid_rows = wide.filter(
+        (F.col("_seq") % records.MALFORMED_MOD != 0)
+        & (F.col("_seq") % records.NULL_MOD != 0)
+    ).count()
+    assert m["n_valid"] == n_valid_rows
+    # duplicate (z0..z3) tuples share a rowkey, so distinct keys ≤ valid
+    distinct_keys = _load_out(spark, out).select("rowkey").distinct().count()
+    assert distinct_keys <= m["n_valid"]
