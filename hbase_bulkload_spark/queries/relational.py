@@ -525,6 +525,19 @@ def q_set_intersect_except(spark, sf_dir) -> DataFrame:
 
 # --- §2.11 scalar functions -------------------------------------------------
 
+def q_string_fuzzy(spark, sf_dir) -> DataFrame:
+    """Op 38b: fuzzy matching by edit distance — customers within
+    Levenshtein 2 of a probe name (typo-tolerant entity lookup). The
+    probe is a literal, so this is a map-only scan filter; fuzzy
+    JOINs at scale compose this with a blocking key (q_dedup_* banding)
+    exactly like any similarity join."""
+    c = _t(spark, sf_dir, "customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return c.select("c_custkey", "c_name", d.alias("edit_dist")).filter(
+        F.col("edit_dist") <= 2
+    )
+
+
 def q_string_funcs(spark, sf_dir) -> DataFrame:
     """Op 38: string surface (the reference's vocabulary — split/concat/
     lpad, RowKeyConverter.java:20 — rounded out)."""
@@ -759,6 +772,7 @@ QUERIES = {
     "q_set_union": q_set_union,
     "q_set_intersect_except": q_set_intersect_except,
     "q_string_funcs": q_string_funcs,
+    "q_string_fuzzy": q_string_fuzzy,
     "q_date_funcs": q_date_funcs,
     "q_math_funcs": q_math_funcs,
     "q_array_funcs": q_array_funcs,
@@ -1005,6 +1019,13 @@ ORACLES = {
         SELECT k, 'intersect' AS op FROM (SELECT k FROM cust INTERSECT SELECT k FROM big)
         UNION ALL
         SELECT k, 'except' AS op FROM (SELECT k FROM cust EXCEPT SELECT DISTINCT k FROM big)
+    """,
+    "q_string_fuzzy": """
+        SELECT c_custkey, c_name,
+               CAST(levenshtein(c_name, 'Customer#000000042') AS INT)
+                   AS edit_dist
+        FROM customer
+        WHERE levenshtein(c_name, 'Customer#000000042') <= 2
     """,
     "q_string_funcs": """
         SELECT p_partkey,
