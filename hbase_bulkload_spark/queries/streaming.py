@@ -80,6 +80,44 @@ def q_events_gapfill(spark, sf_dir) -> DataFrame:
     return stream_ops.gapfill_resample(_events(spark, sf_dir))
 
 
+def q_events_anomaly(spark, sf_dir) -> DataFrame:
+    """Z-score anomaly detection over the event stream: flag events
+    whose value deviates > 3σ from their event_type's mean. Mean and
+    variance derive from DECIMAL-exact sum/sum-of-squares (one hash
+    aggregate, order-independent → cross-engine deterministic, unlike a
+    naive double STDDEV), broadcast back onto the scan. Map-only after
+    one tiny aggregate — the streaming form maintains the same two sums
+    as running state."""
+    ev = _events(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(30,10)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    # cast the EXACT decimal sums to double first, then do all division
+    # in IEEE double with identical expression shape on both engines —
+    # engine-specific decimal-division scale rules never engage
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    enriched = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        mean.alias("type_mean"),
+        F.sqrt(var).alias("type_std"),
+    )
+    z = (F.col("value") - F.col("type_mean")) / F.col("type_std")
+    return enriched.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(z, 4).alias("zscore"),
+    ).filter(F.abs(F.round(z, 4)) > 3)
+
+
 def q_events_retention(spark, sf_dir) -> DataFrame:
     """Cohort retention — the standard event-analytics matrix: users
     cohorted by first-event week, retention = distinct active users per
@@ -145,6 +183,7 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_gapfill": q_events_gapfill,
     "q_events_retention": q_events_retention,
+    "q_events_anomaly": q_events_anomaly,
 }
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15 minutes
@@ -216,6 +255,27 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON v.user_id = c.user_id
         LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "q_events_anomaly": f"""
+        WITH {EV_CTE},
+        stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s1d,
+                   CAST(SUM(CAST(value AS DECIMAL(30,10))
+                            * CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s2d
+            FROM ev GROUP BY event_type
+        ),
+        enriched AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   s.s1d / s.n AS type_mean,
+                   sqrt((s.s2d - s.s1d * s.s1d / s.n) / (s.n - 1)) AS type_std
+            FROM ev e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT event_id, event_type, value,
+               round((value - type_mean) / type_std, 4) AS zscore
+        FROM enriched
+        WHERE abs(round((value - type_mean) / type_std, 4)) > 3
     """,
     "q_events_retention": f"""
         WITH {EV_CTE},
