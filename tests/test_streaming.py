@@ -355,3 +355,28 @@ def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
         r.c_custkey: r.val for r in spark.read.parquet(table).collect()
     }
     assert got == {1: "a1", 2: "b0", 3: "c1", 4: "d0", 5: "e0", 6: "f0"}
+
+
+def test_gapfill_locf_crafted(spark):
+    """Gap fill on a crafted series: missing days densified with
+    n_events = 0, LOCF carries the last observed sum forward, and each
+    key's grid spans exactly its own [min, max] day range."""
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 1.0),
+        ("u1", "2024-01-01 11:00:00", 2.0),
+        ("u1", "2024-01-04 09:00:00", 5.0),  # 2-day gap before this
+        ("u2", "2024-02-10 00:00:00", 7.0),  # single-day key
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r.user_id, str(r.day)[:10]): (r.n_events, r.sum_value, r.locf_value)
+        for r in stream_ops.gapfill_resample(df).collect()
+    }
+    assert len(out) == 5  # u1: Jan 1-4 (4 days), u2: one day
+    assert out[("u1", "2024-01-01")] == (2, 3.0, 3.0)
+    assert out[("u1", "2024-01-02")] == (0, None, 3.0)  # gap: zero + LOCF
+    assert out[("u1", "2024-01-03")] == (0, None, 3.0)
+    assert out[("u1", "2024-01-04")] == (1, 5.0, 5.0)
+    assert out[("u2", "2024-02-10")] == (1, 7.0, 7.0)
