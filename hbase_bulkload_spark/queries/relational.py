@@ -378,6 +378,26 @@ def q_window_moving(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_window_firstlast(spark, sf_dir) -> DataFrame:
+    """Op 33b: positional window values — each order alongside its
+    customer's first, latest, and second order price (full-partition
+    frame, unique (date, key) ordering so every engine picks identical
+    rows). The remaining window family after ranking / lag / frames."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 def q_window_range_frame(spark, sf_dir) -> DataFrame:
     """Op 34b: time-based RANGE frame — per customer, total spend in the
     trailing 30 days of each order (peers by *value distance*, not row
@@ -762,6 +782,7 @@ QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
     "q_window_moving": q_window_moving,
+    "q_window_firstlast": q_window_firstlast,
     "q_window_range_frame": q_window_range_frame,
     "q_pivot_agg": q_pivot_agg,
     "q_sql_exists": q_sql_exists,
@@ -956,6 +977,17 @@ ORACLES = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         FROM orders
+    """,
+    "q_window_firstlast": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER w AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
     """,
     "q_window_range_frame": """
         SELECT o_custkey, o_orderkey,
