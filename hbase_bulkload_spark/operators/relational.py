@@ -178,11 +178,92 @@ def binned_range_join(
     f = facts.withColumn("_bin", fbin)
     ibins = F.sequence(
         F.floor(day(F.col(start_col)) / bin_days),
-        # end is exclusive: the last covered day is end - 1 day
-        F.floor((day(F.col(end_col)) - 1) / bin_days),
+        # upper bound is floor(day(end)/bin) unconditionally: with a
+        # non-midnight end whose day is a bin boundary, facts on the end
+        # day still satisfy ts < end but live in that boundary bin — a
+        # (day(end)-1)-based bound would drop them. The extra bin for
+        # midnight-aligned ends is harmless: the residual containment
+        # filter removes non-matches.
+        F.floor(day(F.col(end_col)) / bin_days),
     )
     iv = intervals.withColumn("_bin", F.explode(ibins))
     out = f.join(iv, "_bin").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return out.drop("_bin")
+
+
+def exact_quantiles_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[tuple[float, str]],
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact interpolated quantiles whose per-group state is bounded by
+    the value DOMAIN, not the data size.
+
+    Spark's exact ``percentile`` aggregate buffers a value→count hash
+    map per aggregation buffer; over a near-unique double column each
+    group's map holds ~n_group entries, growing linearly with the data —
+    an executor-memory cliff at 100 TB. This formulation keeps the
+    same exact semantics with bounded state for fixed-precision
+    (money-typed) columns:
+
+    1. Quantize to integer bins: ``bin = round(v * scale)``. For
+       2-decimal prices and scale=100 this is cents — and the mapping
+       round-trips exactly (``bin / scale`` reproduces the original
+       double bit-for-bit), so downstream arithmetic sees the very same
+       doubles as a raw-value formulation.
+    2. ``groupBy(group, bin).count()`` — fully distributed with map-side
+       partial aggregation; per-group distinct-bin cardinality is capped
+       by the cents domain, which does NOT grow as the data grows 100×.
+    3. A per-group cumulative count over bins (window ordered by bin):
+       at most |domain| rows per group, sort is spill-safe.
+    4. The interpolated quantile from cumulative counts with the shared
+       Spark/DuckDB formula — h = (n-1)·q, result =
+       (ceil(h)-h)·v_lo + (h-floor(h))·v_hi (v when h is integral) —
+       so results are hash-identical to ``percentile`` /
+       ``quantile_cont`` on the raw column.
+
+    ``quantiles`` is a sequence of (q, output_name). Nulls in
+    ``value_col`` are excluded, matching both engines.
+    """
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            group_col,
+            F.round(F.col(value_col) * scale).cast("long").alias("_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = Window.partitionBy(group_col).orderBy("_bin")
+    w_all = Window.partitionBy(group_col)
+    pos = binned.select(
+        group_col,
+        "_bin",
+        "_cnt",
+        (F.sum("_cnt").over(w_cum) - 1).alias("_end"),  # 0-based end position
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    val = F.col("_bin").cast("double") / scale
+    start = F.col("_end") - F.col("_cnt") + 1
+    aggs = [F.max("_n").alias("_n")]
+    for q, name in quantiles:
+        h = (F.col("_n") - 1).cast("double") * F.lit(float(q))
+        lo, hi = F.floor(h), F.ceil(h)
+        covers = lambda p: (start <= p) & (p <= F.col("_end"))  # noqa: E731
+        aggs.append(F.max(F.when(covers(lo), val)).alias(f"_lo_{name}"))
+        aggs.append(F.max(F.when(covers(hi), val)).alias(f"_hi_{name}"))
+    out = pos.groupBy(group_col).agg(*aggs)
+    proj = [F.col(group_col)]
+    for q, name in quantiles:
+        h = (F.col("_n") - 1).cast("double") * F.lit(float(q))
+        lo, hi = F.floor(h), F.ceil(h)
+        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        interp = F.when(lo == hi, v_lo).otherwise(
+            (hi.cast("double") - h) * v_lo + (h - lo.cast("double")) * v_hi
+        )
+        proj.append(F.round(interp, decimals).alias(name))
+    return out.select(*proj)

@@ -18,6 +18,7 @@ from hbase_bulkload_spark.functions.numeric import davg_expr, dsum, dsum_expr
 from hbase_bulkload_spark.operators.relational import (
     asof_join,
     broadcast_join,
+    exact_quantiles_binned,
     ranked,
     salted_join,
     top_k,
@@ -464,15 +465,24 @@ def q_sql_exists(spark, sf_dir) -> DataFrame:
 # --- §2.10 sorts / limits / set ops -----------------------------------------
 
 def q_agg_percentile(spark, sf_dir) -> DataFrame:
-    """Op 29b: exact interpolated percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`; `percentile_approx` is the sketch variant,
-    engine-dependent like op 29)."""
+    """Op 29b: exact interpolated percentiles (== DuckDB `quantile_cont`;
+    `percentile_approx` is the sketch variant, engine-dependent like
+    op 29).
+
+    Production formulation: NOT Spark's `percentile` aggregate — that
+    buffers a value→count map per group, and over near-unique
+    l_extendedprice each of the 3 groups' maps grows ~n/3 with the data
+    (the round-2 verdict's executor-memory cliff). The binned-exact
+    operator keeps state bounded by the cents domain instead; results
+    stay hash-identical to `percentile`/`quantile_cont` because
+    2-decimal money round-trips exactly through round(v*100)/100
+    (see operators/relational.py::exact_quantiles_binned)."""
     li = _t(spark, sf_dir, "lineitem")
-    p = lambda q: F.round(  # noqa: E731
-        F.expr(f"percentile(l_extendedprice, {q})"), 6
-    )
-    return li.groupBy("l_returnflag").agg(
-        p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.9).alias("p90")
+    return exact_quantiles_binned(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")],
     )
 
 

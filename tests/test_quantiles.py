@@ -1,0 +1,66 @@
+"""exact_quantiles_binned must be value-identical to Spark's exact
+`percentile` aggregate (and hence DuckDB `quantile_cont`) — the operator
+exists to change the MEMORY shape (domain-bounded per-group state, see
+the round-2 verdict's op-29b caveat), never the answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_bulkload_spark.operators.relational import exact_quantiles_binned
+
+QS = [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]
+
+
+def _native(df, group, col):
+    p = lambda q, n: F.round(  # noqa: E731
+        F.expr(f"percentile({col}, {q})"), 6
+    ).alias(n)
+    return df.groupBy(group).agg(*[p(q, n) for q, n in QS])
+
+
+def _as_map(df, group):
+    return {r[group]: (r["p25"], r["p50"], r["p90"]) for r in df.collect()}
+
+
+def test_matches_native_percentile_on_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = _as_map(
+        exact_quantiles_binned(li, "l_returnflag", "l_extendedprice", QS),
+        "l_returnflag",
+    )
+    want = _as_map(_native(li, "l_returnflag", "l_extendedprice"), "l_returnflag")
+    assert got == want
+
+
+def test_edge_cases_crafted(spark):
+    # single-value group; two-value group (h fractional both directions);
+    # exact-boundary group (h integral → no interpolation); negatives;
+    # nulls excluded
+    rows = [
+        ("one", 5.00),
+        ("two", 1.00),
+        ("two", 2.00),
+        ("five", -1.25),
+        ("five", 0.00),
+        ("five", 0.50),
+        ("five", 2.75),
+        ("five", 10.00),
+        ("five", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = _as_map(exact_quantiles_binned(df, "g", "v", QS), "g")
+    want = _as_map(_native(df, "g", "v"), "g")
+    assert got == want
+    # five non-null values: p50 must hit the middle exactly (h integral)
+    assert got["five"][1] == 0.50
+
+
+def test_duplicate_heavy_distribution(spark):
+    # skewed duplicates: the cumulative-range cover logic must place both
+    # floor(h) and ceil(h) inside the same fat bin
+    rows = [("g", 1.00)] * 7 + [("g", 2.00)] * 1 + [("g", 3.00)] * 2
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = _as_map(exact_quantiles_binned(df, "g", "v", QS), "g")
+    want = _as_map(_native(df, "g", "v"), "g")
+    assert got == want
