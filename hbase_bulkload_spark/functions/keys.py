@@ -93,30 +93,38 @@ def salted_key(bucket: Column, key: Column, width: int = 2) -> Column:
     return F.concat(F.lpad(bucket.cast("string"), width, "0"), F.lit("|"), key)
 
 
-def _spread_bits16(c: Column) -> Column:
-    """Spread a 16-bit value's bits to the even positions of a 32-bit
+def _spread_bits32(c: Column) -> Column:
+    """Spread a 32-bit value's bits to the even positions of a 64-bit
     lane (0babcd → 0b0a0b0c0d) with the classic mask-and-shift ladder —
-    four shift/AND steps, all JVM codegen'd, no per-bit loop."""
-    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
-    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
-    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
-    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    five shift/AND steps, all JVM codegen'd, no per-bit loop."""
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555555555555555))
     return x
 
 
 def zvalue(a: Column | str, b: Column | str) -> Column:
-    """Z-order (Morton) curve value of two 16-bit dimensions: bit
-    interleave, ``a`` on even positions, ``b`` on odd. Sorting or
+    """Z-order (Morton) curve value of two dimensions: bit interleave,
+    ``a`` on even positions, ``b`` on odd. Sorting or
     range-partitioning by this single key co-locates rows that are
     close in BOTH dimensions, so parquet min/max row-group stats prune
     2-D range predicates — the multi-dimensional clustering trick
     (Delta/Iceberg `ZORDER BY`) expressed as one pure column expression.
-    Inputs are masked to 16 bits; pre-scale (e.g. ``pmod``) anything
-    wider."""
+
+    Lanes are 32-bit (64-bit zval): wide surrogate keys — l_partkey
+    clears 16 bits above scale factor ~0.3 — interleave without
+    wraparound, so the clustering property survives scale-up instead of
+    silently degrading (a 16-bit mask wraps, shuffling far-apart keys
+    into the same curve cell). Inputs are masked to 32 bits; keep ``b``
+    under 2^31 so its top bit cannot reach the sign bit. For values
+    below 2^16 the spread is bit-identical to a 16-bit ladder, so
+    narrow-dimension layouts are unchanged."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return _spread_bits16(ca).bitwiseOR(F.shiftleft(_spread_bits16(cb), 1))
+    return _spread_bits32(ca).bitwiseOR(F.shiftleft(_spread_bits32(cb), 1))
 
 
 def hex_bucket(key: Column | str, chars: int = 1) -> Column:

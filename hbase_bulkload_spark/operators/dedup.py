@@ -153,10 +153,20 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    broadcast_pairs_limit: int = 1_000_000,
 ) -> DataFrame:
     """Op 53b (scale path): MinHash banding → candidate pairs →
     exact-Jaccard verification ≥ threshold. Probabilistic recall, exact
-    precision. Returns (doc_a, doc_b, jaccard)."""
+    precision. Returns (doc_a, doc_b, jaccard).
+
+    ``broadcast_pairs_limit`` gates the candidate-doc broadcast hint: the
+    candidate frame is persisted and counted once (the count is the same
+    job the verification step needs anyway, so nothing is computed
+    twice), and only a candidate set under the limit is hint-broadcast
+    into the corpus semi-filter. Past the limit — a pathological corpus
+    where banding degenerates, e.g. every document sharing one hot
+    shingle — the hint is omitted and AQE plans the join from observed
+    sizes, so the worst case is a shuffle join, never a driver OOM."""
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
@@ -186,20 +196,26 @@ def minhash_lsh_pairs(
         "doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b")
     ).distinct()
     # exact-Jaccard verification restricted to candidate pairs — the
-    # whole point of LSH is that the quadratic join never happens. The
-    # candidate DOC set is tiny relative to the corpus (that is what
-    # banding is for), so it broadcast-semi-filters the corpus scan and
-    # shingles are computed only for candidate docs; the pair join then
-    # runs over that small frame and the intersection is row-wise
-    # array_intersect — the full shingle explosion is never shuffled.
-    # (If a pathological corpus made the candidate set huge, drop the
-    # broadcast hint and AQE plans a shuffle join — same semantics.)
+    # whole point of LSH is that the quadratic join never happens. On a
+    # healthy corpus the candidate DOC set is tiny relative to the
+    # corpus (that is what banding is for), so it broadcast-semi-filters
+    # the corpus scan and shingles are computed only for candidate docs;
+    # the pair join then runs over that small frame and the intersection
+    # is row-wise array_intersect — the full shingle explosion is never
+    # shuffled. The broadcast hint is SIZE-GATED, not hardcoded: cand is
+    # persisted (spill-safe) and counted, and past broadcast_pairs_limit
+    # the hint is omitted so AQE plans from observed sizes instead of
+    # being forced to ship an unbounded set to every executor.
+    cand = cand.persist()
+    n_pairs = cand.count()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b")))
         .distinct()
     )
-    shs = docs.join(F.broadcast(cand_docs), "doc_id").select(
+    if n_pairs <= broadcast_pairs_limit:
+        cand_docs = F.broadcast(cand_docs)
+    shs = docs.join(cand_docs, "doc_id").select(
         "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
     )
     a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))

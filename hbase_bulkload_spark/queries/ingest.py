@@ -250,8 +250,9 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 15b: Z-order (Morton) clustering key over two dimensions
-    (functions.keys.zvalue) — bit-interleaved (l_partkey, l_suppkey) plus
-    the 16-way curve bucket (top 4 bits). Range-partitioning and sorting
+    (functions.keys.zvalue, 32-bit lanes so wide keys never wrap) —
+    bit-interleaved (l_partkey, l_suppkey) plus a coarse curve-prefix
+    bucket (zval >> 28). Range-partitioning and sorting
     by this one key co-locates rows close in BOTH dimensions, so parquet
     min/max stats prune 2-D range predicates (the multi-dim data-skipping
     layout; skipping effectiveness is pinned by tests/test_zorder.py).
@@ -449,12 +450,15 @@ _Z = ", ".join(RECORD_COLS)
 
 
 def _spread_sql(e: str) -> str:
-    """DuckDB text of functions.keys._spread_bits16's mask ladder."""
-    x = f"(({e}) & 65535)"
-    x = f"(({x} | ({x} << 8)) & 16711935)"
-    x = f"(({x} | ({x} << 4)) & 252645135)"
-    x = f"(({x} | ({x} << 2)) & 858993459)"
-    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    """DuckDB text of functions.keys._spread_bits32's mask ladder
+    (32-bit lanes — masks are 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+    0x0F0F0F0F0F0F0F0F, 0x3333…, 0x5555… as decimal literals)."""
+    x = f"(CAST({e} AS BIGINT) & 4294967295)"
+    x = f"(({x} | ({x} << 16)) & 281470681808895)"
+    x = f"(({x} | ({x} << 8)) & 71777214294589695)"
+    x = f"(({x} | ({x} << 4)) & 1085102592571150095)"
+    x = f"(({x} | ({x} << 2)) & 3689348814741910323)"
+    x = f"(({x} | ({x} << 1)) & 6148914691236517205)"
     return x
 
 

@@ -325,13 +325,16 @@ def start_rollup_sink(
 ):
     """Continuous-aggregate maintenance (the hypertable pattern): each
     microbatch reduces to per-(window, event_type) PARTIALS — count and
-    a decimal-exact value sum — appended to the rollup store as one tiny
-    batch-stamped file. Merge happens at read time (`read_rollup`), so
-    maintenance is append-only: no read-modify-write races, no rewrite
-    amplification, and a failed batch retries idempotently through the
-    checkpoint. Store size grows with (windows × batches); periodic
-    compaction is `read_rollup` rewritten in place — the same
-    delta-plus-compaction discipline as the HFile sink."""
+    a decimal-exact value sum — written to the rollup store under a
+    batch-scoped directory. Merge happens at read time (`read_rollup`),
+    so maintenance never read-modify-writes existing partials. The
+    batch-scoped OVERWRITE is what makes retries idempotent: foreachBatch
+    is only at-least-once, so a batch re-run after a partial/complete
+    write must REPLACE its own partials — a flat append would re-append
+    them and read_rollup would double-count those windows. Store size
+    grows with (windows × batches); periodic compaction is `read_rollup`
+    rewritten in place — the same delta-plus-compaction discipline as
+    the HFile sink."""
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
         part = (
@@ -348,7 +351,9 @@ def start_rollup_sink(
                 "sum_dec",
             )
         )
-        part.coalesce(1).write.mode("append").parquet(rollup_dir)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{rollup_dir}/batch_id={batch_id}"
+        )
 
     return (
         events.writeStream.foreachBatch(write_partials)
@@ -363,7 +368,9 @@ def read_rollup(spark, rollup_dir: str) -> DataFrame:
     aggregate — a hash agg over (windows × batches) rows, ≪ raw events.
     Emits the same schema/values as `tumbling_agg` on the raw stream
     (parity pinned by tests/test_streaming.py)."""
-    part = spark.read.parquet(rollup_dir)
+    # batch_id is a partition directory (idempotent per-batch overwrite);
+    # it participates in nothing downstream
+    part = spark.read.parquet(rollup_dir).drop("batch_id")
     return part.groupBy("window_start", "window_end", "event_type").agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),
@@ -404,7 +411,6 @@ def start_upsert_sink(
             .drop("_rn", "_change_seq")
             .withColumn("bucket", bucket)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         has_table = os.path.exists(table_dir) and any(
             d.startswith("bucket=") for d in os.listdir(table_dir)
         )
@@ -420,7 +426,12 @@ def start_upsert_sink(
             out = kept.unionByName(latest).localCheckpoint(eager=True)
         else:
             out = latest
-        out.write.mode("overwrite").partitionBy("bucket").parquet(table_dir)
+        # dynamic overwrite scoped to THIS write (only touched buckets are
+        # replaced) — set per-writer, not on the shared session conf, so
+        # later overwrite-writes in the same session keep static semantics
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(table_dir)
 
     return (
         changes.writeStream.foreachBatch(merge_batch)

@@ -61,6 +61,28 @@ def test_minhash_lsh_finds_exact_dups(docs):
     assert pairs <= {(1, 2), (1, 3), (2, 3)}  # candidates only among near dups
 
 
+def test_minhash_lsh_broadcast_hint_is_size_gated(spark):
+    """Pathological corpus — every doc identical, so banding degenerates
+    into ONE bucket holding the whole corpus and the candidate set is
+    C(m,2) = corpus-quadratic. The candidate-doc broadcast hint must not
+    survive past broadcast_pairs_limit (a forced broadcast of an
+    unbounded set is the OOM shape the round-2 review flagged); results
+    must be identical either way."""
+    rows = [(i, "same exact duplicated text in every document") for i in range(1, 7)]
+    path = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    gated = dedup.minhash_lsh_pairs(path, 0.9, broadcast_pairs_limit=0)
+    hinted = dedup.minhash_lsh_pairs(path, 0.9)  # default limit ≫ C(6,2)
+    assert "ResolvedHint" not in analyzed(gated)
+    assert "ResolvedHint" in analyzed(hinted)
+    want = {(a, b, 1.0) for a in range(1, 7) for b in range(a + 1, 7)}
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in gated.collect()} == want
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in hinted.collect()} == want
+
+
 def test_simhash_identical_docs_hamming_zero(docs):
     sig = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
     assert sig[1] == sig[2]

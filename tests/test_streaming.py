@@ -310,16 +310,26 @@ def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, tmp_path):
     q = stream_ops.start_rollup_sink(stream, rollup, str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    # more partial files than windows → genuinely incremental
+    # more partial batch dirs than windows → genuinely incremental
     import glob
 
-    n_files = len(glob.glob(f"{rollup}/*.parquet"))
-    assert n_files >= 4, n_files
+    n_batches = len(glob.glob(f"{rollup}/batch_id=*"))
+    assert n_batches >= 4, n_batches
 
     got = _canon_ts(stream_ops.read_rollup(spark, rollup))
     want = _canon_ts(stream_ops.tumbling_agg(ev))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+    # at-least-once replay: re-run every microbatch against the SAME
+    # rollup store (fresh checkpoint → same batch ids re-fire, the
+    # worst-case retry). Batch-scoped overwrite must REPLACE partials,
+    # not re-append them — the aggregate must not double-count.
+    q2 = stream_ops.start_rollup_sink(stream, rollup, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    again = _canon_ts(stream_ops.read_rollup(spark, rollup))
+    assert again.exceptAll(want).count() == 0
+    assert want.exceptAll(again).count() == 0
 
 
 def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
@@ -355,6 +365,14 @@ def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
         r.c_custkey: r.val for r in spark.read.parquet(table).collect()
     }
     assert got == {1: "a1", 2: "b0", 3: "c1", 4: "d0", 5: "e0", 6: "f0"}
+
+    # the dynamic overwrite is per-writer: the shared session conf must
+    # not have been mutated (a later user overwrite-write expecting
+    # static semantics would silently keep stale partitions)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
 
 
 def test_gapfill_locf_crafted(spark):

@@ -15,37 +15,40 @@ from hbase_bulkload_spark.functions.keys import zvalue
 
 def _interleave_py(a: int, b: int) -> int:
     out = 0
-    for i in range(16):
+    for i in range(32):
         out |= ((a >> i) & 1) << (2 * i)
         out |= ((b >> i) & 1) << (2 * i + 1)
     return out
 
 
 def test_zvalue_matches_reference_bits(spark):
-    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (70000, 3)]
-    df = spark.createDataFrame(rows, "a int, b int")
+    # 70000 > 2^16: must interleave WITHOUT wraparound (the 32-bit-lane
+    # property that keeps clustering intact for wide surrogate keys)
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (70000, 3),
+            (0xFFFFFFFF, 0x7FFFFFFF), (20_000_000, 1_000_000)]
+    df = spark.createDataFrame(rows, "a long, b long")
     got = {
         (r.a, r.b): r.z
         for r in df.select("a", "b", zvalue("a", "b").alias("z")).collect()
     }
     for a, b in rows:
-        assert got[(a, b)] == _interleave_py(a & 0xFFFF, b & 0xFFFF), (a, b)
+        assert got[(a, b)] == _interleave_py(a & 0xFFFFFFFF, b & 0x7FFFFFFF), (a, b)
 
 
 def test_zvalue_property_random(spark):
     """Property: Spark zvalue == independent Python interleave on random
-    16-bit pairs (hypothesis-driven sample, one Spark round trip)."""
+    32-bit pairs (hypothesis-driven sample, one Spark round trip)."""
     from hypothesis import given, settings, strategies as st
 
     pairs: list[tuple[int, int]] = []
 
     @settings(max_examples=200, deadline=None)
-    @given(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF))
+    @given(st.integers(0, 0xFFFFFFFF), st.integers(0, 0x7FFFFFFF))
     def collect(a, b):
         pairs.append((a, b))
 
     collect()
-    df = spark.createDataFrame(pairs, "a int, b int").distinct()
+    df = spark.createDataFrame(pairs, "a long, b long").distinct()
     got = df.select("a", "b", zvalue("a", "b").alias("z")).collect()
     for r in got:
         assert r.z == _interleave_py(r.a, r.b), (r.a, r.b)
