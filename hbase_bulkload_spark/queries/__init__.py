@@ -41,6 +41,8 @@ _DRIVER_WINDOW_FIRST = (
     "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
     "q_curate_corpus", "q_sample_stratified", "q_pack_sequences",
     "q_chunk_documents", "q_source_mix", "q_mix_corpus", "q_embed_quantize",
+    # new in round 3 — no driver row yet
+    "q_split_dataset", "q_length_buckets",
 )
 
 

@@ -256,6 +256,71 @@ def q_sample_stratified(spark, sf_dir) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 90  # md5 bucket < 90 → train
+SPLIT_VAL_PCT = 95  # 90-94 → val; 95-99 → test
+
+
+def q_split_dataset(spark, sf_dir) -> DataFrame:
+    """Op 59d: leakage-safe train/val/test split. The assignment is a
+    pure function of the document key — md5(doc_id) bucket mod 100:
+    < 90 train, < 95 val, else test — so membership is stable across
+    runs, retries, engines (the DuckDB oracle derives the identical
+    split), and data order; growing the corpus never reassigns an
+    existing document, which is what keeps a held-out eval set
+    uncontaminated over the life of a training pipeline. Map-only:
+    a scan-side projection, zero shuffles at any scale."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# pow-2 padding ladder for length-bucketed batching (tokens)
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def q_length_buckets(spark, sf_dir) -> DataFrame:
+    """Op 60b: length-bucketed batching stats — the padding-efficiency
+    binning batch samplers use: each document lands in the smallest
+    pow-2 token bucket that holds it (top bucket is a catch-all), and
+    the per-bucket report shows document count, real tokens, padded
+    tokens and waste. The ladder is a pinned CASE chain, NOT
+    ceil(log2(n)) — float log near exact powers of two can flip the
+    bucket differently per engine, while integer comparisons are
+    engine-exact. One map-side token count + a tiny hash agg."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS[:-1]):
+        bucket = F.when(n_tok <= b, b).otherwise(bucket)
+    agg = (
+        docs.select(bucket.alias("bucket"), n_tok.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+    padded = F.col("bucket") * F.col("n_docs")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        F.round((padded - F.col("sum_tokens")) * 100.0 / padded, 4).alias(
+            "waste_pct"
+        ),
+    )
+
+
 PACK_BUDGET = 512  # tokens per packed training context
 PACK_SHARDS = 8
 
@@ -699,6 +764,8 @@ QUERIES = {
     "q_mix_corpus": q_mix_corpus,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_components": q_dedup_components,
+    "q_split_dataset": q_split_dataset,
+    "q_length_buckets": q_length_buckets,
 }
 
 _STOP_EN = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
@@ -1145,5 +1212,39 @@ ORACLES = {
     "q_multimodal_frames": """
         SELECT doc_id, CAST(UNNEST(range(0, 100, 10)) AS INT) AS frame_idx
         FROM documents WHERE doc_id % 3 = 2
+    """,
+    "q_split_dataset": f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(range(0, 8), j ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT) + 1, 1)) - 1)
+                       * CAST(pow(16, 7 - j) AS BIGINT))) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    "q_length_buckets": f"""
+        WITH t AS (
+            SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+            FROM documents
+        ), b AS (
+            SELECT CASE
+                {' '.join(f'WHEN n_tokens <= {x} THEN {x}' for x in LENGTH_BUCKETS[:-1])}
+                ELSE {LENGTH_BUCKETS[-1]} END AS bucket,
+                n_tokens
+            FROM t
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+               round((bucket * COUNT(*) - SUM(n_tokens)) * 100.0
+                     / (bucket * COUNT(*)), 4) AS waste_pct
+        FROM b GROUP BY bucket
     """,
 }

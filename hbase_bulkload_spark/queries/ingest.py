@@ -319,7 +319,14 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 14 inverse: long KV frame back to one wide row per key (pinned
     qualifier list, so the plan is one shuffle — operators.kv.pivot_wide).
     Composite keys are unique per lineitem row, so the round trip is
-    exact for non-null cells (null z8 cells were suppressed → null)."""
+    exact for non-null cells (null z8 cells were suppressed → null).
+
+    Variant choice is measured, not argued: tools/bench_pivot.py at
+    sf0.1 (3-run median) — default single-hop scatter pivot 4.97 s vs
+    map-side partial pivot 11.05 s, so default stays. The partial
+    variant shuffles ~9× fewer (but wider) rows; on local[32] the
+    exchange never crosses a network, so its extra pandas merge pass is
+    pure overhead — re-measure on a real cluster before switching."""
     oracle_safe(spark)
     w = records.wide9(spark, sf_dir)
     kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)

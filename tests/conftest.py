@@ -11,6 +11,12 @@ sys.path.insert(0, ROOT)
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: large-scale end-to-end runs, gated on SPARK_GRAFT_SLOW=1"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from hbase_bulkload_spark.session import get_spark

@@ -453,3 +453,39 @@ def test_redact_pii_patterns(spark):
     assert got[1] == "mail <EMAIL> now"
     assert got[2] == "call <PHONE> or visit <IP> ok"
     assert got[3] == rows[2][1]
+
+
+def test_split_dataset_deterministic_and_partitioning(spark, sf_dir):
+    """Train/val/test split: every doc gets exactly one split, the split
+    is a pure function of doc_id (stable under re-evaluation), and the
+    md5 bucketing lands near the configured 90/5/5 fractions."""
+    from hbase_bulkload_spark.queries.extensions import q_split_dataset
+
+    a = {r.doc_id: r.split for r in q_split_dataset(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in q_split_dataset(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.8 < frac["train"] < 1.0
+    assert 0 < frac["val"] < 0.15 and 0 < frac["test"] < 0.15
+
+
+def test_length_bucket_ladder_boundaries(spark):
+    """Bucket assignment at exact pow-2 boundaries: n<=16 → 16, 17 → 32,
+    and anything past the ladder top lands in the catch-all bucket."""
+    import os
+    import tempfile
+
+    from hbase_bulkload_spark.queries.extensions import LENGTH_BUCKETS, q_length_buckets
+
+    rows = [
+        (1, " ".join(["w"] * 16), "en", "s", 16),   # boundary: exactly 16
+        (2, " ".join(["w"] * 17), "en", "s", 17),   # just over → 32
+        (3, " ".join(["w"] * 5000), "en", "s", 5000),  # past top → 1024
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r.bucket: r.n_docs for r in q_length_buckets(spark, d).collect()}
+    assert got == {16: 1, 32: 1, LENGTH_BUCKETS[-1]: 1}

@@ -156,3 +156,39 @@ def test_count_exchanges_excludes_all_broadcast_forms():
     assert count_exchanges("Exchange SinglePartition, true, [plan_id=2]") == 1
     assert count_exchanges("Exchange hashpartitioning(k, 32), REPARTITION") == 1
     assert count_exchanges("Exchange rangepartitioning(k ASC, 32)") == 1
+
+
+def test_binned_range_join_non_midnight_end_on_bin_boundary(spark):
+    """Regression: with an interval whose (exclusive) end is NOT
+    midnight-aligned and whose end DAY lands exactly on a bin boundary,
+    facts on the end day that satisfy ts < end must still match. The old
+    upper bound floor((day(end)-1)/bin) excluded the boundary bin and
+    silently dropped them; the fix includes it and lets the residual
+    containment filter discard non-matches."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators.relational import binned_range_join
+
+    # bin_days=4 → bins [epoch day 0-3], [4-7], ... 1970-01-05 is day 4,
+    # a bin boundary. Interval end 1970-01-05 06:00 (non-midnight).
+    facts = spark.createDataFrame(
+        [
+            ("1970-01-02 12:00:00",),  # inside, bin 0
+            ("1970-01-05 03:00:00",),  # end day, before end → MUST match
+            ("1970-01-05 07:00:00",),  # end day, after end → no match
+            ("1970-01-06 00:00:00",),  # past end day → no match
+        ],
+        "ts_s string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("1970-01-01 00:00:00", "1970-01-05 06:00:00")], "s_s string, e_s string"
+    ).select(
+        F.col("s_s").cast("timestamp").alias("s"),
+        F.col("e_s").cast("timestamp").alias("e"),
+    )
+    naive = facts.join(iv, (facts.ts >= iv.s) & (facts.ts < iv.e))
+    binned = binned_range_join(facts, "ts", iv, "s", "e", bin_days=4)
+    got = sorted(str(r.ts) for r in binned.collect())
+    want = sorted(str(r.ts) for r in naive.collect())
+    assert got == want
+    assert "1970-01-05 03:00:00" in " ".join(got)

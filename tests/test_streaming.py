@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from hbase_bulkload_spark.datasets import table
@@ -263,6 +264,54 @@ def test_stream_bulkload_hfile_sink(spark, sf_dir, tmp_path):
     )
     assert again.count() == want.count()
     assert again.exceptAll(want).count() == 0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="sf0.1 end-to-end; set SPARK_GRAFT_SLOW=1",
+)
+def test_stream_bulkload_hfile_sink_sf01(spark, tmp_path):
+    """The microbatch doBulkLoad path at sf0.1 (~5.4M cells through the
+    HFile codec across several incremental loads): pins the memory
+    behavior of the per-batch region-manifest collect — the only
+    driver-side collect in the sink, which must stay O(regions), not
+    O(cells) — and that compaction at this scale still converges to one
+    file per region with the cell count preserved."""
+    import glob
+
+    from hbase_bulkload_spark.operators import hfile_load
+    from hbase_bulkload_spark.sources import records
+    from hbase_bulkload_spark.sources.records import RECORD_COLS
+
+    sf01 = "/root/testdata/sf0.1"
+    wide = records.wide9(spark, sf01).select(*RECORD_COLS)
+    want_cells = wide.count() * len(RECORD_COLS) - wide.filter(
+        F.col(RECORD_COLS[-1]).isNull()
+    ).count()
+    src = str(tmp_path / "wide_src")
+    wide.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(wide.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = stream_ops.stream_bulkload_cells(stream, RECORD_COLS[:4], RECORD_COLS)
+    table = str(tmp_path / "table")
+    q = stream_ops.start_bulkload_hfile_sink(cells, table, str(tmp_path / "ckpt_h"))
+    q.awaitTermination(600)
+
+    got = hfile_load.scan_hfiles(spark, table).count()
+    assert got == want_cells, (got, want_cells)
+
+    manifests = hfile_load.compact_table(table)
+    assert manifests
+    per_region = [
+        len(glob.glob(os.path.join(d, "*", "*.hfile")))
+        for d in glob.glob(os.path.join(table, "region-*"))
+    ]
+    assert per_region and max(per_region) == 1
+    assert hfile_load.scan_hfiles(spark, table).count() == want_cells
 
 
 def test_session_gap_boundary(spark):
