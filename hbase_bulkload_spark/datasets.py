@@ -41,13 +41,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf) and truncate to
-    microseconds — the same ns→µs truncation DuckDB applies — so both
-    engines see identical timestamps."""
+    """events.ts is parquet TIMESTAMP(NANOS). Spark 4.x reads it
+    natively as timestamp_ntz with the same ns→µs truncation DuckDB
+    applies, so both engines see identical timestamps with no session
+    conf involved. (An earlier version set
+    spark.sql.legacy.parquet.nanosAsLong=true session-wide — verified
+    a no-op on Spark 4.1 and a conf leak besides, so it is gone; the
+    bigint fallback below keeps Spark 3.x sessions working when the
+    caller sets that conf themselves.)"""
     from pyspark.sql import functions as F  # local: avoid cycle at import
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
