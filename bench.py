@@ -88,10 +88,25 @@ def main() -> None:
         # standard steady-state latency estimator (JMH reports it too)
         timings[name] = round(min(time.time() - t0, first[name]), 3)
 
+    detail_line, summary_line = build_output_lines(timings, first, sf)
+    print(detail_line)
+    sys.stdout.flush()
+    print(summary_line, flush=True)
+
+
+SUMMARY_BUDGET = 1750  # chars; must stay under the 2000-char tail window
+
+
+def build_output_lines(
+    timings: dict[str, float], first: dict[str, float], sf: float
+) -> tuple[str, str]:
+    """(detail line, final summary line) — see module docstring. The
+    summary line is guaranteed ≤ SUMMARY_BUDGET chars no matter how many
+    queries are registered (pinned by tests/test_bench_output.py)."""
     total = round(sum(timings.values()), 3)
     total_first = round(sum(first.values()), 3)
 
-    # line 1: full detail (may exceed the driver's tail window; see docstring)
+    # line 1: full detail (may exceed the driver's tail window)
     detail = {
         "metric": "total_query_sec",
         "value": total,
@@ -101,10 +116,9 @@ def main() -> None:
         "value_first": total_first,
         "queries_first": {k: round(v, 3) for k, v in first.items()},
     }
-    print(json.dumps(detail, separators=(",", ":")))
 
-    # line 2 (final): compact summary guaranteed to fit the 2000-char tail
-    # window — inline the slowest queries until the ~1750-char budget is hit
+    # line 2 (final): compact summary that fits the tail window — inline
+    # the slowest queries until the budget is hit
     summary = {
         "metric": "total_query_sec",
         "value": total,
@@ -121,12 +135,11 @@ def main() -> None:
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         summary["queries"][name] = sec
         summary["queries_omitted"] -= 1
-        if len(_render()) > 1750:
+        if len(_render()) > SUMMARY_BUDGET:
             del summary["queries"][name]
             summary["queries_omitted"] += 1
             break
-    sys.stdout.flush()
-    print(_render(), flush=True)
+    return json.dumps(detail, separators=(",", ":")), _render()
 
 
 if __name__ == "__main__":

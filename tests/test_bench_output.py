@@ -1,0 +1,38 @@
+"""bench.py output contract: the FINAL line must parse as JSON and fit
+the driver's 2000-char tail capture window regardless of registry size —
+round 2 lost its whole perf record to a single over-long line, so this
+is pinned here, Spark-free."""
+
+from __future__ import annotations
+
+import json
+
+from bench import SUMMARY_BUDGET, build_output_lines
+
+
+def _fake(n: int) -> dict[str, float]:
+    return {f"q_very_long_query_name_number_{i:04d}": round(0.1 + i * 0.037, 3) for i in range(n)}
+
+
+def test_summary_line_fits_tail_window_at_any_registry_size():
+    for n in (1, 50, 118, 400):
+        timings = _fake(n)
+        detail_line, summary_line = build_output_lines(timings, timings, 0.1)
+        assert len(summary_line) <= SUMMARY_BUDGET + 1
+        assert SUMMARY_BUDGET < 2000
+        s = json.loads(summary_line)
+        d = json.loads(detail_line)
+        assert s["metric"] == "total_query_sec" and s["unit"] == "sec"
+        assert s["value"] == d["value"] == round(sum(timings.values()), 3)
+        assert len(d["queries"]) == n  # detail always carries everything
+        assert len(s["queries"]) + s["queries_omitted"] == n
+
+
+def test_summary_inlines_slowest_first():
+    timings = _fake(300)
+    _, summary_line = build_output_lines(timings, timings, 0.1)
+    s = json.loads(summary_line)
+    assert 0 < len(s["queries"]) < 300
+    inline_min = min(s["queries"].values())
+    omitted_max = max(v for k, v in timings.items() if k not in s["queries"])
+    assert inline_min >= omitted_max  # per-query perf bar sees the slow ones
