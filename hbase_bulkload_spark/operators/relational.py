@@ -228,7 +228,11 @@ def exact_quantiles_binned(
        ``quantile_cont`` on the raw column.
 
     ``quantiles`` is a sequence of (q, output_name). Nulls in
-    ``value_col`` are excluded, matching both engines.
+    ``value_col`` are excluded, matching both engines. Contract note:
+    a group whose values are ALL null is dropped entirely (no row),
+    whereas the native ``percentile`` aggregate would emit the group
+    with NULL quantiles — callers needing empty groups should left-join
+    this result back onto the group domain.
     """
     binned = (
         df.filter(F.col(value_col).isNotNull())
