@@ -64,3 +64,34 @@ def test_duplicate_heavy_distribution(spark):
     got = _as_map(exact_quantiles_binned(df, "g", "v", QS), "g")
     want = _as_map(_native(df, "g", "v"), "g")
     assert got == want
+
+
+def test_property_random_money_distributions(spark):
+    """Hypothesis-driven: on random 2-decimal money data — duplicates,
+    negatives, nulls, singleton and fat groups — the binned formulation
+    must equal the native exact percentile aggregate everywhere."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[list[tuple[str, float | None]]] = []
+
+    money = st.one_of(
+        st.none(),
+        st.integers(-10_000_00, 10_000_00).map(lambda c: c / 100.0),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from("abc"), money), min_size=1, max_size=40))
+    def collect(rows):
+        cases.append(rows)
+
+    collect()
+    # one Spark round trip for all sampled datasets: tag each case
+    rows = [
+        (f"case{i}_{g}", v) for i, case in enumerate(cases) for g, v in case
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = _as_map(exact_quantiles_binned(df, "g", "v", QS), "g")
+    want = _as_map(_native(df, "g", "v"), "g")
+    # native emits all-null groups with NULL quantiles; binned drops them
+    want = {k: v for k, v in want.items() if v != (None, None, None)}
+    assert got == want
