@@ -180,13 +180,9 @@ def do_bulk_load(
         for path, idx in placements:
             dest = os.path.join(region_dirs[idx], os.path.basename(path))
             os.rename(path, dest)
-            loaded.append(
-                {
-                    "region": idx,
-                    "path": dest,
-                    "entry_count": hf.read_trailer(open(dest, "rb")).entry_count,
-                }
-            )
+            with open(dest, "rb") as f:
+                entry_count = hf.read_trailer(f).entry_count
+            loaded.append({"region": idx, "path": dest, "entry_count": entry_count})
 
         def run_split(task: tuple[str, bytes]) -> list[str]:
             path, split_row = task
