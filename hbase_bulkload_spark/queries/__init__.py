@@ -26,6 +26,9 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
+    # new in round 3 — never verified by driver OR judge, so they iterate
+    # first (the keys below all carry a judge pass(loc) row from round 2)
+    "q_split_dataset", "q_length_buckets",
     "q_window_firstlast", "q_window_range_frame", "q_pivot_agg", "q_sql_exists",
     "q_string_fuzzy", "q_kv_scan", "q_compaction",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
@@ -41,8 +44,6 @@ _DRIVER_WINDOW_FIRST = (
     "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
     "q_curate_corpus", "q_sample_stratified", "q_pack_sequences",
     "q_chunk_documents", "q_source_mix", "q_mix_corpus", "q_embed_quantize",
-    # new in round 3 — no driver row yet
-    "q_split_dataset", "q_length_buckets",
 )
 
 
