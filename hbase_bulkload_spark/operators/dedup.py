@@ -501,6 +501,177 @@ def embedding_dedup(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    corpus into embedding clusters, then apply the min-id cosine dedup
+    policy WITHIN each cluster only — the published recipe for scaling
+    embedding dedup past the quadratic all-pairs wall.
+
+    Determinism (what makes this full-oracle where k-means isn't):
+    centroids are the ``n_clusters`` vectors with the smallest
+    ``(md5(id), id)`` — an engine-portable pseudo-random sample, no RNG,
+    no iteration; assignment is a single nearest-centroid pass by
+    round-6 cosine with ties broken toward the smaller centroid id.
+    This is exactly one Lloyd half-step, which is all SemDeDup needs
+    from clustering: a blocking function, not a converged model.
+
+    Scale shape: centroids collapse to ONE broadcast row
+    (``collect_list`` of n_clusters structs), so assignment is map-only
+    — per-row argmax over the centroid array inside codegen'd
+    higher-order functions, zero exchanges. The only corpus-scale
+    shuffles are the within-cluster self-join (equi key = cluster_id;
+    pair count is sum of C(|cluster|,2), not C(n,2)) and the verdict
+    aggregation. With n_clusters ~ n/1000 the pair work drops ~1000×
+    vs `embedding_dedup`'s exact path; missed cross-cluster pairs are
+    the documented recall trade (the SemDeDup paper's finding is that
+    near-dups co-locate in embedding space, so the loss is small).
+    """
+    from hbase_bulkload_spark.operators import similarity
+
+    e = embeddings.select(id_col, vec_col)
+    cent_arr = (
+        e.withColumn("_r", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_r", id_col)
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .agg(F.collect_list(F.struct("centroid_id", "cvec")).alias("_cents"))
+    )
+    # map-only assignment: argmax cosine over the broadcast centroid
+    # array; struct max = (highest cos, then highest -id = lowest id)
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                similarity.cosine(F.col(vec_col), c["cvec"]).alias("c"),
+                (-c["centroid_id"]).alias("nid"),
+            ),
+        )
+    )
+    av = (
+        e.join(F.broadcast(cent_arr))
+        .withColumn("cluster_id", (-best["nid"]).cast("bigint"))
+        .drop("_cents")
+    )
+    a, b = av.alias("a"), av.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cos_sim",
+            similarity.cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    verdict = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of"),
+        F.max("cos_sim").alias("max_sim"),
+    )
+    return av.select(id_col, "cluster_id").join(verdict, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        "dup_of",
+        "max_sim",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
+#: k-gram width for duplicated-span detection: 8 words ≈ the shortest
+#: run that is almost never coincidental prose overlap (same width the
+#: decontamination gate uses; published substring-dedup pipelines use
+#: 50 BPE tokens on web scale — the knob, not the algorithm).
+DUP_SPAN_NGRAM = 8
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = DUP_SPAN_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact substring dedup (the distributed reformulation
+    of Lee et al. 2022's suffix-array method): report, per document, the
+    maximal token spans covered by some ``k``-gram that also occurs in
+    at least one OTHER document. Downstream pipelines cut these spans
+    (boilerplate, licenses, chain letters) instead of dropping whole
+    docs — span-level where ops 52/53 are document-level.
+
+    Dataflow: every k-gram *occurrence* (doc, position) is emitted
+    map-side (codegen'd ``transform`` over a positional ``sequence`` —
+    no Python, no per-token lambda explosion); a gram is "duplicated"
+    iff min(doc) ≠ max(doc) over its posting list — ONE partial-agg
+    shuffle, no count-distinct expand, no pair join (linear where the
+    pairwise methods are quadratic). Duplicated positions then merge
+    into maximal spans with gaps-and-islands (overlapping-or-adjacent
+    ⇔ pos - prev_pos ≤ k) on a per-doc window.
+
+    Scale: shuffle volume is one row per token occurrence (the same
+    order as the corpus itself); the islands window partitions by doc —
+    no skew beyond document length. Suffix arrays find duplicates of
+    ANY length ≥ threshold; the k-gram grid finds runs ≥ k, losing only
+    duplicates shorter than k — the standard trade for a shuffle-native
+    formulation.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("_p0", "gram")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "gram")
+
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("gram")
+    )
+    dpos = grams.join(dup_grams, "gram").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dpos.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     is_benchmark,

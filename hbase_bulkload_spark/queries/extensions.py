@@ -80,6 +80,26 @@ def q_dedup_embed(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark, sf_dir) -> DataFrame:
+    """Op 53f: SemDeDup — deterministic centroid blocking (md5-sampled
+    seeds, one nearest-centroid pass), then the min-id cosine dedup
+    policy within each cluster only. The sub-quadratic published recipe
+    for embedding dedup at corpus scale; full oracle because every step
+    (seed pick, round-6 cosine argmax, within-cluster pairs) is an
+    engine-portable deterministic function."""
+    return dedup.semantic_dedup(
+        _emb(spark, sf_dir), n_clusters=8, threshold=SIM_THRESHOLD
+    )
+
+
+def q_dedup_substring(spark, sf_dir) -> DataFrame:
+    """Op 53g: span-level exact substring dedup (Lee et al. 2022
+    reformulated for shuffle execution) — maximal token spans covered
+    by an 8-gram occurring in ≥ 2 documents, merged per doc with
+    gaps-and-islands."""
+    return dedup.duplicated_spans(_docs(spark, sf_dir))
+
+
 # --- similarity search --------------------------------------------------------
 
 def q_sim_topk(spark, sf_dir) -> DataFrame:
@@ -755,6 +775,8 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_semantic": q_dedup_semantic,
+    "q_dedup_substring": q_dedup_substring,
     "q_sim_topk": q_sim_topk,
     "q_sim_topk_ivf": q_sim_topk_ivf,
     "q_sim_pairs": q_sim_pairs,
@@ -924,6 +946,76 @@ ORACLES = {
         SELECT d.doc_id, dup.dup_of, dup.max_sim,
                dup.dup_of IS NOT NULL AS is_dup
         FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    """,
+    "q_dedup_semantic": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ),
+        scored AS (
+            SELECT e.vec_id, centroid_id,
+                   round(list_dot_product(v, cv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+                         6) AS cos_c
+            FROM e, cent
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id AS cluster_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cos_c DESC, centroid_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        av AS (SELECT e.vec_id, cluster_id, v FROM e JOIN assign USING (vec_id)),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM av a JOIN av b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= {SIM_THRESHOLD}
+        ),
+        dup AS (
+            SELECT id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos_sim) AS max_sim
+            FROM pairs GROUP BY 1
+        )
+        SELECT av.vec_id, av.cluster_id, dup.dup_of, dup.max_sim,
+               dup.dup_of IS NOT NULL AS is_dup
+        FROM av LEFT JOIN dup USING (vec_id)
+    """,
+    "q_dedup_substring": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   array_to_string(w[i:i+{dedup.DUP_SPAN_NGRAM - 1}], ' ') AS gram
+            FROM toks,
+                 UNNEST(range(1, greatest(len(w) - {dedup.DUP_SPAN_NGRAM} + 2, 1))) AS t(i)
+        ),
+        dup AS (
+            SELECT gram FROM grams GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+        ),
+        dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             <= {dedup.DUP_SPAN_NGRAM}
+                        THEN 0 ELSE 1 END AS f
+            FROM dpos
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + {dedup.DUP_SPAN_NGRAM} - 1 AS INT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, g
     """,
     "q_sim_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

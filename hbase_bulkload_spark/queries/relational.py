@@ -764,6 +764,34 @@ def q_sql_tpch5(spark, sf_dir) -> DataFrame:
     return spark.sql(SQL_TPCH5)
 
 
+#: Columns q_profile_table profiles, with their engine-portable
+#: normalizations (doubles → decimal(18,2) so distinct/min/max live in
+#: a fixed-precision domain whose string form both engines agree on).
+_PROFILE_COLS = (
+    ("l_orderkey", None),
+    ("l_linenumber", None),
+    ("l_quantity", "decimal(18,2)"),
+    ("l_extendedprice", "decimal(18,2)"),
+    ("l_returnflag", None),
+    ("l_shipdate", None),
+)
+
+
+def q_profile_table(spark, sf_dir) -> DataFrame:
+    """Op 27e: ANALYZE-style table profile — per-column row/null/
+    distinct counts and min/max, one pass with map-side partials
+    (operators/profile.py; exact distinct costs one Expand replica per
+    column — ``exact=False`` is the Expand-free 100 TB variant)."""
+    from hbase_bulkload_spark.operators.profile import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        name: (F.col(name).cast(cast) if cast else F.col(name))
+        for name, cast in _PROFILE_COLS
+    }
+    return profile_table(li, cols)
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
@@ -809,9 +837,27 @@ QUERIES = {
     "q_array_funcs": q_array_funcs,
     "q_map_funcs": q_map_funcs,
     "q_json_funcs": q_json_funcs,
+    "q_profile_table": q_profile_table,
 }
 
+
+def _profile_oracle() -> str:
+    branches = []
+    for name, cast in _PROFILE_COLS:
+        expr = f"CAST({name} AS DECIMAL(18,2))" if cast else name
+        branches.append(f"""
+        SELECT '{name}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               CAST(MIN({expr}) AS VARCHAR) AS min_s,
+               CAST(MAX({expr}) AS VARCHAR) AS max_s
+        FROM lineitem""")
+    return "\nUNION ALL\n".join(branches)
+
+
 ORACLES = {
+    "q_profile_table": _profile_oracle(),
     "q_sql_star": SQL_STAR,
     "q_sql_tpch3": SQL_TPCH3,
     "q_sql_tpch5": SQL_TPCH5,

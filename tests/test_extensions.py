@@ -489,3 +489,102 @@ def test_length_bucket_ladder_boundaries(spark):
         ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
         got = {r.bucket: r.n_docs for r in q_length_buckets(spark, d).collect()}
     assert got == {16: 1, 32: 1, LENGTH_BUCKETS[-1]: 1}
+
+
+def test_semantic_dedup_clusters_and_verdicts(spark):
+    """SemDeDup invariants: assignment is a partition (one cluster per
+    vec); exact copies share a cluster by construction (identical
+    vectors score identically against every centroid) so they always
+    collapse onto the min id; flagged dups are a subset of the
+    all-pairs exact method's dups (blocking can only LOSE pairs)."""
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i % 64] = scale
+        return v
+
+    rows = (
+        [(i, basis(i)) for i in range(8)]
+        + [(100, basis(0)), (101, basis(0, scale=3.0))]  # copies of vec 0
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(emb, n_clusters=3, threshold=0.95).collect()
+    }
+    assert len(out) == len(rows)  # one verdict row per vector
+    assert all(r.cluster_id is not None for r in out.values())
+    # identical direction ⇒ identical argmax ⇒ same cluster ⇒ collapsed
+    assert out[100].cluster_id == out[0].cluster_id == out[101].cluster_id
+    assert not out[0].is_dup  # min id of its copy-group survives
+    assert out[100].is_dup and out[100].dup_of == 0
+    assert out[101].is_dup and out[101].dup_of == 0 and out[101].max_sim == 1.0
+
+    exact_dups = {
+        r.doc_id
+        for r in dedup.embedding_dedup(
+            emb.select(F.col("vec_id").alias("doc_id")), emb, threshold=0.95
+        ).collect()
+        if r.is_dup
+    }
+    sem_dups = {v for v, r in out.items() if r.is_dup}
+    assert sem_dups <= exact_dups
+
+
+def test_duplicated_spans_merge_and_bounds(spark):
+    """Span mechanics: a shared 10-token run yields ONE merged span
+    covering tokens 1-10 in both docs (grams at pos 1-3 coalesce); two
+    shared runs separated by unique text yield two spans; docs shorter
+    than k and docs with no cross-doc gram yield nothing."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    shared2 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, f"{shared} u1 u2 u3 u4 u5 u6 u7 u8 u9 {shared2}"),
+        (2, f"{shared} v1 v2 v3 v4"),
+        (3, f"w1 w2 {shared2}"),
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),  # no cross-doc gram
+        (5, "short doc"),                    # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start): r
+        for r in dedup.duplicated_spans(docs, k=8).collect()
+    }
+    by_doc = {}
+    for (d, _), r in spans.items():
+        by_doc.setdefault(d, []).append(r)
+    # doc 1: two islands — tokens 1..10 (3 grams) and the trailing 8-gram
+    assert len(by_doc[1]) == 2
+    first = spans[(1, 1)]
+    assert (first.span_end, first.n_dup_grams) == (10, 3)
+    second = by_doc[1][0] if by_doc[1][0].span_start != 1 else by_doc[1][1]
+    assert second.span_end - second.span_start == 7 and second.n_dup_grams == 1
+    # doc 2: one span over tokens 1..10
+    assert len(by_doc[2]) == 1 and spans[(2, 1)].span_end == 10
+    # doc 3: the shared2 8-gram starts at token 3
+    assert len(by_doc[3]) == 1 and spans[(3, 3)].span_end == 10
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_profile_table_stats(spark):
+    """Null/distinct/min-max bookkeeping, and the approx variant keeps
+    the schema while staying within HLL error on distincts."""
+    from hbase_bulkload_spark.operators.profile import profile_table
+
+    rows = [(1, "a", 2.5), (2, "b", None), (3, "a", 7.25), (4, None, 2.5)]
+    df = spark.createDataFrame(rows, "k long, s string, x double")
+    cols = {
+        "k": F.col("k"),
+        "s": F.col("s"),
+        "x": F.col("x").cast("decimal(18,2)"),
+    }
+    out = {r.col_name: r for r in profile_table(df, cols).collect()}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["k"].n_null, out["k"].n_distinct) == (0, 4)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert (out["x"].n_null, out["x"].n_distinct) == (1, 2)
+    assert (out["x"].min_s, out["x"].max_s) == ("2.50", "7.25")
+    assert (out["s"].min_s, out["s"].max_s) == ("a", "b")
+
+    approx = {r.col_name: r for r in profile_table(df, cols, exact=False).collect()}
+    assert set(approx) == set(out)
+    assert approx["k"].n_rows == 4 and abs(approx["k"].n_distinct - 4) <= 1

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "q_compaction",
     "q_ttl_filter",
     "q_dedup_embed",
+    "q_dedup_semantic",  # 1-row broadcast centroid array (map-only assignment)
     "q_sim_pairs",
     "q_text_tfidf",
     "q_text_logprob",
