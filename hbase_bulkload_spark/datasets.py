@@ -31,13 +31,39 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, floor_parallelism: bool = False
+) -> DataFrame:
+    """``floor_parallelism=True`` is for compute-heavy consumers (per-row
+    hashing, GEMM, signature UDFs): see :func:`parallelism_floor`."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+        df = _read_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    return parallelism_floor(spark, df) if floor_parallelism else df
+
+
+def parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guarantee a scan feeds at least half the cluster's cores.
+
+    A parquet split cannot cross a row-group boundary, so a file written
+    as one giant row group planwise collapses to a single task — and any
+    compute-heavy consumer (per-row MD5, rolling hashes, Arrow-batch
+    GEMM) runs on 1 of N cores. When the planned scan parallelism is
+    already ≥ cores/2 (any well-laid-out multi-file / multi-row-group
+    input — i.e. every real cluster dataset), this is a NO-OP: no
+    exchange is added. Only a pathologically unsplittable input pays one
+    round-robin exchange of the scanned frame to unlock the compute
+    stage's parallelism. Reserve it for consumers whose per-row work
+    dwarfs an exchange of the input; a plain filter/agg never needs it.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

@@ -25,7 +25,9 @@ N_QUERIES = 8  # vec_id < 8 form the similarity-search query set
 
 
 def _docs(spark, sf_dir) -> DataFrame:
-    return table(oracle_safe(spark), sf_dir, "documents")
+    # floor: every consumer here tokenizes/hashes/shingles per row, and
+    # the driver's documents parquet is a single unsplittable row group
+    return table(oracle_safe(spark), sf_dir, "documents", floor_parallelism=True)
 
 
 def q_scan_jsonl(spark, sf_dir) -> DataFrame:
@@ -38,7 +40,8 @@ def q_scan_jsonl(spark, sf_dir) -> DataFrame:
 
 
 def _emb(spark, sf_dir) -> DataFrame:
-    return table(oracle_safe(spark), sf_dir, "embeddings")
+    # floor: consumers run Arrow-batch GEMM / signature UDFs per row
+    return table(oracle_safe(spark), sf_dir, "embeddings", floor_parallelism=True)
 
 
 # --- dedup -------------------------------------------------------------------

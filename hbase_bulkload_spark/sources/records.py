@@ -42,31 +42,18 @@ MALFORMED_MOD = 97  # rows with l_orderkey % 97 == 0 get 8 fields, not 9
 NULL_MOD = 53  # rows with l_orderkey % 53 == 0 carry a NULL z8
 
 
-def _parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Guarantee the scan feeds at least half the cluster's cores.
-
-    A parquet split cannot cross a row-group boundary, so a file written
-    as one giant row group (the driver's sf0.1 lineitem: 600k rows, ONE
-    row group) planwise collapses to a single task — and every
-    md5/unpivot-heavy consumer downstream runs on 1 of 32 cores. When
-    the planned scan parallelism is already ≥ cores/2 (any well-laid-out
-    multi-file / multi-row-group input — i.e. every real cluster
-    dataset), this is a NO-OP: no exchange is added. Only a
-    pathologically unsplittable input pays one round-robin exchange of
-    the narrow record frame to unlock the compute stage's parallelism —
-    the standard remedy, applied adaptively instead of always."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
-
-
 def wide9(spark: SparkSession, sf_dir: str, with_nulls: bool = True) -> DataFrame:
     """The canonical 9-nullable-string-column record frame (§1.1), derived
     from lineitem. Column value choices avoid any float→string formatting
     (engine-dependent): keys, flags, a date string, an integral quantity.
+
+    The scan carries the parallelism floor (datasets.parallelism_floor):
+    every consumer is md5/unpivot-heavy, and the driver's sf0.1 lineitem
+    is one unsplittable 600k-row row group.
     """
-    li = _parallelism_floor(
+    from hbase_bulkload_spark.datasets import parallelism_floor
+
+    li = parallelism_floor(
         spark, spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     )
     z8 = F.col("l_suppkey").cast("string")
