@@ -271,3 +271,53 @@ def exact_quantiles_binned(
         )
         proj.append(F.round(interp, decimals).alias(name))
     return out.select(*proj)
+
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a table — the read-side
+    dual of the CDC merge/upsert (op 24b): classify every key as
+    ``insert`` (v2 only), ``delete`` (v1 only), or ``update`` (present
+    in both, any compare column differing null-safely); unchanged rows
+    are dropped. Output carries the key, the change tag, and old_/new_
+    values per compared column.
+
+    Scale shape: one full-outer shuffle join on the key — both sides
+    partition-prune and column-prune to key + compared columns at the
+    scan. For very wide rows, pre-hashing the compared columns
+    (md5(concat_ws)) and joining only hashes halves the shuffle at the
+    cost of a second lookup join for the changed minority; with the
+    narrow column sets a diff report actually carries, the direct form
+    wins.
+    """
+    a = v1.select(*key_cols, *compare_cols).withColumn("_p1", F.lit(1)).alias("a")
+    b = v2.select(*key_cols, *compare_cols).withColumn("_p2", F.lit(1)).alias("b")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else cond & c
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        differs = d if differs is None else differs | d
+    change = (
+        F.when(F.col("_p1").isNull(), F.lit("insert"))
+        .when(F.col("_p2").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in key_cols
+    ]
+    out.append(change.alias("change"))
+    for c in compare_cols:
+        out += [
+            F.col(f"a.{c}").alias(f"old_{c}"),
+            F.col(f"b.{c}").alias(f"new_{c}"),
+        ]
+    return (
+        a.join(b, cond, "full_outer").filter(change.isNotNull()).select(*out)
+    )

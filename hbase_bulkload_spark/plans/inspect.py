@@ -19,16 +19,27 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def count_exchanges(plan: str) -> int:
+def count_exchanges(plan: str, ignore_roundrobin: bool = False) -> int:
     """Shuffle boundaries in the plan (broadcast exchanges excluded —
-    those move only the small side)."""
-    return len(
-        re.findall(
-            r"\bExchange (?!.*EXECUTOR_BROADCAST)"
-            r"(?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
-            plan,
+    those move only the small side).
+
+    ``ignore_roundrobin=True`` additionally excludes RoundRobin
+    repartitions — pure parallelism moves that place no data-placement
+    constraint (only datasets.parallelism_floor emits one, and only for
+    unsplittable single-row-group local inputs). Tests asserting a
+    query's *placement* shuffle count pass it so the floor's
+    local-input remedy doesn't read as an algorithmic regression;
+    the default keeps counting them so an accidental ``repartition()``
+    in an operator still trips the audit."""
+    pat = (
+        r"\bExchange (?!.*EXECUTOR_BROADCAST)"
+        + (
+            r"(?:hashpartitioning|rangepartitioning|SinglePartition)"
+            if ignore_roundrobin
+            else r"(?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)"
         )
     )
+    return len(re.findall(pat, plan))
 
 
 def count_broadcast_joins(plan: str) -> int:

@@ -21,6 +21,7 @@ from hbase_bulkload_spark.operators.relational import (
     exact_quantiles_binned,
     ranked,
     salted_join,
+    snapshot_diff,
     top_k,
 )
 from hbase_bulkload_spark.session import oracle_safe
@@ -792,6 +793,61 @@ def q_profile_table(spark, sf_dir) -> DataFrame:
     return profile_table(li, cols)
 
 
+#: Deterministic v2-snapshot mutation predicates for q_table_diff
+#: (shared with the oracle SQL — keep in sync).
+DIFF_DEL_MOD, DIFF_UPD_MOD, DIFF_INS_MOD = 101, 97, 103
+
+
+def _orders_v2(orders: DataFrame) -> DataFrame:
+    """Derive the 'next snapshot' of orders deterministically: drop keys
+    ≡0 (mod 101), flip status to 'X' for keys ≡0 (mod 97), and insert a
+    new negative-key row for keys ≡0 (mod 103)."""
+    base = orders.filter(F.col("o_orderkey") % DIFF_DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % DIFF_UPD_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % DIFF_INS_MOD == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    return base.unionByName(inserted)
+
+
+def q_table_diff(spark, sf_dir) -> DataFrame:
+    """Op 24e: snapshot diff — classify insert/delete/update between two
+    table versions (operators.relational.snapshot_diff, the read-side
+    dual of the CDC merge). The v2 snapshot is derived deterministically
+    from orders so the oracle reproduces it relationally."""
+    orders = _t(spark, sf_dir, "orders")
+    return snapshot_diff(
+        orders.select("o_orderkey", "o_orderstatus"),
+        _orders_v2(orders),
+        key_cols=("o_orderkey",),
+        compare_cols=("o_orderstatus",),
+    )
+
+
+def q_skew_report(spark, sf_dir) -> DataFrame:
+    """Op 27f: heavy-hitter / skew report over a join key — the
+    operational input to choosing the op-21b salt count: exact top-10
+    keys by frequency with global share. Two hash aggregates (per-key,
+    then 1-row total broadcast onto the top-k); the final rank window
+    runs on 10 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(F.sum("n_rows").alias("_tot"))
+    shared = per_key.join(F.broadcast(tot)).select(
+        "user_id",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_tot"), 6).alias("share"),
+    )
+    top = top_k(shared, [F.desc("n_rows"), F.asc("user_id")], 10)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
@@ -838,6 +894,8 @@ QUERIES = {
     "q_map_funcs": q_map_funcs,
     "q_json_funcs": q_json_funcs,
     "q_profile_table": q_profile_table,
+    "q_table_diff": q_table_diff,
+    "q_skew_report": q_skew_report,
 }
 
 
@@ -858,6 +916,41 @@ def _profile_oracle() -> str:
 
 ORACLES = {
     "q_profile_table": _profile_oracle(),
+    "q_table_diff": f"""
+        WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_UPD_MOD} = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders WHERE o_orderkey % {DIFF_DEL_MOD} <> 0
+            UNION ALL
+            SELECT -o_orderkey, 'N' FROM orders
+            WHERE o_orderkey % {DIFF_INS_MOD} = 0
+        ),
+        j AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                        WHEN b.o_orderkey IS NULL THEN 'delete'
+                        WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                             THEN 'update' END AS change,
+                   a.o_orderstatus AS old_o_orderstatus,
+                   b.o_orderstatus AS new_o_orderstatus
+            FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT * FROM j WHERE change IS NOT NULL
+    """,
+    "q_skew_report": """
+        WITH per_key AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT SUM(n_rows) AS t FROM per_key)
+        SELECT user_id, n_rows, round(n_rows / t, 6) AS share,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS INT)
+                   AS rank
+        FROM per_key, tot
+        ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
     "q_sql_star": SQL_STAR,
     "q_sql_tpch3": SQL_TPCH3,
     "q_sql_tpch5": SQL_TPCH5,

@@ -69,3 +69,28 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="inner/left only"):
             salted_join(fact, dim, fact_key="k", dim_key="dk", salt_src="fid", how=how)
+
+
+def test_snapshot_diff_classification(spark):
+    """insert/delete/update tags, null-safe value compare, unchanged
+    rows dropped, null transitions classed as updates."""
+    from hbase_bulkload_spark.operators.relational import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")],
+        "k long, v string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, None), (6, "f")],
+        "k long, v string",
+    )
+    got = {
+        r.k: r
+        for r in snapshot_diff(v1, v2, key_cols=("k",), compare_cols=("v",)).collect()
+    }
+    assert set(got) == {2, 3, 4, 5, 6}  # k=1 unchanged → absent
+    assert got[2].change == "update" and (got[2].old_v, got[2].new_v) == ("b", "B")
+    assert got[3].change == "delete" and got[3].new_v is None
+    assert got[4].change == "update" and got[4].old_v is None  # null → value
+    assert got[5].change == "update" and got[5].new_v is None  # value → null
+    assert got[6].change == "insert" and got[6].old_v is None

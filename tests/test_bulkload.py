@@ -87,3 +87,21 @@ def test_write_bulkload_contract(spark, sf_dir, tmp_path):
             assert rk == sorted(rk)
             meta = pq.ParquetFile(f).metadata
             assert meta.row_group(0).column(0).compression == "SNAPPY"
+
+
+def test_parallelism_floor(spark, tmp_path):
+    """Floor semantics: a single-row-group scan gains one round-robin
+    exchange up to defaultParallelism; an input already at >= cores/2
+    partitions passes through UNTOUCHED (no exchange added)."""
+    from hbase_bulkload_spark.datasets import parallelism_floor
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() == 1
+    floored = parallelism_floor(spark, narrow)
+    assert floored.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert floored.count() == 1000
+
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert parallelism_floor(spark, wide) is wide

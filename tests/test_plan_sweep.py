@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q_text_logprob",
     "q_curate_corpus",
     "q_mix_corpus",
+    "q_skew_report",  # 1-row broadcast grand-total onto the per-key counts
 }
 
 # Row-at-a-time Python (BatchEvalPython) is allowed ONLY in the declared
