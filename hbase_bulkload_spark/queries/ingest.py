@@ -322,11 +322,14 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact for non-null cells (null z8 cells were suppressed → null).
 
     Variant choice is measured, not argued: tools/bench_pivot.py at
-    sf0.1 (3-run median) — default single-hop scatter pivot 4.97 s vs
-    map-side partial pivot 11.05 s, so default stays. The partial
-    variant shuffles ~9× fewer (but wider) rows; on local[32] the
-    exchange never crosses a network, so its extra pandas merge pass is
-    pure overhead — re-measure on a real cluster before switching."""
+    sf0.1 (3-run median, with the scan parallelism floor) — default
+    single-hop scatter pivot 2.34 s vs map-side partial pivot 2.55 s,
+    so default stays (pre-floor the gap was 4.97 s vs 11.05 s — the
+    partial variant's extra Arrow hop was serialized on the 1-task
+    scan). The partial variant shuffles ~9× fewer (but wider) rows; on
+    local[32] the exchange never crosses a network, so its extra pandas
+    merge pass is still pure overhead — re-measure on a real cluster
+    before switching."""
     oracle_safe(spark)
     w = records.wide9(spark, sf_dir)
     kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
