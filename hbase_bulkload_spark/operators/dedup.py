@@ -272,26 +272,40 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ max_hamming via 16-bit chunk
-    banding (pigeonhole: ≤3 differing bits can't hit all 4 chunks)."""
-    sig = simhash64(docs)
-    # all 4 chunk keys in one posexplode, then POSTING LISTS per bucket:
-    # the signature stage is map-only (pandas-UDF packer, no exchange),
-    # so a self-join would run it on BOTH sides — grouping each chunk
-    # bucket once computes signatures exactly once and the C(m,2) pair
-    # expansion happens on the (doc_id, simhash) structs inside the
-    # bucket (same restructure as minhash_lsh_pairs / ngram pairs).
+def hamming_pairs_banded(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pairs of 64-bit signatures at hamming ≤ ``max_hamming`` via
+    equal-width chunk banding (pigeonhole: ≤ n_chunks-1 differing bits
+    cannot hit every chunk, so recall is EXACT for
+    ``max_hamming ≤ n_chunks - 1``; precision is exact always — the
+    final bit_count filter verifies).
+
+    All chunk keys come from one posexplode, then POSTING LISTS per
+    bucket: the signature stage upstream is map-only, so a self-join
+    would run it on BOTH sides — grouping each chunk bucket once
+    computes signatures exactly once and the C(m,2) pair expansion
+    happens on the (id, sig) structs inside the bucket (same
+    restructure as minhash_lsh_pairs / ngram pairs).
+    """
+    assert 64 % n_chunks == 0, "chunks must tile the 64-bit signature"
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    s = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
     chunk_keys = F.array(
         *[
-            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
+            F.shiftrightunsigned("_sig", c * width).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
         ]
     )
-    bd = sig.select("doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ck"))
+    bd = s.select("doc_id", "_sig", F.posexplode(chunk_keys).alias("chunk", "ck"))
     buckets = (
         bd.groupBy("chunk", "ck")
-        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "_sig"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     p1 = buckets.select("ds", F.posexplode("ds").alias("i", "a"))
@@ -300,11 +314,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-            "hamming"
-        ),
+        F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
     )
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ max_hamming via 16-bit chunk
+    banding (pigeonhole: ≤3 differing bits can't hit all 4 chunks)."""
+    return hamming_pairs_banded(
+        simhash64(docs), sig_col="simhash", max_hamming=max_hamming
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

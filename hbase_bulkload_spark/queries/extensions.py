@@ -722,6 +722,23 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     return multimodal.frame_sample(media, every_n=10, n_frames=100)
 
 
+def q_multimodal_phash(spark, sf_dir) -> DataFrame:
+    """Op 56d: perceptual-hash image near-dup — the multimodal column
+    meets the op-53 signature machinery. Payload is the bytes a real
+    pipeline hands the image decoder (here the raw document bytes; the
+    pixel decode is the stub, everything after — DCT, median threshold,
+    bit pack, chunk banding — is the real algorithm). Rows-only oracle:
+    the DCT is not SQL-expressible; banding-vs-brute-force equality is
+    pinned by tests/test_containment.py instead."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return multimodal.phash_pairs(media, max_hamming=3)
+
+
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → the held-out benchmark split
 DECON_NGRAM = 8
 
@@ -792,6 +809,7 @@ QUERIES = {
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_phash": q_multimodal_phash,
     "q_curate_corpus": q_curate_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_pack_sequences": q_pack_sequences,

@@ -76,3 +76,41 @@ def test_cosine_lsh_contained_in_exact_pairs(emb):
     # find is exact-verified.
     if exact:
         assert len(got) >= 1
+
+
+def test_phash_banding_equals_brute_force(spark, sf_dir):
+    """pHash chunk banding must equal brute-force hamming ≤ 3 over the
+    same signatures (pigeonhole recall 1, bit_count precision 1), and
+    every emitted pair must be an exact-method near-dup on this corpus
+    (perceptual precision against the n-gram Jaccard ground truth)."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    media = docs.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    sig = {r.doc_id: r.phash for r in multimodal.phash64(media).collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sig[a] ^ sig[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in multimodal.phash_pairs(media, max_hamming=3).collect()
+    }
+    assert got == brute, (sorted(got - brute)[:5], sorted(brute - got)[:5])
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_freq=None
+        ).collect()
+    }
+    assert got <= exact, sorted(got - exact)[:5]
