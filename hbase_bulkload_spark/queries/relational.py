@@ -487,6 +487,24 @@ def q_agg_percentile(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_agg_approx_quantile(spark, sf_dir) -> DataFrame:
+    """Op 29d: approximate quantiles via Spark's `percentile_approx`
+    (GK-sketch aggregate, relative-rank error ≤ 1/accuracy) — the
+    sketch path for value domains where op 29b's binned-exact
+    formulation has no fixed-precision grid (free-form doubles,
+    nanosecond timestamps). Rows-only like the other sketch ops:
+    the sketch's merge order is engine/partitioning-dependent, so
+    values are not cross-engine stable; the exact twin (op 29b) is the
+    hash-checked correctness anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = lambda q, n: F.expr(  # noqa: E731
+        f"percentile_approx(l_extendedprice, {q}, 10000)"
+    ).alias(n)
+    return li.groupBy("l_returnflag").agg(
+        p(0.25, "p25"), p(0.5, "p50"), p(0.9, "p90")
+    )
+
+
 def q_merge_upsert(spark, sf_dir) -> DataFrame:
     """Op 23b: CDC merge/upsert without a lakehouse format — the
     anti-join + union emulation: updated rows replace matching target
@@ -896,6 +914,7 @@ QUERIES = {
     "q_profile_table": q_profile_table,
     "q_table_diff": q_table_diff,
     "q_skew_report": q_skew_report,
+    "q_agg_approx_quantile": q_agg_approx_quantile,
 }
 
 

@@ -588,3 +588,62 @@ def test_profile_table_stats(spark):
     approx = {r.col_name: r for r in profile_table(df, cols, exact=False).collect()}
     assert set(approx) == set(out)
     assert approx["k"].n_rows == 4 and abs(approx["k"].n_distinct - 4) <= 1
+
+
+def test_duplicated_spans_property(spark):
+    """Hypothesis-driven: on random small-alphabet corpora the Spark
+    spans must equal a brute-force Python reference (posting lists +
+    interval merge). Cases share one Spark round trip; token namespaces
+    are case-prefixed so corpora cannot interact."""
+    from hypothesis import given, settings, strategies as st
+
+    K = 3
+    cases: list[list[list[str]]] = []
+    doc_strat = st.lists(st.sampled_from("abcd"), min_size=0, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc_strat, min_size=1, max_size=6))
+    def collect(docs):
+        cases.append(docs)
+
+    collect()
+
+    rows, expected = [], set()
+    base = 0
+    for ci, case in enumerate(cases):
+        corpus = {
+            base + j: [f"c{ci}_{t}" for t in toks]
+            for j, toks in enumerate(case)
+        }
+        base += len(case)
+        for d, toks in corpus.items():
+            rows.append((d, " ".join(toks)))
+        grams: dict[str, set[int]] = {}
+        for d, toks in corpus.items():
+            for i in range(len(toks) - K + 1):
+                grams.setdefault(" ".join(toks[i : i + K]), set()).add(d)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        for d, toks in corpus.items():
+            poss = [
+                i + 1
+                for i in range(len(toks) - K + 1)
+                if " ".join(toks[i : i + K]) in dup
+            ]
+            start = prev = None
+            n = 0
+            for p in poss:
+                if prev is not None and p - prev <= K:
+                    prev, n = p, n + 1
+                else:
+                    if start is not None:
+                        expected.add((d, start, prev + K - 1, n))
+                    start, prev, n = p, p, 1
+            if start is not None:
+                expected.add((d, start, prev + K - 1, n))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in dedup.duplicated_spans(df, k=K).collect()
+    }
+    assert got == expected, (sorted(got - expected)[:5], sorted(expected - got)[:5])

@@ -95,3 +95,25 @@ def test_property_random_money_distributions(spark):
     # native emits all-null groups with NULL quantiles; binned drops them
     want = {k: v for k, v in want.items() if v != (None, None, None)}
     assert got == want
+
+
+def test_approx_quantile_near_exact(spark, sf_dir):
+    """The sketch path (op 29d) must land within GK error of the exact
+    binned formulation on the same column — rows-only in the oracle, so
+    the accuracy claim is pinned here instead."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = _as_map(
+        exact_quantiles_binned(li, "l_returnflag", "l_extendedprice", QS),
+        "l_returnflag",
+    )
+    p = lambda q, n: F.expr(  # noqa: E731
+        f"percentile_approx(l_extendedprice, {q}, 10000)"
+    ).alias(n)
+    approx = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag").agg(*[p(q, n) for q, n in QS]).collect()
+    }
+    assert set(approx) == set(exact)
+    for g in exact:
+        for a, e in zip(approx[g], exact[g]):
+            assert abs(a - e) / max(abs(e), 1.0) < 0.01, (g, a, e)
