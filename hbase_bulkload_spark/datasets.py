@@ -43,27 +43,72 @@ def table(
         df = _read_events(spark, path)
     else:
         df = spark.read.parquet(path)
-    return parallelism_floor(spark, df) if floor_parallelism else df
+    return parallelism_floor(spark, df, path=path) if floor_parallelism else df
 
 
-def parallelism_floor(spark: SparkSession, df: DataFrame) -> DataFrame:
+#: Memoized floor decisions keyed by parquet path — the probe reads
+#: file footers (path mode) or runs an extra planning pass (fallback),
+#: neither of which should repeat per query construction.
+_FLOOR_DECISIONS: dict[str, bool] = {}
+
+
+def parallelism_floor(
+    spark: SparkSession, df: DataFrame, path: str | None = None
+) -> DataFrame:
     """Guarantee a scan feeds at least half the cluster's cores.
 
-    A parquet split cannot cross a row-group boundary, so a file written
-    as one giant row group planwise collapses to a single task — and any
-    compute-heavy consumer (per-row MD5, rolling hashes, Arrow-batch
-    GEMM) runs on 1 of N cores. When the planned scan parallelism is
-    already ≥ cores/2 (any well-laid-out multi-file / multi-row-group
-    input — i.e. every real cluster dataset), this is a NO-OP: no
-    exchange is added. Only a pathologically unsplittable input pays one
+    A parquet split cannot cross a row-group boundary, so a file
+    written as few giant row groups collapses to that many non-empty
+    tasks no matter how many byte-range splits Spark PLANS (splits
+    without a row-group midpoint decode zero rows). The probe therefore
+    measures true splittability, not planned partitions:
+
+    - ``path`` given (parquet): if the table has ≥ cores/2 files,
+      NO-OP with no I/O (file count alone bounds parallelism from
+      below). Otherwise read the few footers and use the total
+      row-group count — the real upper bound on scan parallelism.
+    - no ``path``: fall back to the planned partition count
+      (``df.rdd.getNumPartitions()``; an extra planning pass, and an
+      under-estimate of the pathology for large single-row-group files
+      — prefer passing ``path``).
+
+    Any well-laid-out cluster dataset (many files or many row groups)
+    is a no-op; only a pathologically unsplittable input pays one
     round-robin exchange of the scanned frame to unlock the compute
     stage's parallelism. Reserve it for consumers whose per-row work
     dwarfs an exchange of the input; a plain filter/agg never needs it.
+    Decisions are memoized per path (probe I/O and the fallback's
+    planning pass run once per table, not once per query).
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    threshold = max(target // 2, 2)
+    if path is not None:
+        needs = _FLOOR_DECISIONS.get(path)
+        if needs is None:
+            needs = _effective_parallelism(path, threshold) < threshold
+            _FLOOR_DECISIONS[path] = needs
+        return df.repartition(target) if needs else df
+    if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
+
+
+def _effective_parallelism(path: str, cap: int) -> int:
+    """Row-group-level splittability of a parquet path: number of files
+    if ≥ cap (no footer I/O), else total row groups across the files."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    if len(files) >= cap:
+        return len(files)
+    return sum(pq.ParquetFile(f).num_row_groups for f in files)
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

@@ -293,6 +293,12 @@ def hamming_pairs_banded(
     restructure as minhash_lsh_pairs / ngram pairs).
     """
     assert 64 % n_chunks == 0, "chunks must tile the 64-bit signature"
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole-exact bound "
+            f"{n_chunks - 1} for {n_chunks} chunks — recall would silently "
+            "drop below 1; raise n_chunks instead"
+        )
     width = 64 // n_chunks
     mask = (1 << width) - 1
     s = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
@@ -666,7 +672,7 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
+    toks = tokens(F.col(text_col))
     n = F.size(toks)
     gram_arr = F.when(
         n >= k,

@@ -163,9 +163,13 @@ def phash64(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     pHash algorithm in vectorized numpy (`einsum` over the Arrow
     batch); only the pixel decode is the container-constrained stub
     (`_stub_pixels`; ``decode_stub=False`` raises where a PIL decode
-    would go). Map-only: signature parallelism is the scan's.
+    would go). Map-only: signature parallelism is the scan's. Like
+    `resize`, only image rows are hashed — audio/video payloads have
+    no pixel interpretation.
     """
     import numpy as np
+
+    media = media.filter(F.col("modality") == "image")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         N = 32

@@ -13,7 +13,7 @@ sf0.1 (11.4 s vs 2.5 s) and strictly worse at scale, where the Expand
 output is k× the table while the per-column cardinalities are not.
 ``exact=False`` is the true single-pass form: HLL
 ``approx_count_distinct`` partials are ordinary (Expand-free)
-aggregates, one scan total, documented ±2% on distincts.
+aggregates, one scan total, rsd-bounded (±2%) on distincts.
 """
 
 from __future__ import annotations
@@ -64,7 +64,7 @@ def _profile_single_pass(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     for name, expr in cols.items():
         aggs += [
             F.count(expr).alias(f"{name}__nn"),
-            F.approx_count_distinct(expr).alias(f"{name}__nd"),
+            F.approx_count_distinct(expr, rsd=0.02).alias(f"{name}__nd"),
             F.min(expr).cast("string").alias(f"{name}__min"),
             F.max(expr).cast("string").alias(f"{name}__max"),
         ]

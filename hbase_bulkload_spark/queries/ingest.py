@@ -142,7 +142,7 @@ def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame are exactly per-column counts over the wide frame, so one
     18-aggregate pass + a 9-row unpivot replaces the 9x Expand."""
     oracle_safe(spark)
-    w = records.wide9(spark, sf_dir)
+    w = records.wide9(spark, sf_dir, floor=False)
     aggs = []
     for c in RECORD_COLS:
         aggs.append(F.count("*").alias(f"c_{c}"))
@@ -160,12 +160,12 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 12: positional key projection, fields 0-3 (the RC variant's
     field-20 OOB is a documented deviation, SURVEY.md §2.2 note)."""
     oracle_safe(spark)
-    return records.wide9(spark, sf_dir).select(*KEY_COLS)
+    return records.wide9(spark, sf_dir, floor=False).select(*KEY_COLS)
 
 
 def q_rowkey_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_safe(spark)
-    w = records.wide9(spark, sf_dir)
+    w = records.wide9(spark, sf_dir, floor=False)
     return w.select("z0", md5_hex("z0").alias("k0"))
 
 
@@ -177,7 +177,7 @@ def q_rowkey_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_key_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_safe(spark)
-    w = records.wide9(spark, sf_dir)
+    w = records.wide9(spark, sf_dir, floor=False)
     return w.select("z0", reverse_key("z0").alias("rk"))
 
 
@@ -208,7 +208,7 @@ def q_validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity. Map-side partial aggregation; the result is rule-count
     sized."""
     oracle_safe(spark)
-    w = records.wide9(spark, sf_dir)
+    w = records.wide9(spark, sf_dir, floor=False)
     rules = {
         "null_key_field": F.col("z0").isNull()
         | F.col("z1").isNull()

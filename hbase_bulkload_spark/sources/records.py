@@ -42,20 +42,27 @@ MALFORMED_MOD = 97  # rows with l_orderkey % 97 == 0 get 8 fields, not 9
 NULL_MOD = 53  # rows with l_orderkey % 53 == 0 carry a NULL z8
 
 
-def wide9(spark: SparkSession, sf_dir: str, with_nulls: bool = True) -> DataFrame:
+def wide9(
+    spark: SparkSession, sf_dir: str, with_nulls: bool = True, floor: bool = True
+) -> DataFrame:
     """The canonical 9-nullable-string-column record frame (§1.1), derived
     from lineitem. Column value choices avoid any float→string formatting
     (engine-dependent): keys, flags, a date string, an integral quantity.
 
-    The scan carries the parallelism floor (datasets.parallelism_floor):
-    every consumer is md5/unpivot-heavy, and the driver's sf0.1 lineitem
-    is one unsplittable 600k-row row group.
-    """
+    ``floor=True`` (default) reads through datasets.parallelism_floor —
+    right for the md5×4 / unpivot / shuffle-after consumers that
+    dominate this frame's use (the driver's sf0.1 lineitem is one
+    unsplittable 600k-row row group). Single-expression consumers
+    (one md5, a reverse, a projection) pass ``floor=False``: measured
+    at sf0.1, the exchange costs them 2-3× more than single-task
+    compute does (e.g. q_rowkey_md5 0.31 s unfloored vs 0.68 s
+    floored; q_rowkey_concat flips — 1.15 s vs 0.85 s)."""
     from hbase_bulkload_spark.datasets import parallelism_floor
 
-    li = parallelism_floor(
-        spark, spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    )
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    li = spark.read.parquet(src)
+    if floor:
+        li = parallelism_floor(spark, li, path=src)
     z8 = F.col("l_suppkey").cast("string")
     if with_nulls:
         z8 = F.when(F.col("l_orderkey") % NULL_MOD == 0, F.lit(None)).otherwise(z8)

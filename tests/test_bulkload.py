@@ -105,3 +105,21 @@ def test_parallelism_floor(spark, tmp_path):
 
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert parallelism_floor(spark, wide) is wide
+
+    # path mode measures ROW-GROUP splittability, not planned splits: a
+    # many-row-group file is left untouched even though it is one file,
+    # while the single-row-group file above floors regardless of how
+    # many byte-range splits Spark would plan for it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    multi = str(tmp_path / "multi.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(1000))}), multi, row_group_size=25
+    )
+    df_multi = spark.read.parquet(multi)
+    assert parallelism_floor(spark, df_multi, path=multi) is df_multi
+    floored2 = parallelism_floor(spark, spark.read.parquet(p), path=p)
+    assert (
+        floored2.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )

@@ -114,3 +114,8 @@ def test_phash_banding_equals_brute_force(spark, sf_dir):
         ).collect()
     }
     assert got <= exact, sorted(got - exact)[:5]
+
+
+def test_banding_rejects_out_of_recall_hamming(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, max_hamming=4)
