@@ -250,33 +250,19 @@ def bulkload_to_table(
 DEFAULT_SPLIT_BYTES = 2 << 20
 
 
-def scan_hfiles(
-    spark: SparkSession,
+def plan_block_splits(
     table_dir: str,
     split_bytes: int = DEFAULT_SPLIT_BYTES,
-    verify_checksums: bool = True,
     start_row: bytes | None = None,
     stop_row: bytes | None = None,
-    binary: bool = False,
-    columns: Sequence[str] | None = None,
-) -> DataFrame:
-    """Distributed scan of a bulk-loaded table directory: the driver
-    reads each file's trailer + root index (a few KB) and plans
-    block-range splits of ~``split_bytes``; tasks decode their block
-    subset and emit cells. Output: region, rowkey, family, qualifier,
-    ts, value — or the subset named by ``columns`` (region/rowkey always
-    kept): decode-side column pruning, the HFile analog of a parquet
-    ReadSchema — a pruned column's slice+str cost is never paid.
-
-    ``start_row``/``stop_row`` give HBase `Scan(startRow, stopRow)`
-    semantics ([start, stop), row granularity): whole files outside the
-    range are skipped from their metadata alone, blocks are pruned
-    against the index's first-key fences before any data byte is read,
-    and the residual cell filter runs in the decode task — the same
-    prune-then-filter discipline as a parquet min/max scan."""
+) -> list[tuple[str, str, str, list[tuple[int, int]]]]:
+    """Driver-side scan planning shared by `scan_hfiles` and the
+    `format("hfile")` Python DataSource: read each file's trailer + root
+    index (a few KB), prune whole files by key range from metadata
+    alone, prune blocks against the index's first-key fences, and pack
+    surviving blocks into ~``split_bytes`` chunks — one task each.
+    Returns (path, region, codec, [(off, size), ...]) per split."""
     import glob as _glob
-
-    import pandas as pd
 
     files = sorted(
         _glob.glob(os.path.join(table_dir, "region-*", "*", "*.hfile"))
@@ -284,7 +270,7 @@ def scan_hfiles(
     if not files:
         raise FileNotFoundError(f"no hfiles under {table_dir}")
 
-    plan = []
+    plan: list[tuple[str, str, str, list[tuple[int, int]]]] = []
     for path in files:
         region = os.path.basename(os.path.dirname(os.path.dirname(path)))
         if start_row is not None or stop_row is not None:
@@ -316,6 +302,36 @@ def scan_hfiles(
                 chunk, acc = [], 0
         if chunk:
             plan.append((path, region, t.compression or "", chunk))
+    return plan
+
+
+def scan_hfiles(
+    spark: SparkSession,
+    table_dir: str,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    verify_checksums: bool = True,
+    start_row: bytes | None = None,
+    stop_row: bytes | None = None,
+    binary: bool = False,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Distributed scan of a bulk-loaded table directory: the driver
+    reads each file's trailer + root index (a few KB) and plans
+    block-range splits of ~``split_bytes``; tasks decode their block
+    subset and emit cells. Output: region, rowkey, family, qualifier,
+    ts, value — or the subset named by ``columns`` (region/rowkey always
+    kept): decode-side column pruning, the HFile analog of a parquet
+    ReadSchema — a pruned column's slice+str cost is never paid.
+
+    ``start_row``/``stop_row`` give HBase `Scan(startRow, stopRow)`
+    semantics ([start, stop), row granularity): whole files outside the
+    range are skipped from their metadata alone, blocks are pruned
+    against the index's first-key fences before any data byte is read,
+    and the residual cell filter runs in the decode task — the same
+    prune-then-filter discipline as a parquet min/max scan."""
+    import pandas as pd
+
+    plan = plan_block_splits(table_dir, split_bytes, start_row, stop_row)
 
     # binary mode keeps raw cell bytes — required for tables written in
     # the reference-fidelity raw-key/positional modes, whose keys and

@@ -1,0 +1,178 @@
+"""`spark.read.format("hfile")` — the HFile v3 codec as a first-class
+Spark Python DataSource (pyspark.sql.datasource, Spark 4.x).
+
+Where `operators.hfile_load.scan_hfiles` wires the distributed scan by
+hand (parallelize a plan + mapInPandas), this registers the same codec
+inside Catalyst's source framework, so the read IS a scan node:
+
+- `partitions()` returns one `InputPartition` per ~split_bytes of
+  block ranges — the planner creates exactly that many tasks (the
+  DSv2 analog of parquet's split planning).
+- `pushFilters()` receives the query's predicates; rowkey range
+  predicates (`>=`, `>`, `<`, `<=`, `=`, and `startswith`) tighten the
+  driver-side plan so whole files and blocks are pruned from metadata
+  before any data byte is read. Every filter is reported back as
+  unsupported, so Spark re-applies them post-scan — pruning is a
+  performance contract here, correctness stays Spark's (the safe
+  default for a range prune that inspects only block fences).
+- `read()` yields Arrow RecordBatches (one per decoded block chunk),
+  the vectorized path through the Python worker.
+
+Registration is per-session and explicit:
+
+    from hbase_bulkload_spark.sources.hfile_datasource import register
+    register(spark)
+    df = spark.read.format("hfile").load(table_dir)
+
+The HFile layout itself lives in `sources.hfile`; the planning helper
+is shared with the operator path (`operators.hfile_load.
+plan_block_splits`), so both read paths prune identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+    InputPartition as _IP,  # noqa: F401  (re-export for type checkers)
+)
+
+HFILE_SCHEMA = (
+    "region string, rowkey string, family string, qualifier string, "
+    "ts long, value string"
+)
+
+
+class HFileScanPartition(InputPartition):
+    def __init__(self, path: str, region: str, codec: str, blocks: list):
+        self.path = path
+        self.region = region
+        self.codec = codec
+        self.blocks = blocks
+
+
+class HFileReader(DataSourceReader):
+    def __init__(self, options):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("format('hfile') requires .load(<table_dir>)")
+        self.split_bytes = int(options.get("split_bytes", 2 << 20))
+        self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
+        self.start_row: bytes | None = None
+        self.stop_row: bytes | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Harvest rowkey bounds for block-fence pruning; yield ALL
+        filters back (Spark re-applies them), so pruning can use a
+        superset range (e.g. `>` pruned as `>=`) without owning
+        exactness."""
+
+        def tighten_start(b: bytes) -> None:
+            if self.start_row is None or b > self.start_row:
+                self.start_row = b
+
+        def tighten_stop(b: bytes) -> None:
+            if self.stop_row is None or b < self.stop_row:
+                self.stop_row = b
+
+        for f in filters:
+            if getattr(f, "attribute", None) == ("rowkey",):
+                v = getattr(f, "value", None)
+                if isinstance(v, str):
+                    b = v.encode()
+                    if isinstance(f, (GreaterThanOrEqual, GreaterThan)):
+                        tighten_start(b)
+                    elif isinstance(f, LessThan):
+                        tighten_stop(b)
+                    elif isinstance(f, LessThanOrEqual):
+                        # [.., v] as a block prune: stop just past v
+                        tighten_stop(b + b"\x00")
+                    elif isinstance(f, EqualTo):
+                        tighten_start(b)
+                        tighten_stop(b + b"\x00")
+                    elif isinstance(f, StringStartsWith):
+                        tighten_start(b)
+                        tighten_stop(b[:-1] + bytes([b[-1] + 1]) if b and b[-1] < 0xFF else b + b"\xff")
+            yield f  # never claimed: Spark keeps correctness
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from hbase_bulkload_spark.operators.hfile_load import plan_block_splits
+
+        return [
+            HFileScanPartition(path, region, codec, blocks)
+            for path, region, codec, blocks in plan_block_splits(
+                self.table_dir,
+                split_bytes=self.split_bytes,
+                start_row=self.start_row,
+                stop_row=self.stop_row,
+            )
+        ]
+
+    def read(self, partition: HFileScanPartition):
+        import pyarrow as pa
+
+        from hbase_bulkload_spark.sources import hfile as hf
+
+        arrow_schema = pa.schema(
+            [
+                ("region", pa.string()),
+                ("rowkey", pa.string()),
+                ("family", pa.string()),
+                ("qualifier", pa.string()),
+                ("ts", pa.int64()),
+                ("value", pa.string()),
+            ]
+        )
+        with open(partition.path, "rb") as f:
+            for off, _size in partition.blocks:
+                plain = hf._read_block(
+                    f, off, partition.codec or None, hf.DATA_MAGIC, self.verify
+                )
+                rows, fams, quals, tss, vals = hf.decode_cells_columns(
+                    plain,
+                    binary=False,
+                    want_family=True,
+                    want_qualifier=True,
+                    want_ts=True,
+                    want_value=True,
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([partition.region] * len(rows)),
+                        pa.array(rows),
+                        pa.array(fams),
+                        pa.array(quals),
+                        pa.array(tss, type=pa.int64()),
+                        pa.array(vals),
+                    ],
+                    schema=arrow_schema,
+                )
+
+
+class HFileDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hfile"
+
+    def schema(self) -> str:
+        return HFILE_SCHEMA
+
+    def reader(self, schema) -> HFileReader:
+        return HFileReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of format('hfile') (also
+    enables Python-source filter pushdown, off by default in 4.x)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(HFileDataSource)

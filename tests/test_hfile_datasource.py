@@ -1,0 +1,93 @@
+"""format('hfile') Python DataSource: same cells as the operator-path
+scan, task count = planned block splits, and rowkey predicates prune
+files/blocks at planning time while Spark re-applies them for
+correctness (filters are never claimed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_bulkload_spark.operators import hfile_load as hl
+from hbase_bulkload_spark.sources.hfile_datasource import (
+    HFileReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, sf_dir, tmp_path_factory):
+    from hbase_bulkload_spark.operators.bulkload import bulkload_pipeline
+    from hbase_bulkload_spark.sources import records
+
+    base = tmp_path_factory.mktemp("hfile_ds")
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), records.RECORD_COLS[:4], records.RECORD_COLS
+    )
+    boundaries = [format(i, "x").encode() for i in range(16)]
+    manifest = hl.write_region_hfiles(kv, str(base / "staging"))
+    hl.do_bulk_load(
+        [m["path"] for m in manifest], str(base / "table"), boundaries, spark=spark
+    )
+    return str(base / "table")
+
+
+def test_datasource_matches_operator_scan(spark, table_dir):
+    register(spark)
+    ds = spark.read.format("hfile").load(table_dir)
+    op = hl.scan_hfiles(spark, table_dir)
+    cols = ["region", "rowkey", "family", "qualifier", "value"]
+    got = sorted(map(tuple, ds.select(*cols).collect()))
+    want = sorted(map(tuple, op.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_datasource_task_count_follows_split_bytes(spark, table_dir):
+    register(spark)
+    few = spark.read.format("hfile").option("split_bytes", 1 << 30).load(table_dir)
+    many = spark.read.format("hfile").option("split_bytes", 4 << 10).load(table_dir)
+    n_few = few.rdd.getNumPartitions()
+    n_many = many.rdd.getNumPartitions()
+    assert n_few < n_many
+    assert many.count() == few.count()
+
+
+def test_datasource_rowkey_filter_prunes_and_stays_correct(spark, table_dir):
+    from pyspark.sql import functions as F
+
+    register(spark)
+    ds = spark.read.format("hfile").load(table_dir)
+    all_rows = ds.collect()
+    keys = sorted({r.rowkey for r in all_rows})
+    lo = keys[len(keys) // 4]
+    filtered = ds.filter(F.col("rowkey") >= lo)
+    want = [r for r in all_rows if r.rowkey >= lo]
+    assert sorted(map(tuple, filtered.collect())) == sorted(map(tuple, want))
+    # whole region files below lo disappear at PLANNING time
+    assert filtered.rdd.getNumPartitions() < ds.rdd.getNumPartitions()
+
+
+def test_push_filters_tighten_bounds_without_claiming():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    r = HFileReader({"path": "/nonexistent"})
+    fs = [
+        GreaterThanOrEqual(("rowkey",), "ab"),
+        LessThan(("rowkey",), "f0"),
+        StringStartsWith(("other_col",), "x"),  # not rowkey: ignored
+    ]
+    back = list(r.pushFilters(fs))
+    assert back == fs  # everything handed back to Spark
+    assert r.start_row == b"ab" and r.stop_row == b"f0"
+
+    r2 = HFileReader({"path": "/nonexistent"})
+    list(r2.pushFilters([EqualTo(("rowkey",), "cc")]))
+    assert r2.start_row == b"cc" and r2.stop_row == b"cc\x00"
+
+    r3 = HFileReader({"path": "/nonexistent"})
+    list(r3.pushFilters([StringStartsWith(("rowkey",), "ab")]))
+    assert r3.start_row == b"ab" and r3.stop_row == b"ac"
