@@ -24,10 +24,19 @@ JACCARD_THRESHOLD = 0.5
 N_QUERIES = 8  # vec_id < 8 form the similarity-search query set
 
 
-def _docs(spark, sf_dir) -> DataFrame:
-    # floor: every consumer here tokenizes/hashes/shingles per row, and
-    # the driver's documents parquet is a single unsplittable row group
-    return table(oracle_safe(spark), sf_dir, "documents", floor_parallelism=True)
+def _docs(spark, sf_dir, floor: bool = False) -> DataFrame:
+    """``floor=True`` only for the measured per-row-HEAVY consumers
+    (rolling-hash fingerprint, triple-regex redaction, per-row DCT,
+    k-gram hashing, repetition array math): on this corpus size the
+    round-robin exchange costs ~0.2-0.3 s, which most doc queries lose
+    (A/B at sf0.1: q_dedup_exact 0.11 s unfloored vs 0.42 s floored)
+    and the heavy ones win big (q_multimodal_phash 7.4 s → 1.2 s,
+    q_dedup_substring 3.6 s → 1.6 s, q_text_fingerprint 2.3 s → 1.0 s).
+    The floor itself is still a no-op on splittable cluster inputs —
+    this knob decides who PAYS for the unsplittable local fixture."""
+    return table(
+        oracle_safe(spark), sf_dir, "documents", floor_parallelism=floor
+    )
 
 
 def q_scan_jsonl(spark, sf_dir) -> DataFrame:
@@ -39,9 +48,15 @@ def q_scan_jsonl(spark, sf_dir) -> DataFrame:
     return records.scan_jsonl(oracle_safe(spark), sf_dir)
 
 
-def _emb(spark, sf_dir) -> DataFrame:
-    # floor: consumers run Arrow-batch GEMM / signature UDFs per row
-    return table(oracle_safe(spark), sf_dir, "embeddings", floor_parallelism=True)
+def _emb(spark, sf_dir, floor: bool = False) -> DataFrame:
+    """Same policy as ``_docs``: measured A/B at sf0.1 — the blocked
+    GEMMs over this embedding count are cheaper than the exchange
+    (q_sim_topk_ivf 0.24 s unfloored vs 0.55 s floored); only the
+    per-row higher-order-function cosine argmax of semantic dedup
+    wins from flooring (1.69 s → 0.83 s)."""
+    return table(
+        oracle_safe(spark), sf_dir, "embeddings", floor_parallelism=floor
+    )
 
 
 # --- dedup -------------------------------------------------------------------
@@ -91,7 +106,7 @@ def q_dedup_semantic(spark, sf_dir) -> DataFrame:
     (seed pick, round-6 cosine argmax, within-cluster pairs) is an
     engine-portable deterministic function."""
     return dedup.semantic_dedup(
-        _emb(spark, sf_dir), n_clusters=8, threshold=SIM_THRESHOLD
+        _emb(spark, sf_dir, floor=True), n_clusters=8, threshold=SIM_THRESHOLD
     )
 
 
@@ -100,7 +115,7 @@ def q_dedup_substring(spark, sf_dir) -> DataFrame:
     reformulated for shuffle execution) — maximal token spans covered
     by an 8-gram occurring in ≥ 2 documents, merged per doc with
     gaps-and-islands."""
-    return dedup.duplicated_spans(_docs(spark, sf_dir))
+    return dedup.duplicated_spans(_docs(spark, sf_dir, floor=True))
 
 
 # --- similarity search --------------------------------------------------------
@@ -148,7 +163,7 @@ def q_text_tokens(spark, sf_dir) -> DataFrame:
 def q_text_quality(spark, sf_dir) -> DataFrame:
     """Op 55b: per-doc quality metrics (length / token stats / stopword
     and punctuation ratios / BPE-ish token count)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     w = T.tokens("text")
     return docs.select(
         "doc_id",
@@ -195,7 +210,7 @@ def q_text_fingerprint(spark, sf_dir) -> DataFrame:
     value-identical (parity checked corpus-wide), and the agg's
     map-side combine keeps the shuffle at one row per doc per
     partition at any scale."""
-    docs = _docs(spark, sf_dir).filter(F.length("text") >= 8)
+    docs = _docs(spark, sf_dir, floor=True).filter(F.length("text") >= 8)
     win = F.explode(
         F.regexp_extract_all(F.col("text"), F.lit("(?s)(?=(.{8}))."), 1)
     ).alias("w")
@@ -224,7 +239,7 @@ def q_text_repetition(spark, sf_dir) -> DataFrame:
     natural text) where this pays O(n). Measured ~3× faster at sf0.1;
     the gap widens with document length. The standard cheap filters for
     templated or degenerate web text."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     # each intermediate array lives in its OWN projection so lambdas see
     # a cheap attribute reference — inlined, array_sort(w) would be
     # re-evaluated per lambda element (measured 30× slower; same
@@ -730,7 +745,7 @@ def q_multimodal_phash(spark, sf_dir) -> DataFrame:
     bit pack, chunk banding — is the real algorithm). Rows-only oracle:
     the DCT is not SQL-expressible; banding-vs-brute-force equality is
     pinned by tests/test_containment.py instead."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     media = docs.select(
         "doc_id",
         F.lit("image").alias("modality"),
@@ -762,7 +777,7 @@ def q_text_redact(spark, sf_dir) -> DataFrame:
     phones / IPv4s into every 7th document first (pure function of
     doc_id — the oracle mirrors it), then scrubs; per-doc match counts
     come from the pre-redaction text."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     pii = F.concat(
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),

@@ -122,6 +122,37 @@ def q_scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return records.scan_rcfile(spark, sf_dir)
 
 
+def q_scan_avro_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 5b: the Avro OCF scan through the registered Spark Python
+    DataSource (`spark.read.format("avro_ocf")`) — the same codec as
+    q_scan_avro, but Catalyst-planned: header-inferred schema,
+    sync-anchored byte-range partitions, Arrow-batch reads. Same full
+    oracle, so the DataSource read path is value-checked end to end."""
+    from hbase_bulkload_spark.sources.format_datasources import register
+
+    oracle_safe(spark)
+    register(spark)
+    path = records.avro_path(spark, sf_dir)
+    return spark.read.format("avro_ocf").load(path).select(*RECORD_COLS)
+
+
+def q_scan_rcfile_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 4b: the RCFile scan through the registered Spark Python
+    DataSource (`spark.read.format("rcfile")`, names via option) —
+    same codec and oracle as q_scan_rcfile."""
+    from hbase_bulkload_spark.sources.format_datasources import register
+
+    oracle_safe(spark)
+    register(spark)
+    path = records.rcfile_path(spark, sf_dir)
+    return (
+        spark.read.format("rcfile")
+        .option("names", ",".join(RECORD_COLS))
+        .load(path)
+        .select(*RECORD_COLS)
+    )
+
+
 def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 10: emit iff exactly COLUMN_COUNT fields; the skipped branch is
     counted rather than println'd (BulkImporterFromText.java:56,68-70)."""
@@ -437,6 +468,8 @@ QUERIES = {
     "q_scan_columnar": q_scan_columnar,
     "q_scan_avro": q_scan_avro,
     "q_scan_rcfile": q_scan_rcfile,
+    "q_scan_avro_ds": q_scan_avro_ds,
+    "q_scan_rcfile_ds": q_scan_rcfile_ds,
     "q_filter_arity": q_filter_arity,
     "q_filter_notnull": q_filter_notnull,
     "q_project": q_project,
@@ -491,6 +524,8 @@ ORACLES = {
     "q_scan_columnar": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_avro": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_rcfile": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_avro_ds": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_rcfile_ds": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_filter_arity": f"""
         WITH {WIDE9_CTE}
         SELECT (_seq % 97 <> 0 AND z8 IS NOT NULL) AS is_valid,
