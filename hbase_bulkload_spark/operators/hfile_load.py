@@ -38,6 +38,55 @@ from pyspark.sql import DataFrame, SparkSession
 from hbase_bulkload_spark.sources import hfile as hf
 
 
+def _as_bytes(col) -> list[bytes]:
+    # str in the canonical hex-key mode; already bytes in the
+    # reference-fidelity raw-key/positional modes
+    vals = col.tolist()
+    if vals and isinstance(vals[0], str):
+        return [v.encode() for v in vals]
+    return vals
+
+
+def write_partition_cells(
+    batches,
+    out_dir: str,
+    part_id: int,
+    compression: str | None = "snappy",
+    ts: int = 0,
+) -> list[dict]:
+    """Executor-side body shared by `write_region_hfiles` and the
+    `format("hfile")` DataSource writer: stream pandas batches of the
+    region-aligned KV contract (rowkey, family, qualifier, value,
+    bucket — sorted by (bucket, rowkey, qualifier)) into one open
+    HFileWriter per bucket; returns one manifest dict per file."""
+    writers: dict[str, hf.HFileWriter] = {}
+    for pdf in batches:
+        for bucket, grp in pdf.groupby("bucket", sort=False):
+            w = writers.get(bucket)
+            if w is None:
+                path = os.path.join(out_dir, f"part-{part_id:05d}-{bucket}.hfile")
+                w = writers[bucket] = hf.HFileWriter(path, compression)
+            w.add_many(
+                _as_bytes(grp["rowkey"]),
+                _as_bytes(grp["family"]),
+                _as_bytes(grp["qualifier"]),
+                ts,
+                _as_bytes(grp["value"]),
+            )
+    out = []
+    for bucket, w in writers.items():
+        m = w.close()
+        out.append(
+            {
+                "path": m["path"],
+                "bucket": bucket,
+                "entry_count": m["entry_count"],
+                "n_blocks": m["n_blocks"],
+            }
+        )
+    return out
+
+
 def write_region_hfiles(
     kv: DataFrame,
     out_dir: str,
@@ -69,47 +118,12 @@ def write_region_hfiles(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def as_bytes(col: pd.Series) -> list[bytes]:
-        # str in the canonical hex-key mode; already bytes in the
-        # reference-fidelity raw-key/positional modes
-        vals = col.tolist()
-        if vals and isinstance(vals[0], str):
-            return [v.encode() for v in vals]
-        return vals
-
     def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = None
-        writers: dict[str, hf.HFileWriter] = {}
-        for pdf in batches:
-            if ctx is None:
-                from pyspark import TaskContext
+        from pyspark import TaskContext
 
-                ctx = TaskContext.get().partitionId()
-            for bucket, grp in pdf.groupby("bucket", sort=False):
-                w = writers.get(bucket)
-                if w is None:
-                    path = os.path.join(
-                        out_dir, f"part-{ctx:05d}-{bucket}.hfile"
-                    )
-                    w = writers[bucket] = hf.HFileWriter(path, compression)
-                w.add_many(
-                    as_bytes(grp["rowkey"]),
-                    as_bytes(grp["family"]),
-                    as_bytes(grp["qualifier"]),
-                    ts,
-                    as_bytes(grp["value"]),
-                )
-        out = []
-        for bucket, w in writers.items():
-            m = w.close()
-            out.append(
-                {
-                    "path": m["path"],
-                    "bucket": bucket,
-                    "entry_count": m["entry_count"],
-                    "n_blocks": m["n_blocks"],
-                }
-            )
+        out = write_partition_cells(
+            batches, out_dir, TaskContext.get().partitionId(), compression, ts
+        )
         yield pd.DataFrame(
             out, columns=["path", "bucket", "entry_count", "n_blocks"]
         )

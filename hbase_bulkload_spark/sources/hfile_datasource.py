@@ -33,8 +33,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -44,7 +47,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
-    InputPartition as _IP,  # noqa: F401  (re-export for type checkers)
+    WriterCommitMessage,
 )
 
 HFILE_SCHEMA = (
@@ -159,6 +162,78 @@ class HFileReader(DataSourceReader):
                 )
 
 
+class HFileCommit(WriterCommitMessage):
+    def __init__(self, manifest: list[dict]):
+        self.manifest = manifest
+
+
+class HFileSinkWriter(DataSourceArrowWriter):
+    """`df.write.format("hfile").save(dir)` — the `HFileOutputFormat2`
+    half of the reference's sink (BulkImporterFromText.java:108-111):
+    each task streams its partition of the region-aligned KV contract
+    (rowkey, family, qualifier, value, bucket — sorted within
+    partitions by (bucket, rowkey, qualifier), i.e.
+    `operators.bulkload.region_align` output) into one HFile per
+    bucket; `commit()` writes a `_MANIFEST.json` + `_SUCCESS` on the
+    driver (the two-phase-commit contract: files from aborted attempts
+    are never listed). Placement into a region layout stays a separate
+    step (`operators.hfile_load.do_bulk_load`), exactly as the
+    reference separates job output from `doBulkLoad`."""
+
+    REQUIRED = ("rowkey", "family", "qualifier", "value", "bucket")
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('hfile') write requires .save(<dir>)")
+        missing = [c for c in self.REQUIRED if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"hfile sink needs the KV contract columns; missing {missing}"
+            )
+        self.compression = options.get("compression", "snappy")
+        if self.compression in ("none", ""):
+            self.compression = None
+        self.ts = int(options.get("ts", 0))
+
+    def write(self, iterator) -> "HFileCommit":
+        from pyspark import TaskContext
+
+        from hbase_bulkload_spark.operators.hfile_load import (
+            write_partition_cells,
+        )
+
+        os.makedirs(self.path, exist_ok=True)
+        pdfs = (b.to_pandas() for b in iterator)
+        manifest = write_partition_cells(
+            pdfs,
+            self.path,
+            TaskContext.get().partitionId(),
+            self.compression,
+            self.ts,
+        )
+        return HFileCommit(manifest)
+
+    def commit(self, messages) -> None:
+        import json
+
+        manifest = [m for msg in messages for m in msg.manifest]
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for m in msg.manifest:
+                try:
+                    os.remove(m["path"])
+                except OSError:
+                    pass
+
+
 class HFileDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -169,6 +244,15 @@ class HFileDataSource(DataSource):
 
     def reader(self, schema) -> HFileReader:
         return HFileReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> HFileSinkWriter:
+        if overwrite:
+            import shutil
+
+            path = self.options.get("path")
+            if path and os.path.exists(path):
+                shutil.rmtree(path)
+        return HFileSinkWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -91,3 +91,43 @@ def test_push_filters_tighten_bounds_without_claiming():
     r3 = HFileReader({"path": "/nonexistent"})
     list(r3.pushFilters([StringStartsWith(("rowkey",), "ab")]))
     assert r3.start_row == b"ab" and r3.stop_row == b"ac"
+
+
+def test_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """df.write.format('hfile') must produce files that bulk-load and
+    scan back to exactly the KV frame, with a committed manifest; a
+    frame missing the KV contract columns is rejected."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators.bulkload import bulkload_pipeline
+    from hbase_bulkload_spark.sources import records
+
+    register(spark)
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), records.RECORD_COLS[:4], records.RECORD_COLS
+    )
+    out = str(tmp_path / "staging")
+    kv.write.format("hfile").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest and all(os.path.exists(m["path"]) for m in manifest)
+    assert sum(m["entry_count"] for m in manifest) == kv.count()
+
+    boundaries = [format(i, "x").encode() for i in range(16)]
+    hl.do_bulk_load(
+        [m["path"] for m in manifest], str(tmp_path / "table"), boundaries,
+        spark=spark,
+    )
+    scanned = hl.scan_hfiles(spark, str(tmp_path / "table"))
+    cols = ["rowkey", "family", "qualifier", "value"]
+    got = sorted(map(tuple, scanned.select(*cols).collect()))
+    want = sorted(map(tuple, kv.select(*cols).collect()))
+    assert got == want
+
+    with pytest.raises(Exception, match="missing"):
+        kv.select("rowkey", "value").write.format("hfile").mode(
+            "overwrite"
+        ).save(str(tmp_path / "bad"))
