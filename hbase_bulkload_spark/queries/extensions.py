@@ -737,6 +737,18 @@ def q_multimodal_frames(spark, sf_dir) -> DataFrame:
     return multimodal.frame_sample(media, every_n=10, n_frames=100)
 
 
+def q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Op 55c: distributed BPE merge learning (tokenizer training) —
+    one corpus-scale word-count pass, then n_merges rounds of
+    vocabulary-sized pair aggregation + broadcast argmax + codegen'd
+    map-only merge apply (operators/bpe.py). Rows-only: an iterative
+    argmax loop has no SQL oracle; exact merge-list equality against an
+    independent pure-Python reference is pinned by tests/test_bpe.py."""
+    from hbase_bulkload_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(_docs(spark, sf_dir), n_merges=8)
+
+
 def q_multimodal_phash(spark, sf_dir) -> DataFrame:
     """Op 56d: perceptual-hash image near-dup — the multimodal column
     meets the op-53 signature machinery. Payload is the bytes a real
@@ -825,6 +837,7 @@ QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_phash": q_multimodal_phash,
+    "q_bpe_merges": q_bpe_merges,
     "q_curate_corpus": q_curate_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_pack_sequences": q_pack_sequences,

@@ -1,0 +1,74 @@
+"""Distributed BPE merge learning must equal an independent pure-Python
+reference exactly — merge list (order, pairs, counts) — on crafted and
+corpus data. The reference re-implements greedy weighted BPE from the
+published algorithm (count adjacent pairs over the word vocabulary,
+merge the (count desc, pair asc) argmax, leftmost-first apply)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hbase_bulkload_spark.operators.bpe import learn_bpe
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def _word_counts(rows):
+    wc = Counter()
+    for _id, text in rows:
+        for w in text.split(" "):
+            if w:
+                wc[w] += 1
+    return wc
+
+
+def test_bpe_crafted_overlaps(spark):
+    """Overlapping-run semantics: 'aaaa' under merge (a,a) must become
+    ['aa','aa'] (leftmost-first, non-overlapping), and ties must break
+    lexicographically."""
+    rows = [(1, "aaaa aaaa abab"), (2, "abab cd cd")]
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in learn_bpe(
+            spark.createDataFrame(rows, "doc_id long, text string"), n_merges=4
+        ).collect()
+    ]
+    want = _ref_bpe(_word_counts(rows), 4)
+    assert got == want
+
+
+def test_bpe_matches_reference_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in learn_bpe(docs, n_merges=8).collect()
+    ]
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = _ref_bpe(_word_counts(rows), 8)
+    assert got == want
+    assert len(got) == 8
