@@ -72,3 +72,34 @@ def test_bpe_matches_reference_on_corpus(spark, sf_dir):
     want = _ref_bpe(_word_counts(rows), 8)
     assert got == want
     assert len(got) == 8
+
+
+def test_bpe_property_random_corpora(spark):
+    """Hypothesis-driven: on random tiny-alphabet corpora the
+    distributed merge list equals the reference exactly. Cases share
+    one Spark session; each case runs its own learn_bpe (the loop is
+    driver-coordinated, so cases cannot be batched into one frame)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[list[str]] = []
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=3))
+    def collect(docs):
+        cases.append(docs)
+
+    collect()
+
+    for ci, docs in enumerate(cases[:6]):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        got = [
+            (r.step, r.left, r.right, r.pair_count)
+            for r in learn_bpe(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                n_merges=3,
+            ).collect()
+        ]
+        want = _ref_bpe(_word_counts(rows), 3)
+        assert got == want, (ci, docs, got, want)
