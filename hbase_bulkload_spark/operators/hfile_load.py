@@ -47,10 +47,24 @@ def _as_bytes(col) -> list[bytes]:
     return vals
 
 
+def task_file_label() -> str:
+    """``{partitionId}-{taskAttemptId}`` — file names must be unique
+    PER ATTEMPT, not per partition: with speculative execution (or a
+    zombie original racing a retry) two live attempts of one partition
+    would otherwise open the same path with 'wb' and interleave writes
+    into a corrupted HFile. Attempt-unique names make the losing
+    attempt's file an unreferenced orphan instead (only the winning
+    attempt's manifest rows are collected/committed)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return f"{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+
+
 def write_partition_cells(
     batches,
     out_dir: str,
-    part_id: int,
+    task_label: str,
     compression: str | None = "snappy",
     ts: int = 0,
 ) -> list[dict]:
@@ -58,13 +72,14 @@ def write_partition_cells(
     `format("hfile")` DataSource writer: stream pandas batches of the
     region-aligned KV contract (rowkey, family, qualifier, value,
     bucket — sorted by (bucket, rowkey, qualifier)) into one open
-    HFileWriter per bucket; returns one manifest dict per file."""
+    HFileWriter per bucket; returns one manifest dict per file.
+    ``task_label`` should come from :func:`task_file_label`."""
     writers: dict[str, hf.HFileWriter] = {}
     for pdf in batches:
         for bucket, grp in pdf.groupby("bucket", sort=False):
             w = writers.get(bucket)
             if w is None:
-                path = os.path.join(out_dir, f"part-{part_id:05d}-{bucket}.hfile")
+                path = os.path.join(out_dir, f"part-{task_label}-{bucket}.hfile")
                 w = writers[bucket] = hf.HFileWriter(path, compression)
             w.add_many(
                 _as_bytes(grp["rowkey"]),
@@ -119,10 +134,8 @@ def write_region_hfiles(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
         out = write_partition_cells(
-            batches, out_dir, TaskContext.get().partitionId(), compression, ts
+            batches, out_dir, task_file_label(), compression, ts
         )
         yield pd.DataFrame(
             out, columns=["path", "bucket", "entry_count", "n_blocks"]

@@ -426,17 +426,21 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
                 )
                 yield pd.DataFrame(rows, columns=names, dtype=object)
 
-    def _spark_type(t) -> str:
-        if isinstance(t, list):  # union: type of the non-null branch
-            t = next(x for x in t if x != "null")
-        return {
-            "string": "string", "int": "long", "long": "long",
-            "float": "double", "double": "double",
-            "boolean": "boolean", "bytes": "binary",
-        }[t]
-
-    out_schema = ", ".join(f"{n} {_spark_type(t)}" for n, t in zip(names, types))
+    out_schema = ", ".join(f"{n} {spark_type(t)}" for n, t in zip(names, types))
     return sdf.mapInPandas(decode, out_schema)
+
+
+def spark_type(t) -> str:
+    """Avro field type → Spark DDL type (nullable-union unwrapped;
+    int→long / float→double widenings are deliberate). The single
+    mapping shared by the operator scan and the `avro_ocf` DataSource."""
+    if isinstance(t, list):  # union: type of the non-null branch
+        t = next(x for x in t if x != "null")
+    return {
+        "string": "string", "int": "long", "long": "long",
+        "float": "double", "double": "double",
+        "boolean": "boolean", "bytes": "binary",
+    }[t]
 
 
 def write_partitioned(df, path: str, schema: dict) -> int:

@@ -12,26 +12,18 @@ source framework: `schema()` is inferred driver-side from one file
 header (Avro carries its schema; RCFile stores only a column count, so
 names come from the `names` option or default to `c0..cN`), and
 `partitions()` plans the same sync-anchored byte-range splits — task
-count tracks data volume, not file count. `read()` yields one Arrow
+count tracks data volume, not file count. Each split carries the
+header facts it needs (sync marker, data offset, codec, types/width),
+so `read()` does zero extra I/O before decoding, and yields one Arrow
 RecordBatch per split.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-_AVRO_TO_SPARK = {
-    "string": "string",
-    "int": "long",
-    "long": "long",
-    "float": "double",
-    "double": "double",
-    "boolean": "boolean",
-    "bytes": "binary",
-}
 
 
 def _glob_files(path: str, ext: str) -> list[str]:
@@ -44,13 +36,37 @@ def _glob_files(path: str, ext: str) -> list[str]:
 
 
 class _RangeSplit(InputPartition):
-    def __init__(self, path, start, end, data_start, sync_hex, codec):
+    """One byte-range split plus the per-file header facts the decode
+    task needs — all picklable, so `read()` opens the data file cold."""
+
+    def __init__(self, path, start, end, data_start, sync_hex, codec, meta):
         self.path = path
         self.start = start
         self.end = end
         self.data_start = data_start
         self.sync_hex = sync_hex
         self.codec = codec
+        self.meta = meta  # avro: (names, types); rcfile: n_cols
+
+
+def _plan_byte_splits(
+    path: str,
+    ext: str,
+    header_fn: Callable[[str], tuple],
+    split_size: int,
+) -> list[_RangeSplit]:
+    """Shared split planner for both sync-anchored container formats:
+    one tiny header read per file, then ceil(size/split_size) ranges —
+    the same protocol as the operator scans' planners."""
+    plan = []
+    for p in _glob_files(path, ext):
+        sync, data_start, fsize, codec, meta = header_fn(p)
+        b = data_start
+        while b < fsize:
+            e = min(b + split_size, fsize)
+            plan.append(_RangeSplit(p, b, e, data_start, sync.hex(), codec, meta))
+            b = e
+    return plan
 
 
 class AvroOcfReader(DataSourceReader):
@@ -58,29 +74,27 @@ class AvroOcfReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('avro_ocf') requires .load(<dir>)")
-        self.split_size = int(options.get("split_size", 128 << 20))
+        from hbase_bulkload_spark.sources import avro_ocf as ao
+
+        self.split_size = int(options.get("split_size", ao.DEFAULT_SPLIT_SIZE))
 
     def partitions(self) -> Sequence[InputPartition]:
         from hbase_bulkload_spark.sources import avro_ocf as ao
 
-        plan = []
-        for p in _glob_files(self.path, ".avro"):
-            _s, sync, data_start, fsize, codec = ao.header_info(p)
-            b = data_start
-            while b < fsize:
-                e = min(b + self.split_size, fsize)
-                plan.append(_RangeSplit(p, b, e, data_start, sync.hex(), codec))
-                b = e
-        return plan
+        def header(p):
+            schema, sync, data_start, fsize, codec = ao.header_info(p)
+            names = [f["name"] for f in schema["fields"]]
+            types = ao._field_types(schema)
+            return sync, data_start, fsize, codec, (names, types)
+
+        return _plan_byte_splits(self.path, ".avro", header, self.split_size)
 
     def read(self, part: _RangeSplit):
         import pyarrow as pa
 
         from hbase_bulkload_spark.sources import avro_ocf as ao
 
-        schema, *_ = ao.header_info(part.path)
-        types = ao._field_types(schema)
-        names = [f["name"] for f in schema["fields"]]
+        names, types = part.meta
         rows = list(
             ao.iter_ocf_range(
                 part.path,
@@ -107,13 +121,9 @@ class AvroOcfDataSource(DataSource):
         from hbase_bulkload_spark.sources import avro_ocf as ao
 
         schema, *_ = ao.header_info(_glob_files(self.options["path"], ".avro")[0])
-
-        def t(typ):
-            if isinstance(typ, list):  # nullable union
-                typ = next(x for x in typ if x != "null")
-            return _AVRO_TO_SPARK[typ]
-
-        return ", ".join(f"{f['name']} {t(f['type'])}" for f in schema["fields"])
+        return ", ".join(
+            f"{f['name']} {ao.spark_type(f['type'])}" for f in schema["fields"]
+        )
 
     def reader(self, schema) -> AvroOcfReader:
         return AvroOcfReader(self.options)
@@ -124,28 +134,26 @@ class RCFileReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("format('rcfile') requires .load(<dir>)")
-        self.split_size = int(options.get("split_size", 128 << 20))
+        from hbase_bulkload_spark.sources import rcfile as rc
+
+        self.split_size = int(options.get("split_size", rc.DEFAULT_SPLIT_SIZE))
         self.names = options["names"].split(",") if "names" in options else None
 
     def partitions(self) -> Sequence[InputPartition]:
         from hbase_bulkload_spark.sources import rcfile as rc
 
-        plan = []
-        for p in _glob_files(self.path, ".rc"):
-            _n, codec, sync, data_start, fsize = rc.header_info(p)
-            b = data_start
-            while b < fsize:
-                e = min(b + self.split_size, fsize)
-                plan.append(_RangeSplit(p, b, e, data_start, sync.hex(), codec or ""))
-                b = e
-        return plan
+        def header(p):
+            n_cols, codec, sync, data_start, fsize = rc.header_info(p)
+            return sync, data_start, fsize, codec or "", n_cols
+
+        return _plan_byte_splits(self.path, ".rc", header, self.split_size)
 
     def read(self, part: _RangeSplit):
         import pyarrow as pa
 
         from hbase_bulkload_spark.sources import rcfile as rc
 
-        n_cols, *_ = rc.header_info(part.path)
+        n_cols = part.meta
         rows = list(
             rc.iter_rcfile_range(
                 part.path,

@@ -50,10 +50,20 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-HFILE_SCHEMA = (
-    "region string, rowkey string, family string, qualifier string, "
-    "ts long, value string"
-)
+def _hfile_schema(binary: bool) -> str:
+    cell_t = "binary" if binary else "string"
+    return (
+        f"region string, rowkey {cell_t}, family {cell_t}, "
+        f"qualifier {cell_t}, ts long, value {cell_t}"
+    )
+
+
+def _opt_binary(options) -> bool:
+    """`.option("binary", "true")` keeps raw cell bytes — required for
+    tables written in the reference-fidelity raw-key/positional modes,
+    whose keys and qualifiers are not UTF-8 (same knob as
+    `operators.hfile_load.scan_hfiles(binary=True)`)."""
+    return str(options.get("binary", "false")).lower() == "true"
 
 
 class HFileScanPartition(InputPartition):
@@ -71,6 +81,7 @@ class HFileReader(DataSourceReader):
             raise ValueError("format('hfile') requires .load(<table_dir>)")
         self.split_bytes = int(options.get("split_bytes", 2 << 20))
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
+        self.binary = _opt_binary(options)
         self.start_row: bytes | None = None
         self.stop_row: bytes | None = None
 
@@ -126,14 +137,15 @@ class HFileReader(DataSourceReader):
 
         from hbase_bulkload_spark.sources import hfile as hf
 
+        cell_pa = pa.binary() if self.binary else pa.string()
         arrow_schema = pa.schema(
             [
                 ("region", pa.string()),
-                ("rowkey", pa.string()),
-                ("family", pa.string()),
-                ("qualifier", pa.string()),
+                ("rowkey", cell_pa),
+                ("family", cell_pa),
+                ("qualifier", cell_pa),
                 ("ts", pa.int64()),
-                ("value", pa.string()),
+                ("value", cell_pa),
             ]
         )
         with open(partition.path, "rb") as f:
@@ -143,7 +155,7 @@ class HFileReader(DataSourceReader):
                 )
                 rows, fams, quals, tss, vals = hf.decode_cells_columns(
                     plain,
-                    binary=False,
+                    binary=self.binary,
                     want_family=True,
                     want_qualifier=True,
                     want_ts=True,
@@ -197,9 +209,8 @@ class HFileSinkWriter(DataSourceArrowWriter):
         self.ts = int(options.get("ts", 0))
 
     def write(self, iterator) -> "HFileCommit":
-        from pyspark import TaskContext
-
         from hbase_bulkload_spark.operators.hfile_load import (
+            task_file_label,
             write_partition_cells,
         )
 
@@ -208,7 +219,7 @@ class HFileSinkWriter(DataSourceArrowWriter):
         manifest = write_partition_cells(
             pdfs,
             self.path,
-            TaskContext.get().partitionId(),
+            task_file_label(),  # attempt-unique: speculative-safe
             self.compression,
             self.ts,
         )
@@ -240,18 +251,26 @@ class HFileDataSource(DataSource):
         return "hfile"
 
     def schema(self) -> str:
-        return HFILE_SCHEMA
+        return _hfile_schema(_opt_binary(self.options))
 
     def reader(self, schema) -> HFileReader:
         return HFileReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> HFileSinkWriter:
+        path = self.options.get("path")
         if overwrite:
             import shutil
 
-            path = self.options.get("path")
             if path and os.path.exists(path):
                 shutil.rmtree(path)
+        elif path and os.path.exists(os.path.join(path, "_SUCCESS")):
+            # append semantics are NOT implemented (commit() would
+            # delist the prior write's files from _MANIFEST.json);
+            # reject instead of silently clobbering
+            raise ValueError(
+                "format('hfile') supports only mode('overwrite') onto an "
+                "existing table staging dir; append would delist prior files"
+            )
         return HFileSinkWriter(self.options, schema)
 
 

@@ -131,3 +131,29 @@ def test_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
         kv.select("rowkey", "value").write.format("hfile").mode(
             "overwrite"
         ).save(str(tmp_path / "bad"))
+
+
+def test_datasource_writer_rejects_append(spark, sf_dir, tmp_path):
+    from hbase_bulkload_spark.operators.bulkload import bulkload_pipeline
+    from hbase_bulkload_spark.sources import records
+
+    register(spark)
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), records.RECORD_COLS[:4], records.RECORD_COLS
+    ).limit(50)
+    out = str(tmp_path / "staging")
+    kv.write.format("hfile").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="overwrite"):
+        kv.write.format("hfile").mode("append").save(out)
+    # overwrite replaces cleanly
+    kv.write.format("hfile").mode("overwrite").save(out)
+
+
+def test_datasource_binary_read_mode(spark, table_dir):
+    register(spark)
+    b = spark.read.format("hfile").option("binary", "true").load(table_dir)
+    s = spark.read.format("hfile").load(table_dir)
+    assert dict(b.dtypes)["rowkey"] == "binary" and dict(s.dtypes)["rowkey"] == "string"
+    got = sorted(r.rowkey.decode() for r in b.select("rowkey").collect())
+    want = sorted(r.rowkey for r in s.select("rowkey").collect())
+    assert got == want
