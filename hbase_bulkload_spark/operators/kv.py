@@ -91,13 +91,15 @@ def pivot_wide(
     on local[32] (in-memory exchange) the extra hop costs more than
     the bytes it saves (measured: see README "Pivot variants"), but on
     a multi-node cluster where the exchange crosses the network the
-    trade reverses. Both variants produce identical results when each
-    (rowkey, qualifier) has one cell; under duplicates both are
-    arrival-order-dependent (see Contract).
+    trade reverses. Both variants produce identical results, including
+    under duplicates (see Contract).
 
-    Contract: at most one cell per (rowkey, qualifier) — HBase cell
-    semantics; enforce version retention (op 18) upstream. Duplicates
-    resolve first-non-null, arrival-order-dependent.
+    Contract: one LOGICAL cell per (rowkey, qualifier) — HBase cell
+    semantics; enforce version retention (op 18) upstream when inputs
+    carry versions. Physical duplicates resolve deterministically to
+    the per-cell MAX non-null value (the ts-free stand-in for HBase's
+    highest-timestamp-wins; matches the oracle's MAX(CASE ...) in any
+    arrival order — a real duplicate key at sf0.001 pinned this).
     """
     import numpy as np  # executor-side
     import pandas as pd
@@ -113,15 +115,18 @@ def pivot_wide(
         if not pdfs:
             return
         allp = pd.concat(pdfs, ignore_index=True)
-        allp = allp[allp["value"].notna()]  # first-NON-NULL semantics
+        allp = allp[allp["value"].notna()]  # non-null semantics
+        # ascending value sort + forward scatter ⇒ the per-cell MAX
+        # wins under duplicates — deterministic and identical to the
+        # oracle's MAX(CASE WHEN ...) regardless of arrival order
+        allp = allp.sort_values("value", kind="mergesort")
         qual_codes = pd.Categorical(allp["qualifier"], categories=quals).codes
         if (qual_codes < 0).any():  # cells outside the pinned list: dropped
             keep = qual_codes >= 0
             allp, qual_codes = allp[keep], qual_codes[keep]
         key_codes, key_uniques = pd.factorize(allp["rowkey"])
         cells = np.full((len(key_uniques), len(quals)), None, dtype=object)
-        # reverse assignment order so the FIRST occurrence wins
-        cells[key_codes[::-1], qual_codes[::-1]] = allp["value"].to_numpy()[::-1]
+        cells[key_codes, qual_codes] = allp["value"].to_numpy()
         out = pd.DataFrame(cells, columns=quals)
         out.insert(0, "rowkey", key_uniques)
         yield out
@@ -131,9 +136,10 @@ def pivot_wide(
         return cells.repartition("rowkey").mapInPandas(pivot_part, schema)
 
     def merge_part(batches):
-        """Merge partial wide rows: groupby rowkey, first non-null per
-        qualifier column (numpy scatter again — reversed assignment so
-        the first-seen partial wins, mirroring pivot_part)."""
+        """Merge partial wide rows: per (rowkey, column) the MAX
+        non-null value wins (numpy scatter again — each column's
+        non-null values assigned in ascending order so the largest
+        lands last, mirroring pivot_part's duplicate rule)."""
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
@@ -143,7 +149,9 @@ def pivot_wide(
         for j, q in enumerate(quals):
             col = allp[q].to_numpy()
             mask = pd.notna(col)
-            out_cells[key_codes[mask][::-1], j] = col[mask][::-1]
+            vals, keys = col[mask], key_codes[mask]
+            order = np.argsort(vals, kind="stable")
+            out_cells[keys[order], j] = vals[order]
         out = pd.DataFrame(out_cells, columns=quals)
         out.insert(0, "rowkey", key_uniques)
         yield out

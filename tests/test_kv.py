@@ -41,10 +41,11 @@ def test_kv_schema_contract(spark, sf_dir):
 
 def test_pivot_duplicate_and_unknown_cells(spark):
     """The scatter pivot's edge contracts: duplicate (rowkey, qualifier)
-    cells resolve to SOME non-null value (first by arrival order, which
-    the exchange scrambles — the documented contract); null-valued cells
-    never beat a non-null; qualifiers outside the pinned list are
-    dropped, not mis-scattered (the Categorical -1 guard)."""
+    cells resolve DETERMINISTICALLY to the MAX non-null value in any
+    arrival order (the oracle's MAX(CASE ...) — pinned by a real dup
+    key at sf0.001); null-valued cells never beat a non-null;
+    qualifiers outside the pinned list are dropped, not mis-scattered
+    (the Categorical -1 guard). Both variants must agree."""
     rows = [
         ("k1", "c", "q0", None),   # null — must never win over a/b
         ("k1", "c", "q0", "a"),
@@ -54,12 +55,18 @@ def test_pivot_duplicate_and_unknown_cells(spark):
         ("k2", "c", "q1", "y"),
     ]
     kv = spark.createDataFrame(rows, "rowkey string, family string, qualifier string, value string")
-    out = {r.rowkey: r for r in pivot_wide(kv, ["q0", "q1"]).collect()}
-    assert len(out) == 2  # one wide row per key, dup cells merged
-    assert out["k1"].q0 in {"a", "b"}  # non-null always beats null
-    assert out["k1"].q1 == "x"
-    assert out["k2"].q0 is None  # 'junk' must not leak anywhere
-    assert out["k2"].q1 == "y"
+    for partial in (False, True):
+        out = {
+            r.rowkey: r
+            for r in pivot_wide(
+                kv.repartition(3), ["q0", "q1"], partial=partial
+            ).collect()
+        }
+        assert len(out) == 2, partial  # one wide row per key, dups merged
+        assert out["k1"].q0 == "b", partial  # MAX of {a, b}, never null
+        assert out["k1"].q1 == "x", partial
+        assert out["k2"].q0 is None, partial  # 'junk' must not leak
+        assert out["k2"].q1 == "y", partial
 
 
 def test_pivot_roundtrip(spark, sf_dir):
