@@ -264,7 +264,11 @@ def bulkload_to_table(
         spark=spark,
         compression=compression,
     )
-    os.rmdir(staging)
+    # rmtree, not rmdir: attempt-unique file names mean a failed or
+    # losing speculative attempt can leave an orphan HFile in staging
+    # (only manifest-listed files were moved) — exactly the retry case
+    # the naming scheme exists for; an orphan must not fail the load
+    shutil.rmtree(staging)
     return loaded
 
 

@@ -86,7 +86,8 @@ def pivot_wide(
     ``partial=True`` is the cluster-tier variant: pivot within each
     INPUT partition first (map-side, before any exchange), shuffle the
     ~n_qualifiers× fewer partial wide rows, then merge partials per
-    rowkey with first-non-null. It pays a second JVM↔Python Arrow hop
+    rowkey (per-cell MAX, the same duplicate rule as the default
+    variant). It pays a second JVM↔Python Arrow hop
     to cut shuffle volume dominated by the repeated 128-hex rowkey —
     on local[32] (in-memory exchange) the extra hop costs more than
     the bytes it saves (measured: see README "Pivot variants"), but on
@@ -116,10 +117,14 @@ def pivot_wide(
             return
         allp = pd.concat(pdfs, ignore_index=True)
         allp = allp[allp["value"].notna()]  # non-null semantics
-        # ascending value sort + forward scatter ⇒ the per-cell MAX
-        # wins under duplicates — deterministic and identical to the
-        # oracle's MAX(CASE WHEN ...) regardless of arrival order
-        allp = allp.sort_values("value", kind="mergesort")
+        # duplicates ⇒ ascending value sort + forward scatter, so the
+        # per-cell MAX wins — deterministic and identical to the
+        # oracle's MAX(CASE WHEN ...) regardless of arrival order. The
+        # sort is gated on an O(n) hash check: dup cells are a data
+        # quality anomaly (~one per corpus), not the common case, and
+        # the clean path stays the advertised sort-free scatter.
+        if allp.duplicated(["rowkey", "qualifier"]).any():
+            allp = allp.sort_values("value", kind="mergesort")
         qual_codes = pd.Categorical(allp["qualifier"], categories=quals).codes
         if (qual_codes < 0).any():  # cells outside the pinned list: dropped
             keep = qual_codes >= 0
@@ -145,13 +150,19 @@ def pivot_wide(
             return
         allp = pd.concat(pdfs, ignore_index=True)
         key_codes, key_uniques = pd.factorize(allp["rowkey"])
+        # a rowkey with ONE partial row can't collide per cell; only
+        # multi-partial keys need the ascending-value order (same gated
+        # MAX rule as pivot_part)
+        multi = bool(allp.duplicated("rowkey").any())
         out_cells = np.full((len(key_uniques), len(quals)), None, dtype=object)
         for j, q in enumerate(quals):
             col = allp[q].to_numpy()
             mask = pd.notna(col)
             vals, keys = col[mask], key_codes[mask]
-            order = np.argsort(vals, kind="stable")
-            out_cells[keys[order], j] = vals[order]
+            if multi:
+                order = np.argsort(vals, kind="stable")
+                vals, keys = vals[order], keys[order]
+            out_cells[keys, j] = vals
         out = pd.DataFrame(out_cells, columns=quals)
         out.insert(0, "rowkey", key_uniques)
         yield out

@@ -79,7 +79,11 @@ class HFileReader(DataSourceReader):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("format('hfile') requires .load(<table_dir>)")
-        self.split_bytes = int(options.get("split_bytes", 2 << 20))
+        from hbase_bulkload_spark.operators.hfile_load import (
+            DEFAULT_SPLIT_BYTES,
+        )
+
+        self.split_bytes = int(options.get("split_bytes", DEFAULT_SPLIT_BYTES))
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.binary = _opt_binary(options)
         self.start_row: bytes | None = None
@@ -226,9 +230,18 @@ class HFileSinkWriter(DataSourceArrowWriter):
         return HFileCommit(manifest)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json
 
         manifest = [m for msg in messages for m in msg.manifest]
+        # sweep orphans: attempt-unique names mean a failed or losing
+        # speculative attempt leaves a partial file the committed
+        # manifest never references — delete it so directory globbers
+        # (not just manifest readers) see only committed files
+        listed = {m["path"] for m in manifest}
+        for p in _glob.glob(os.path.join(self.path, "part-*.hfile")):
+            if p not in listed:
+                os.remove(p)
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
