@@ -50,11 +50,14 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-def _hfile_schema(binary: bool) -> str:
+_PRUNABLE = ("family", "qualifier", "ts", "value")
+
+
+def _hfile_schema(binary: bool, keep: tuple[str, ...]) -> str:
     cell_t = "binary" if binary else "string"
-    return (
-        f"region string, rowkey {cell_t}, family {cell_t}, "
-        f"qualifier {cell_t}, ts long, value {cell_t}"
+    types = {"family": cell_t, "qualifier": cell_t, "ts": "long", "value": cell_t}
+    return ", ".join(
+        [f"region string, rowkey {cell_t}"] + [f"{c} {types[c]}" for c in keep]
     )
 
 
@@ -64,6 +67,22 @@ def _opt_binary(options) -> bool:
     whose keys and qualifiers are not UTF-8 (same knob as
     `operators.hfile_load.scan_hfiles(binary=True)`)."""
     return str(options.get("binary", "false")).lower() == "true"
+
+
+def _opt_columns(options) -> tuple[str, ...]:
+    """`.option("columns", "value,ts")` — decode-side column pruning,
+    the HFile analog of a parquet ReadSchema (same knob as
+    `scan_hfiles(columns=...)`): a pruned column's per-cell slice +
+    decode cost is never paid. region/rowkey are always kept."""
+    if "columns" not in options:
+        return _PRUNABLE
+    want = {c.strip() for c in options["columns"].split(",")}
+    unknown = want - set(_PRUNABLE) - {"region", "rowkey"}
+    if unknown:
+        raise ValueError(
+            f"unknown columns {sorted(unknown)}; prunable: {_PRUNABLE}"
+        )
+    return tuple(c for c in _PRUNABLE if c in want)
 
 
 class HFileScanPartition(InputPartition):
@@ -86,6 +105,7 @@ class HFileReader(DataSourceReader):
         self.split_bytes = int(options.get("split_bytes", DEFAULT_SPLIT_BYTES))
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.binary = _opt_binary(options)
+        self.keep = _opt_columns(options)
         self.start_row: bytes | None = None
         self.stop_row: bytes | None = None
 
@@ -142,15 +162,15 @@ class HFileReader(DataSourceReader):
         from hbase_bulkload_spark.sources import hfile as hf
 
         cell_pa = pa.binary() if self.binary else pa.string()
+        pa_types = {
+            "family": cell_pa,
+            "qualifier": cell_pa,
+            "ts": pa.int64(),
+            "value": cell_pa,
+        }
         arrow_schema = pa.schema(
-            [
-                ("region", pa.string()),
-                ("rowkey", cell_pa),
-                ("family", cell_pa),
-                ("qualifier", cell_pa),
-                ("ts", pa.int64()),
-                ("value", cell_pa),
-            ]
+            [("region", pa.string()), ("rowkey", cell_pa)]
+            + [(c, pa_types[c]) for c in self.keep]
         )
         with open(partition.path, "rb") as f:
             for off, _size in partition.blocks:
@@ -160,19 +180,25 @@ class HFileReader(DataSourceReader):
                 rows, fams, quals, tss, vals = hf.decode_cells_columns(
                     plain,
                     binary=self.binary,
-                    want_family=True,
-                    want_qualifier=True,
-                    want_ts=True,
-                    want_value=True,
+                    want_family="family" in self.keep,
+                    want_qualifier="qualifier" in self.keep,
+                    want_ts="ts" in self.keep,
+                    want_value="value" in self.keep,
                 )
+                decoded = {
+                    "family": fams,
+                    "qualifier": quals,
+                    "ts": tss,
+                    "value": vals,
+                }
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array([partition.region] * len(rows)),
                         pa.array(rows),
-                        pa.array(fams),
-                        pa.array(quals),
-                        pa.array(tss, type=pa.int64()),
-                        pa.array(vals),
+                    ]
+                    + [
+                        pa.array(decoded[c], type=pa_types[c])
+                        for c in self.keep
                     ],
                     schema=arrow_schema,
                 )
@@ -264,7 +290,7 @@ class HFileDataSource(DataSource):
         return "hfile"
 
     def schema(self) -> str:
-        return _hfile_schema(_opt_binary(self.options))
+        return _hfile_schema(_opt_binary(self.options), _opt_columns(self.options))
 
     def reader(self, schema) -> HFileReader:
         return HFileReader(self.options)

@@ -157,3 +157,19 @@ def test_datasource_binary_read_mode(spark, table_dir):
     got = sorted(r.rowkey.decode() for r in b.select("rowkey").collect())
     want = sorted(r.rowkey for r in s.select("rowkey").collect())
     assert got == want
+
+
+def test_datasource_column_pruning_option(spark, table_dir):
+    register(spark)
+    pruned = (
+        spark.read.format("hfile").option("columns", "value").load(table_dir)
+    )
+    assert pruned.columns == ["region", "rowkey", "value"]
+    full = spark.read.format("hfile").load(table_dir)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.select("region", "rowkey", "value").collect())
+    )
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("hfile").option("columns", "bogus").load(
+            table_dir
+        ).schema
