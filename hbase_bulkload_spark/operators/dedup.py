@@ -753,7 +753,14 @@ def decontaminate(
     shingle key. Per-doc overlap counts then reduce on doc_id (one
     row per doc before the join back).
     """
-    sh = F.explode(word_shingles_text(text_col, n)).alias("shingle")
+    # shingles compare as 8-byte xxhash64 keys (hashed map-side inside
+    # the same codegen'd transform): the semi-join and overlap count
+    # use them only for equality, so the corpus-side explode and the
+    # broadcast set shrink ~2× — same injectivity bet as
+    # ngram_jaccard_pairs
+    sh = F.explode(
+        F.transform(word_shingles_text(text_col, n), lambda s: F.xxhash64(s))
+    ).alias("shingle")
     bench_sh = docs.filter(is_benchmark).select(sh).distinct()
     train = docs.filter(~is_benchmark)
     hits = (
