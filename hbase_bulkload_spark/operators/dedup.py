@@ -537,6 +537,52 @@ def embedding_dedup(
     )
 
 
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-shaped exact dedup: dedupe a NEW batch against an
+    already-deduped corpus without re-processing the corpus — at 100 TB
+    you dedup each crawl increment against the index, never the whole
+    history again.
+
+    Per batch doc: ``dup_of_history`` (content hash already present in
+    the history), ``dup_in_batch`` (smallest batch id with the same
+    hash, null for the first occurrence), and the resulting ``keep``
+    verdict (first occurrence of a hash unseen in history).
+
+    Scale shape: both sides reduce to content hashes map-side; the
+    history side collapses to its DISTINCT hash set (the "index" — in a
+    real deployment this is a stored artifact, not recomputed), joined
+    hash-to-hash. The batch-internal check is one window over the
+    (small) batch. The corpus-scale frame is never shuffled on anything
+    wider than a 32-char hash.
+    """
+    from pyspark.sql import Window
+
+    hist_hashes = history.select(
+        F.md5(F.col(text_col)).alias("text_hash")
+    ).distinct()
+    b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    b = b.withColumn("_first", F.min(id_col).over(w))
+    hist = hist_hashes.withColumn("_in_hist", F.lit(True))
+    out = b.join(hist, "text_hash", "left").select(
+        id_col,
+        "text_hash",
+        F.coalesce("_in_hist", F.lit(False)).alias("dup_of_history"),
+        F.when(F.col("_first") < F.col(id_col), F.col("_first")).alias(
+            "dup_in_batch"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        ~F.col("dup_of_history") & F.col("dup_in_batch").isNull(),
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 8,

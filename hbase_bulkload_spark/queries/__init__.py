@@ -32,7 +32,7 @@ _DRIVER_WINDOW_FIRST = (
     "q_dedup_semantic", "q_dedup_substring", "q_profile_table",
     "q_table_diff", "q_skew_report", "q_multimodal_phash",
     "q_agg_approx_quantile", "q_scan_avro_ds", "q_scan_rcfile_ds",
-    "q_bpe_merges",
+    "q_bpe_merges", "q_dedup_incremental",
     "q_window_firstlast", "q_window_range_frame", "q_pivot_agg", "q_sql_exists",
     "q_string_fuzzy", "q_kv_scan", "q_compaction",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",

@@ -98,6 +98,19 @@ def q_dedup_embed(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Op 52b: incremental exact dedup — the new crawl batch
+    (doc_id ≡ 0 mod 3) deduped against the already-ingested history
+    (the rest) hash-to-hash, plus first-occurrence dedup within the
+    batch; history is never re-shuffled on anything wider than its
+    hash index (operators.dedup.incremental_dedup)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir) -> DataFrame:
     """Op 53f: SemDeDup — deterministic centroid blocking (md5-sampled
     seeds, one nearest-centroid pass), then the min-id cosine dedup
@@ -822,6 +835,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_substring": q_dedup_substring,
     "q_sim_topk": q_sim_topk,
@@ -995,6 +1009,26 @@ ORACLES = {
         SELECT d.doc_id, dup.dup_of, dup.max_sim,
                dup.dup_of IS NOT NULL AS is_dup
         FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    """,
+    "q_dedup_incremental": """
+        WITH hist AS (
+            SELECT DISTINCT md5(text) AS text_hash
+            FROM documents WHERE doc_id % 3 <> 0
+        ),
+        b AS (
+            SELECT doc_id, md5(text) AS text_hash
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        firsts AS (
+            SELECT doc_id, text_hash,
+                   MIN(doc_id) OVER (PARTITION BY text_hash) AS f
+            FROM b
+        )
+        SELECT fb.doc_id, fb.text_hash,
+               h.text_hash IS NOT NULL AS dup_of_history,
+               CASE WHEN fb.f < fb.doc_id THEN fb.f END AS dup_in_batch,
+               h.text_hash IS NULL AND fb.f >= fb.doc_id AS keep
+        FROM firsts fb LEFT JOIN hist h USING (text_hash)
     """,
     "q_dedup_semantic": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

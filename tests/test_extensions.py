@@ -647,3 +647,28 @@ def test_duplicated_spans_property(spark):
         for r in dedup.duplicated_spans(df, k=K).collect()
     }
     assert got == expected, (sorted(got - expected)[:5], sorted(expected - got)[:5])
+
+
+def test_incremental_dedup_verdicts(spark):
+    """History dups flagged, batch-internal dups keep only the first
+    occurrence, novel docs keep; a doc that is BOTH a history dup and a
+    batch dup reports both facts and keeps neither way."""
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "old news")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "seen before"),     # dup of history
+            (12, "brand new"),       # dup of 10 within batch
+            (13, "seen before"),     # dup of history AND of 11
+            (14, "also novel"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.incremental_dedup(hist, batch).collect()}
+    assert out[10].keep and not out[10].dup_of_history and out[10].dup_in_batch is None
+    assert not out[11].keep and out[11].dup_of_history
+    assert not out[12].keep and out[12].dup_in_batch == 10
+    assert not out[13].keep and out[13].dup_of_history and out[13].dup_in_batch == 11
+    assert out[14].keep
