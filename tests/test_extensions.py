@@ -672,3 +672,50 @@ def test_incremental_dedup_verdicts(spark):
     assert not out[12].keep and out[12].dup_in_batch == 10
     assert not out[13].keep and out[13].dup_of_history and out[13].dup_in_batch == 11
     assert out[14].keep
+
+
+def test_incremental_dedup_property(spark):
+    """Hypothesis-driven: on random tiny corpora the incremental
+    verdicts equal a dict-based Python reference. Cases share one
+    Spark round trip via disjoint id ranges and case-prefixed texts."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[tuple[list[str], list[str]]] = []
+    text = st.text(alphabet="xy", min_size=1, max_size=3)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(text, max_size=4), st.lists(text, min_size=1, max_size=5))
+    def collect(hist, batch):
+        cases.append((hist, batch))
+
+    collect()
+
+    hrows, brows, expected = [], [], {}
+    base = 0
+    for ci, (hist, batch) in enumerate(cases):
+        htexts = {f"c{ci}_{t}" for t in hist}
+        hrows += [(base + j, t) for j, t in enumerate(sorted(htexts))]
+        first_seen: dict[str, int] = {}
+        for j, t in enumerate(batch):
+            doc_id = base + 100 + j
+            t = f"c{ci}_{t}"
+            brows.append((doc_id, t))
+            in_hist = t in htexts
+            dup_in_batch = first_seen.get(t)
+            expected[doc_id] = (
+                in_hist,
+                dup_in_batch,
+                not in_hist and dup_in_batch is None,
+            )
+            first_seen.setdefault(t, doc_id)
+        base += 1000
+
+    out = dedup.incremental_dedup(
+        spark.createDataFrame(hrows or [(0, "_")], "doc_id long, text string"),
+        spark.createDataFrame(brows, "doc_id long, text string"),
+    )
+    got = {
+        r.doc_id: (r.dup_of_history, r.dup_in_batch, r.keep)
+        for r in out.collect()
+    }
+    assert got == expected
