@@ -719,3 +719,38 @@ def test_incremental_dedup_property(spark):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_semantic_dedup_argmax_tie_break(spark):
+    """A vector exactly equidistant (equal round-6 cosine) from two
+    centroids must assign to the SMALLER centroid id — the contract
+    that keeps the Spark struct-max argmax and the oracle's
+    ROW_NUMBER ... ORDER BY cos DESC, centroid_id hash-identical."""
+    import hashlib
+
+    def basis(i, j=None):
+        v = [0.0] * 64
+        v[i] = 1.0
+        if j is not None:
+            v[j] = 1.0
+        return v
+
+    # ids 0..3: two seeds = smallest (md5(str(id)), id); craft the tie
+    # vector halfway between the two seed directions. The tie doc's id
+    # must md5-sort AFTER both seeds or it would become a seed itself.
+    md5h = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+    ids = [0, 1, 2, 3]
+    seeds = sorted(ids, key=lambda i: (md5h(i), i))[:2]
+    cutoff = max(md5h(s) for s in seeds)
+    tie_id = next(i for i in range(100, 1000) if md5h(i) > cutoff)
+    rows = [(i, basis(i)) for i in ids]
+    rows.append((tie_id, basis(seeds[0], seeds[1])))  # cos = 1/sqrt(2) to both
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(emb, n_clusters=2, threshold=0.999).collect()
+    }
+    assert out[tie_id].cluster_id == min(seeds), (seeds, out[tie_id])
+    # each seed doc trivially lands in its own cluster
+    for s in seeds:
+        assert out[s].cluster_id == s
