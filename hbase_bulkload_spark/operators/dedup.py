@@ -14,8 +14,9 @@ Scale notes (the reason each exists):
   near-dup search into an equi-join; candidates are verified with exact
   Jaccard so precision is exact and only recall is probabilistic.
 - SimHash: one 64-bit signature per doc via bit-majority of token
-  hashes; hamming-≤-r pairs found by 16-bit chunk banding (any pair at
-  hamming ≤ 3 shares at least one of 4 chunks — pigeonhole).
+  hashes; hamming-≤-r pairs found by Manku-refined chunk banding
+  (chunk + sub-block keys, ~28 bits effective — pigeonhole twice, so
+  recall stays exact while buckets stay corpus-size-independent).
 """
 
 from __future__ import annotations
@@ -282,48 +283,137 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def banding_key_columns(
+    sig_col: str, n_chunks: int = 4, max_hamming: int = 3
+) -> list:
+    """The Manku-refined band-key expressions for a 64-bit signature
+    column: one packed long per (chunk i, sub-block j) combination —
+    n_chunks² keys of ``64/n_chunks + ~(64-64/n_chunks)/n_chunks``
+    effective bits (28 for the default 4 chunks). The band id is the
+    position in the returned list (posexplode supplies it). Exposed so
+    tests can measure bucket sizes directly on degenerate corpora.
+
+    Falls back to bare chunk keys only when the remaining bits cannot
+    be split into ≥ max_hamming+1 non-empty sub-blocks (degenerate
+    n_chunks ≥ 33 configs, never the default)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    rem_bits = 64 - width
+    # sub-pigeonhole the remaining bits into n_chunks blocks (uneven
+    # widths are fine for pigeonhole; need ≥ max_hamming+1 non-empty
+    # blocks for the second pigeonhole to hold)
+    n_sub = min(n_chunks, rem_bits)
+    if n_sub < max_hamming + 1 or rem_bits == 0:
+        return [
+            F.shiftrightunsigned(sig_col, c * width).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    sub_w = [
+        rem_bits // n_sub + (1 if j < rem_bits % n_sub else 0)
+        for j in range(n_sub)
+    ]
+    sub_off = [sum(sub_w[:j]) for j in range(n_sub)]
+    sw_bits = max(sub_w)
+    band_keys = []
+    for i in range(n_chunks):
+        ck = F.shiftrightunsigned(sig_col, i * width).bitwiseAND(F.lit(mask))
+        # remaining 64-width bits with chunk i excised, re-packed
+        # contiguously: low bits pass through, high bits shift down by
+        # one chunk width
+        lo_mask = (1 << (i * width)) - 1
+        lo = F.col(sig_col).bitwiseAND(F.lit(lo_mask))
+        if (i + 1) * width >= 64:
+            # top chunk: Java masks shift counts mod 64, so an explicit
+            # zero beats shiftrightunsigned(sig, 64) (which is sig)
+            rem = lo
+        else:
+            hi = F.shiftleft(
+                F.shiftrightunsigned(sig_col, (i + 1) * width), i * width
+            )
+            rem = lo.bitwiseOR(hi)
+        for j in range(n_sub):
+            sk = F.shiftrightunsigned(rem, sub_off[j]).bitwiseAND(
+                F.lit((1 << sub_w[j]) - 1)
+            )
+            # pack (chunk value, sub value) into one shuffle-key long;
+            # the band id is the posexplode position
+            band_keys.append(F.shiftleft(ck, sw_bits).bitwiseOR(sk))
+    return band_keys
+
+
 def hamming_pairs_banded(
     sig: DataFrame,
     sig_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs of 64-bit signatures at hamming ≤ ``max_hamming`` via
-    equal-width chunk banding (pigeonhole: ≤ n_chunks-1 differing bits
-    cannot hit every chunk, so recall is EXACT for
-    ``max_hamming ≤ n_chunks - 1``; precision is exact always — the
-    final bit_count filter verifies).
+    Manku-style refined chunk banding (Manku/Jain/Das Sarma, WWW'07
+    §3's block-combination trick, re-expressed as posting lists).
 
-    All chunk keys come from one posexplode, then POSTING LISTS per
+    Recall argument (EXACT for ``max_hamming ≤ n_chunks - 1``): split
+    the 64 bits into ``n_chunks`` equal chunks — a pair differing in
+    ≤ n_chunks-1 bits leaves some chunk i fully clean (pigeonhole).
+    The *refinement*: for that i, all differing bits lie in the
+    remaining ``64 - width`` bits; partitioning THOSE into n_chunks
+    sub-blocks pigeonholes again, so some sub-block j is also clean and
+    the pair meets in bucket key ``(i, j, chunk_i, sub_j)``. Precision
+    is exact always — the final bit_count filter verifies.
+
+    Why refine: keying buckets on a bare 16-bit chunk value fixes the
+    keyspace at 4 × 65536 forever, so bucket membership m grows
+    linearly with corpus size and the C(m,2) pair expansion grows
+    quadratically — the hot-shingle pathology in banding form. The
+    (chunk, sub-block) keys are 28 bits effective (n_chunks=4:
+    16 + 12), a 4096× larger keyspace, at the price of a
+    n_chunks²-way (16 vs 4) signature explode — rows, not bytes, and
+    map-side. At 10⁹ docs: ~60 sigs/bucket instead of ~15k.
+
+    ``max_bucket_size`` is the safety valve for DEGENERATE corpora
+    (e.g. ~identical signatures, where huge buckets are legitimately
+    full of dup pairs and any pair enumeration is quadratic in the
+    cluster): buckets larger than the cap are dropped and the drop
+    count is published via the ``hamming_bucket_cap`` observation
+    (same never-silent contract as ``DEFAULT_MAX_SHINGLE_FREQ``).
+    ``None`` (default) keeps recall pigeonhole-exact.
+
+    All band keys come from one posexplode, then POSTING LISTS per
     bucket: the signature stage upstream is map-only, so a self-join
-    would run it on BOTH sides — grouping each chunk bucket once
-    computes signatures exactly once and the C(m,2) pair expansion
-    happens on the (id, sig) structs inside the bucket (same
-    restructure as minhash_lsh_pairs / ngram pairs).
+    would run it on BOTH sides — grouping each bucket once computes
+    signatures exactly once and the C(m,2) pair expansion happens on
+    the (id, sig) structs inside the bucket (same restructure as
+    minhash_lsh_pairs / ngram pairs).
     """
-    assert 64 % n_chunks == 0, "chunks must tile the 64-bit signature"
+    if 64 % n_chunks != 0:
+        raise ValueError(
+            f"n_chunks={n_chunks} must tile the 64-bit signature"
+        )
     if max_hamming > n_chunks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole-exact bound "
             f"{n_chunks - 1} for {n_chunks} chunks — recall would silently "
             "drop below 1; raise n_chunks instead"
         )
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
     s = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("_sig"))
-    chunk_keys = F.array(
-        *[
-            F.shiftrightunsigned("_sig", c * width).bitwiseAND(F.lit(mask))
-            for c in range(n_chunks)
-        ]
+    band_keys = banding_key_columns("_sig", n_chunks, max_hamming)
+    bd = s.select(
+        "doc_id", "_sig", F.posexplode(F.array(*band_keys)).alias("band", "bk")
     )
-    bd = s.select("doc_id", "_sig", F.posexplode(chunk_keys).alias("chunk", "ck"))
     buckets = (
-        bd.groupBy("chunk", "ck")
+        bd.groupBy("band", "bk")
         .agg(F.array_sort(F.collect_set(F.struct("doc_id", "_sig"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.observe(
+            "hamming_bucket_cap",
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                (F.size("ds") > max_bucket_size).cast("long")
+            ).alias("n_dropped_buckets"),
+        ).filter(F.size("ds") <= max_bucket_size)
     p1 = buckets.select("ds", F.posexplode("ds").alias("i", "a"))
     cand = p1.select(
         "a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b")
@@ -335,11 +425,19 @@ def hamming_pairs_banded(
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ max_hamming via 16-bit chunk
-    banding (pigeonhole: ≤3 differing bits can't hit all 4 chunks)."""
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ max_hamming via Manku-refined
+    chunk banding (exact recall by double pigeonhole; 28-bit effective
+    bucket keys keep bucket sizes corpus-independent)."""
     return hamming_pairs_banded(
-        simhash64(docs), sig_col="simhash", max_hamming=max_hamming
+        simhash64(docs),
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -658,7 +756,12 @@ def semantic_dedup(
         order = np.argsort(pdf[id_col].to_numpy())
         ids = pdf[id_col].to_numpy()[order]
         V = np.array(pdf[vec_col].to_list(), dtype=np.float64)[order]
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding must yield cosine 0
+        # (→ never a dup pair), not a NaN that would contaminate its
+        # whole GEMM row/column — mirrors the JVM similarity.cosine
+        # path where 0/0 → NULL and NULL ≥ threshold is false
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        V /= np.where(nrm == 0, 1.0, nrm)
         C = V @ V.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = C[iu, ju] >= threshold - 1e-6

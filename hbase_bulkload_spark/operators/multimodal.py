@@ -201,16 +201,21 @@ def phash64(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def phash_pairs(
-    media: DataFrame, max_hamming: int = 3, decode_stub: bool = True
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_stub: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs: pHash signatures + the dedup family's
-    16-bit chunk banding (exact recall at hamming ≤ 3, exact precision
-    always) — op 53's signature machinery applied to the multimodal
-    column."""
+    Manku-refined chunk banding (exact recall at hamming ≤ 3, exact
+    precision always; 28-bit effective bucket keys so buckets stay
+    corpus-size-independent) — op 53's signature machinery applied to
+    the multimodal column."""
     from hbase_bulkload_spark.operators.dedup import hamming_pairs_banded
 
     return hamming_pairs_banded(
         phash64(media, decode_stub=decode_stub),
         sig_col="phash",
         max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )

@@ -119,3 +119,75 @@ def test_phash_banding_equals_brute_force(spark, sf_dir):
 def test_banding_rejects_out_of_recall_hamming(docs):
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(docs, max_hamming=4)
+
+
+def test_banding_rejects_non_tiling_chunks(spark):
+    one = spark.createDataFrame([(1, 7)], "doc_id long, sig long")
+    with pytest.raises(ValueError, match="tile"):
+        dedup.hamming_pairs_banded(one, "sig", n_chunks=5, max_hamming=3).collect()
+
+
+def test_refined_banding_bounds_degenerate_buckets(spark):
+    """The 100 TB posture test: a corpus where every signature shares
+    one 16-bit chunk value (the old chunk-only keys would put ALL n
+    docs into one bucket, C(n,2) expansion) must still produce small
+    buckets under the refined (chunk, sub-block) keys, because the
+    remaining 48 bits differ. Measured directly on the band-key
+    expressions the operator uses."""
+    import random
+
+    rng = random.Random(42)
+    n = 400
+    shared_chunk = 0xABCD  # low 16 bits identical across the corpus
+    rows = [
+        (i, (rng.getrandbits(48) << 16) | shared_chunk) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= 1 << 63 else s) for i, s in rows],
+        "doc_id long, sig long",
+    )
+    keys = dedup.banding_key_columns("sig", n_chunks=4, max_hamming=3)
+    assert len(keys) == 16  # n_chunks × n_sub combinations
+    from pyspark.sql import functions as F
+
+    sizes = (
+        df.select(F.posexplode(F.array(*keys)).alias("band", "bk"))
+        .groupBy("band", "bk")
+        .count()
+    )
+    max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+    # chunk-0 band family keys carry 12 random bits (4096 keyspace) so
+    # 400 docs spread to E[m] ≈ 1.1; other families carry 16 random
+    # bits. Birthday-bounded: nothing remotely linear in n.
+    assert max_bucket <= 8, max_bucket
+    # and the pair finder still finds a planted hamming-2 pair amid the
+    # degenerate corpus
+    base = rows[0][1]
+    planted = base ^ (1 << 20) ^ (1 << 63)
+    extra = spark.createDataFrame(
+        [(1000, planted - (1 << 64) if planted >= 1 << 63 else planted)],
+        "doc_id long, sig long",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.hamming_pairs_banded(df.union(extra), "sig").collect()
+        if r.doc_a == 0 or r.doc_b == 0
+    }
+    assert (0, 1000) in got
+
+
+def test_banding_bucket_cap_drops_degenerate_corpus(spark):
+    """max_bucket_size is the safety valve for ~identical signatures
+    (where pair output is legitimately quadratic): capped, the
+    degenerate buckets drop (documented recall loss); uncapped, all
+    C(n,2) pairs emerge."""
+    n = 30
+    df = spark.createDataFrame(
+        [(i, 12345) for i in range(n)], "doc_id long, sig long"
+    )
+    capped = dedup.hamming_pairs_banded(
+        df, "sig", max_bucket_size=16
+    ).collect()
+    assert capped == []
+    uncapped = dedup.hamming_pairs_banded(df, "sig").collect()
+    assert len(uncapped) == n * (n - 1) // 2
