@@ -46,10 +46,13 @@ def table(
     return parallelism_floor(spark, df, path=path) if floor_parallelism else df
 
 
-#: Memoized floor decisions keyed by parquet path — the probe reads
-#: file footers (path mode) or runs an extra planning pass (fallback),
-#: neither of which should repeat per query construction.
-_FLOOR_DECISIONS: dict[str, bool] = {}
+#: Memoized floor decisions — the probe reads file footers (path mode)
+#: or runs an extra planning pass (fallback), neither of which should
+#: repeat per query construction. Keyed by (path, threshold, mtime):
+#: threshold because the decision depends on the session's core count
+#: (a later session in the same process may differ), mtime so a
+#: rewritten file with a different row-group layout re-probes.
+_FLOOR_DECISIONS: dict[tuple[str, int, float], bool] = {}
 
 
 def parallelism_floor(
@@ -83,10 +86,15 @@ def parallelism_floor(
     target = spark.sparkContext.defaultParallelism
     threshold = max(target // 2, 2)
     if path is not None:
-        needs = _FLOOR_DECISIONS.get(path)
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = -1.0
+        memo_key = (path, threshold, mtime)
+        needs = _FLOOR_DECISIONS.get(memo_key)
         if needs is None:
             needs = _effective_parallelism(path, threshold) < threshold
-            _FLOOR_DECISIONS[path] = needs
+            _FLOOR_DECISIONS[memo_key] = needs
         return df.repartition(target) if needs else df
     if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
@@ -109,6 +117,28 @@ def _effective_parallelism(path: str, cap: int) -> int:
     if len(files) >= cap:
         return len(files)
     return sum(pq.ParquetFile(f).num_row_groups for f in files)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a registry table from parquet footer metadata
+    — zero Spark jobs (the same probe machinery as
+    :func:`_effective_parallelism`). For sizing decisions (GEMM block
+    counts, gate thresholds) that would otherwise pay a driver-side
+    ``df.count()`` scan."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

@@ -73,14 +73,23 @@ def write_partition_cells(
     region-aligned KV contract (rowkey, family, qualifier, value,
     bucket — sorted by (bucket, rowkey, qualifier)) into one open
     HFileWriter per bucket; returns one manifest dict per file.
-    ``task_label`` should come from :func:`task_file_label`."""
+    ``task_label`` should come from :func:`task_file_label`.
+
+    Attempts stream into a ``.tmp``-suffixed name (outside the
+    ``part-*.hfile`` namespace committed readers and the job-commit
+    orphan sweep look at) and rename to the final name only on task
+    completion, so a file is visible under its final name either fully
+    written or not at all — a killed/zombie attempt leaves at worst a
+    ``.tmp`` straggler, not a half-written ``part-*`` file."""
     writers: dict[str, hf.HFileWriter] = {}
+    finals: dict[str, str] = {}
     for pdf in batches:
         for bucket, grp in pdf.groupby("bucket", sort=False):
             w = writers.get(bucket)
             if w is None:
                 path = os.path.join(out_dir, f"part-{task_label}-{bucket}.hfile")
-                w = writers[bucket] = hf.HFileWriter(path, compression)
+                finals[bucket] = path
+                w = writers[bucket] = hf.HFileWriter(path + ".tmp", compression)
             w.add_many(
                 _as_bytes(grp["rowkey"]),
                 _as_bytes(grp["family"]),
@@ -91,9 +100,10 @@ def write_partition_cells(
     out = []
     for bucket, w in writers.items():
         m = w.close()
+        os.replace(m["path"], finals[bucket])  # task-commit rename
         out.append(
             {
-                "path": m["path"],
+                "path": finals[bucket],
                 "bucket": bucket,
                 "entry_count": m["entry_count"],
                 "n_blocks": m["n_blocks"],

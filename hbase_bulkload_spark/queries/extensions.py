@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hbase_bulkload_spark import datasets
 from hbase_bulkload_spark.datasets import table
 from hbase_bulkload_spark.functions import text as T
 from hbase_bulkload_spark.operators import dedup, multimodal, similarity
@@ -702,9 +703,11 @@ def q_curate_corpus(spark, sf_dir) -> DataFrame:
         F.col("doc_id") == F.col("_rep")
     ).drop("_rep")
     bare = _emb(spark, sf_dir)
-    # survivors ≈ 40% of the corpus; size blocks from the cheap
-    # metadata-only count, not from the gated plan
-    n_blocks = max(1, min(128, -(-(bare.count() // 2) // 4096)))
+    # survivors ≈ 40% of the corpus; size blocks from the parquet
+    # footer row count — zero Spark jobs, vs the old bare.count() that
+    # ran one extra scan job per query run just to pick n_blocks
+    n_rows = datasets.parquet_row_count(sf_dir, "embeddings")
+    n_blocks = max(1, min(128, -(-(n_rows // 2) // 4096)))
     emb = bare.join(
         deduped.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )

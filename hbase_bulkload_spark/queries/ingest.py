@@ -301,16 +301,34 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Matched-keyset rows above which q_kv_index_lookup stops forcing a
+#: broadcast and lets AQE plan the semi-join from observed sizes — the
+#: same gated-hint contract as minhash_lsh_pairs' broadcast_pairs_limit
+#: (an unconditional hint on an unselective predicate is a forced
+#: driver/executor OOM at 100 TB, not a plan improvement).
+INDEX_BROADCAST_LIMIT = 1_000_000
+
+
+def q_kv_index_lookup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    predicate=None,
+    broadcast_limit: int = INDEX_BROADCAST_LIMIT,
+) -> DataFrame:
     """Op 24d: secondary-index point lookup on the KV store (the
     Phoenix-style global index pattern over an HBase-shaped table). The
     index is the (value → rowkey) projection of one qualifier's cells —
     benchmark-selective, so the matched keyset broadcasts into a
-    semi-join against the main cell table; the base scan is never
-    shuffled (tests/test_plans.py asserts the broadcast-semi plan).
-    At scale the index is itself a persisted sorted table (the same
-    bulkload contract, keyed by value), turning this into an index seek
-    + multi-get instead of a table scan."""
+    semi-join against the main cell table and the base scan is never
+    shuffled. The hint is SIZE-GATED, not hardcoded: the keyset is
+    persisted and counted once, and past ``broadcast_limit`` the hint
+    is omitted so an unselective predicate degrades to an AQE-planned
+    shuffle semi-join instead of forcing an unbounded broadcast
+    (tests/test_plans.py asserts both regimes). At scale the index is
+    itself a persisted sorted table (the same bulkload contract, keyed
+    by value), turning this into an index seek + multi-get instead of
+    a table scan."""
     oracle_safe(spark)
     w = records.wide9(spark, sf_dir)
     kv = unpivot_kv(w, composite_rowkey(*KEY_COLS), RECORD_COLS)
@@ -319,10 +337,14 @@ def q_kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered scan of the wide frame — the index side never pays the 9x
     # Expand or the full-corpus key derivation (same rewrite as
     # _bucket_stats_frame)
-    index = w.filter(F.col("z8") == "42").select(
-        composite_rowkey(*KEY_COLS).alias("rowkey")
-    )
-    return kv.join(F.broadcast(index), "rowkey", "left_semi").select(
+    index = w.filter(
+        predicate if predicate is not None else (F.col("z8") == "42")
+    ).select(composite_rowkey(*KEY_COLS).alias("rowkey"))
+    # persist before the gate count so the join side reuses the scan
+    # instead of re-filtering the corpus
+    index = index.persist()
+    keyset = F.broadcast(index) if index.count() <= broadcast_limit else index
+    return kv.join(keyset, "rowkey", "left_semi").select(
         "rowkey", "qualifier", "value"
     )
 

@@ -140,7 +140,17 @@ class HFileReader(DataSourceReader):
                         tighten_stop(b + b"\x00")
                     elif isinstance(f, StringStartsWith):
                         tighten_start(b)
-                        tighten_stop(b[:-1] + bytes([b[-1] + 1]) if b and b[-1] < 0xFF else b + b"\xff")
+                        # stop = successor of the prefix: increment the
+                        # last non-0xFF byte (dropping any 0xFF tail).
+                        # An empty or all-0xFF prefix has NO successor —
+                        # skip stop tightening entirely rather than use
+                        # prefix+b'\xff', which is NOT a superset of the
+                        # prefix range (rows at prefix+b'\xff...' would
+                        # be physically pruned and unrecoverable by
+                        # Spark's re-applied filter)
+                        trimmed = b.rstrip(b"\xff")
+                        if trimmed:
+                            tighten_stop(trimmed[:-1] + bytes([trimmed[-1] + 1]))
             yield f  # never claimed: Spark keeps correctness
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -261,13 +271,25 @@ class HFileSinkWriter(DataSourceArrowWriter):
 
         manifest = [m for msg in messages for m in msg.manifest]
         # sweep orphans: attempt-unique names mean a failed or losing
-        # speculative attempt leaves a partial file the committed
-        # manifest never references — delete it so directory globbers
-        # (not just manifest readers) see only committed files
+        # speculative attempt leaves a file the committed manifest never
+        # references — delete it so directory globbers (not just
+        # manifest readers) see only committed files. BEST-EFFORT, not
+        # an invariant: attempts write under .tmp names and rename only
+        # on task completion (see write_partition_cells), so the
+        # remaining race is one rename instant — a zombie attempt that
+        # completes AFTER this glob can still leave one orphan, and the
+        # sweep assumes this job owns the directory (concurrent writers
+        # to one output dir are outside the sink's contract, as with
+        # Spark's own file sinks).
         listed = {m["path"] for m in manifest}
         for p in _glob.glob(os.path.join(self.path, "part-*.hfile")):
             if p not in listed:
                 os.remove(p)
+        for p in _glob.glob(os.path.join(self.path, "part-*.hfile.tmp")):
+            try:  # straggler temp files from dead attempts
+                os.remove(p)
+            except OSError:
+                pass
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):

@@ -92,6 +92,20 @@ def test_push_filters_tighten_bounds_without_claiming():
     list(r3.pushFilters([StringStartsWith(("rowkey",), "ab")]))
     assert r3.start_row == b"ab" and r3.stop_row == b"ac"
 
+    # superset property: stop must exceed every possible continuation
+    # of the prefix, including ones extending with 0xFF bytes
+    r4 = HFileReader({"path": "/nonexistent"})
+    list(r4.pushFilters([StringStartsWith(("rowkey",), "a\xff")]))
+    pfx = "a\xff".encode()
+    assert r4.start_row == pfx and r4.stop_row is not None
+    assert r4.stop_row > pfx + b"\xff" * 8
+
+    # empty prefix matches everything: NO stop bound may be set (the
+    # old prefix+b'\xff' fallback pruned rows above b'\xff')
+    r5 = HFileReader({"path": "/nonexistent"})
+    list(r5.pushFilters([StringStartsWith(("rowkey",), "")]))
+    assert r5.stop_row is None
+
 
 def test_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
     """df.write.format('hfile') must produce files that bulk-load and

@@ -53,11 +53,36 @@ def test_scalar_queries_have_no_exchange(spark, sf_dir):
 
 
 def test_index_lookup_broadcasts_keyset(spark, sf_dir):
-    """Secondary-index lookup: the matched keyset must broadcast into a
-    semi-join — the base cell scan is never shuffled."""
+    """Secondary-index lookup: a selective predicate's keyset passes the
+    size gate and broadcasts into a semi-join — the base cell scan is
+    never shuffled."""
     plan = physical_plan(QUERIES["q_kv_index_lookup"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert count_exchanges(plan, ignore_roundrobin=True) == 0, plan
+
+
+def test_index_lookup_gate_degrades_unselective_keyset(spark, sf_dir):
+    """Past the broadcast gate (unselective predicate — here forced with
+    limit 0) the hint must be OMITTED: still a semi-join, but planned
+    from size estimates, never a forced broadcast of an unbounded
+    keyset. autoBroadcastJoinThreshold=-1 simulates a keyset too big to
+    auto-broadcast — with the old hardcoded hint this still planned
+    BroadcastHashJoin (the forced-OOM shape); gated, it must not."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.queries.ingest import q_kv_index_lookup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_kv_index_lookup(
+            spark, sf_dir, predicate=F.col("z8").isNotNull(), broadcast_limit=0
+        )
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
