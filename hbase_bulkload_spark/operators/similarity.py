@@ -187,6 +187,65 @@ def _hyperplanes(n_planes: int, n_tables: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_planes, EMBED_DIM))
 
 
+def lsh_auto_params(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    probe_radius: int = 1,
+    min_planes: int = 8,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) for :func:`cosine_pairs_lsh` from the
+    corpus size and the similarity threshold — the scaling law, not a
+    hardcoded guess:
+
+    - ``n_planes ≈ log2(n)`` keeps expected bucket occupancy (and hence
+      the per-bucket C(m,2) expansion) constant as the corpus grows —
+      fixed planes on a growing corpus degrade to quadratic buckets.
+    - ``n_tables`` is solved from the marginal pair's per-table
+      collision probability so a pair AT the threshold (per-bit
+      agreement q = 1 − arccos(t)/π, the hardest case) reaches
+      ``target_recall``: with multi-probe radius 1 a table catches
+      signature distance ≤ 2, P = Σ_{d≤2} C(p,d)(1−q)^d q^(p−d).
+
+    ``max_tables`` caps the fan-out at web scale — past it the honest
+    move is accepting lower marginal recall or switching to the IVF
+    path, not unbounded tables."""
+    import math
+
+    q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    planes = max(min_planes, math.ceil(math.log2(max(n_rows, 2))))
+    r = 1.0 - q
+    p_hit = q**planes
+    if probe_radius == 1:
+        p_hit += planes * r * q ** (planes - 1)
+        p_hit += math.comb(planes, 2) * r * r * q ** (planes - 2)
+    if p_hit >= 1.0:
+        return planes, 1
+    tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_hit))
+    return planes, max(1, min(max_tables, tables))
+
+
+def _rowwise_raw_cosine_udf():
+    """Raw (unrounded) cosine per row, one numpy batch per Arrow chunk —
+    callers round JVM-side (HALF_UP) to stay hash-identical to the
+    expression path. Zero-norm vectors yield cosine 0 (the JVM path's
+    0/0 → NULL also never passes a positive threshold). Built lazily:
+    pandas_udf parses its DDL type against the active session."""
+
+    @pandas_udf("double")
+    def raw_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.array(va.to_list(), dtype=np.float64)
+        B = np.array(vb.to_list(), dtype=np.float64)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        s = (A * B).sum(axis=1)
+        return pd.Series(
+            np.where(denom == 0, 0.0, s / np.where(denom == 0, 1, denom))
+        )
+
+    return raw_cos
+
+
 def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
     """Arrow-batched signature: per table, the sign-bit pattern of the
     vector against `n_planes` hyperplanes, packed into an int."""
@@ -488,36 +547,84 @@ def cosine_pairs_lsh(
     threshold: float = 0.4,
     n_planes: int = 8,
     n_tables: int = 8,
+    probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
-    recall probabilistic (rises with n_tables)."""
+    recall probabilistic (rises with n_tables and probe_radius).
+
+    MULTI-PROBE (Lv et al., VLDB'07): with ``probe_radius=1`` every
+    vector posts its per-table signature AND the n_planes single-bit
+    flips, so two vectors collide in a table whenever their signatures
+    differ in ≤ 2·radius bits. For a marginal pair at cos = 0.4
+    (per-bit agreement 0.633), per-table collision rises 0.026 → 0.387,
+    i.e. 8-table recall 0.19 → 0.98 — measured 0.31 → ~0.95 pair
+    recall on the oracle corpus (RECALL artifact) for a 9× key fan-out.
+    ``probe_radius=0`` is the classic exact-bucket scheme.
+
+    Plan shape: the probe keys carry ONLY (table, bucket, id) — ids
+    pair up via per-bucket posting lists (one shuffle, no self-join),
+    and vectors join back by id for the verification step, so the
+    9×-fanned exchange never ships an embedding. At 100 TB the knobs
+    scale with the corpus, not the code: n_planes ~ log n keeps bucket
+    occupancy (and the 2^n_planes keyspace) proportionate, n_tables
+    ~ n^ρ (ρ = ln 1/p₁ / ln 1/p₂ ≈ 0.66 at this threshold) holds
+    recall — fixed parameters on a growing corpus degrade to quadratic
+    buckets exactly like any banding scheme."""
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
     sig = lsh_signature_udf(n_planes, n_tables)
     e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("sigs")
+        F.col(id_col).alias("vec_id"), sig(F.col(vec_col)).alias("sigs")
     )
-    e = e.select("vec_id", "vec", F.posexplode("sigs").alias("tbl", "bucket"))
-    a = e.alias("a")
-    b = e.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    per_table = e.select("vec_id", F.posexplode("sigs").alias("tbl", "s"))
+    if probe_radius == 1:
+        probe_keys = F.array(
+            F.col("s"),
+            *[F.col("s").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+    else:
+        probe_keys = F.array(F.col("s"))
+    keyed = per_table.select(
+        "vec_id", "tbl", F.explode(probe_keys).alias("bucket")
+    )
+    postings = (
+        keyed.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    p1 = postings.select("ids", F.posexplode("ids").alias("i", "vec_id_a"))
+    cand = (
+        p1.select(
+            "vec_id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("vec_id_b"),
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    return cand.select(
-        "vec_id_a",
-        "vec_id_b",
-        cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    va = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb")
+    )
+    # verification is Arrow-batched numpy (multi-probe candidates number
+    # ~9²/2 × the classic scheme's, and the expression-tree cosine is
+    # interpreted per pair — measured ~4× the whole query's wall at
+    # sf0.1); raw cosines only, the HALF_UP round-6 + threshold stay
+    # JVM-side so scores hash-match the exact twin
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(
+                _rowwise_raw_cosine_udf()(F.col("va"), F.col("vb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -157,9 +157,22 @@ def q_sim_topk_ivf(spark, sf_dir) -> DataFrame:
 
 
 def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
-    """Scale path: random-hyperplane LSH buckets → exact verification.
-    Rows-only: recall is probabilistic."""
-    return similarity.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+    """Scale path: random-hyperplane LSH buckets (multi-probe radius 1)
+    → exact cosine verification. Rows-only: recall is probabilistic —
+    recorded per round in the RECALL artifact (tools/record_recall.py)
+    and floor-pinned by tests/test_recall.py. Plane/table counts are
+    derived from the footer row count and the threshold
+    (similarity.lsh_auto_params), so bucket occupancy and marginal-pair
+    recall hold as the corpus grows instead of being frozen at one
+    scale's tuning."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
+    n_planes, n_tables = similarity.lsh_auto_params(n, SIM_THRESHOLD)
+    return similarity.cosine_pairs_lsh(
+        _emb(spark, sf_dir),
+        threshold=SIM_THRESHOLD,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    )
 
 
 # --- text analysis -------------------------------------------------------------

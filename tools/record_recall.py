@@ -1,0 +1,124 @@
+"""Recall artifact for the probabilistic (rows-only) ANN/LSH paths.
+
+The three queries whose oracle is rows-only BY DESIGN — `q_sim_topk_ivf`
+(IVF probe budget), `q_sim_pairs_lsh` (random-hyperplane tables),
+`q_dedup_near` (MinHash banding) — have exact recall-1 twins
+(`q_sim_topk`, `q_sim_pairs`, uncapped n-gram Jaccard). Containment
+tests already pin precision = 1 (emitted ⊆ exact with matching scores);
+this tool records the RECALL side so a silent quality regression in the
+probe budget / band count / table count becomes a visible number diff
+instead of an invisible rows-only pass.
+
+Usage (the round driver pattern):
+
+    python tools/record_recall.py /root/testdata/sf0.1 RECALL_r4.json
+
+Writes one JSON object: per query, the recall vs its exact twin at the
+REGISTERED parameters, plus the support sizes so a trivially-small
+denominator is visible. `tests/test_recall.py` pins floors on the same
+computation at the test scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def topk_recall(spark, sf_dir: str) -> dict:
+    """recall@k of q_sim_topk_ivf vs the exact q_sim_topk, averaged
+    over queries (standard ANN recall@k)."""
+    from hbase_bulkload_spark.queries.extensions import q_sim_topk, q_sim_topk_ivf
+
+    exact: dict[int, set[int]] = {}
+    for r in q_sim_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    approx: dict[int, set[int]] = {}
+    for r in q_sim_topk_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+    per_q = [
+        len(approx.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+        if hits
+    ]
+    return {
+        "metric": "recall_at_5",
+        "exact_twin": "q_sim_topk",
+        "n_queries": len(per_q),
+        "value": round(sum(per_q) / len(per_q), 4) if per_q else None,
+    }
+
+
+def _pair_recall(approx_df, exact_df, a: str, b: str) -> dict:
+    got = {(r[0], r[1]) for r in approx_df.select(a, b).collect()}
+    want = {(r[0], r[1]) for r in exact_df.select(a, b).collect()}
+    return {
+        "metric": "pair_recall",
+        "n_exact_pairs": len(want),
+        "n_emitted_pairs": len(got),
+        "value": round(len(got & want) / len(want), 4) if want else None,
+    }
+
+
+def pairs_lsh_recall(spark, sf_dir: str) -> dict:
+    from hbase_bulkload_spark.queries.extensions import q_sim_pairs, q_sim_pairs_lsh
+
+    out = _pair_recall(
+        q_sim_pairs_lsh(spark, sf_dir),
+        q_sim_pairs(spark, sf_dir),
+        "vec_id_a",
+        "vec_id_b",
+    )
+    out["exact_twin"] = "q_sim_pairs"
+    return out
+
+
+def dedup_near_recall(spark, sf_dir: str) -> dict:
+    from hbase_bulkload_spark.operators.dedup import ngram_jaccard_pairs
+    from hbase_bulkload_spark.queries.extensions import (
+        JACCARD_THRESHOLD,
+        _docs,
+        q_dedup_near,
+    )
+
+    exact = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_shingle_freq=None
+    )
+    out = _pair_recall(q_dedup_near(spark, sf_dir), exact, "doc_a", "doc_b")
+    out["exact_twin"] = "uncapped ngram_jaccard_pairs (same threshold)"
+    return out
+
+
+def compute_all(spark, sf_dir: str) -> dict:
+    return {
+        "sf_dir": sf_dir,
+        "q_sim_topk_ivf": topk_recall(spark, sf_dir),
+        "q_sim_pairs_lsh": pairs_lsh_recall(spark, sf_dir),
+        "q_dedup_near": dedup_near_recall(spark, sf_dir),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from hbase_bulkload_spark.session import get_spark
+
+    spark = get_spark(
+        "record_recall", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    result = compute_all(spark, sf_dir)
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
