@@ -26,11 +26,24 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
-    # new in round 3 — never verified by driver OR judge, so they iterate
-    # first (the keys below all carry a judge pass(loc) row from round 2)
+    # round 4 head: the 14 keys that have never had a driver row (they
+    # were positions 51-64 in rounds 1-3; judge-verified green locally
+    # twice) — one rotation completes the official record for all 129
+    "q_text_repetition", "q_text_vocab", "q_text_tfidf", "q_text_logprob",
+    "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
+    "q_curate_corpus", "q_sample_stratified", "q_pack_sequences",
+    "q_chunk_documents", "q_source_mix", "q_mix_corpus", "q_embed_quantize",
+    # keys whose implementation was reworked in round 4 (banding
+    # refinement, LSH multi-probe/auto-sizing, broadcast gate, semantic
+    # zero-norm guard, HFile tmp-rename write path) — re-record them
+    "q_dedup_simhash", "q_multimodal_phash", "q_sim_pairs_lsh",
+    "q_kv_index_lookup", "q_dedup_semantic",
+    "q_bulkload_hfile", "q_bulkload_pipeline",
+    # the rest of the round-3 window, recorded in CORRECTNESS_r03 —
+    # they fill the remaining first-50 slots and keep a stable order
     "q_split_dataset", "q_length_buckets",
-    "q_dedup_semantic", "q_dedup_substring", "q_profile_table",
-    "q_table_diff", "q_skew_report", "q_multimodal_phash",
+    "q_dedup_substring", "q_profile_table",
+    "q_table_diff", "q_skew_report",
     "q_agg_approx_quantile", "q_scan_avro_ds", "q_scan_rcfile_ds",
     "q_bpe_merges", "q_dedup_incremental",
     "q_window_firstlast", "q_window_range_frame", "q_pivot_agg", "q_sql_exists",
@@ -40,14 +53,10 @@ _DRIVER_WINDOW_FIRST = (
     "q_events_retention", "q_events_anomaly",
     "q_udf_rowkey", "q_udaf_grouped", "q_udtf_cells",
     "q_scan_jsonl", "q_decontaminate", "q_text_redact",
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
     "q_dedup_embed", "q_dedup_components",
-    "q_sim_topk", "q_sim_topk_ivf", "q_sim_pairs", "q_sim_pairs_lsh",
+    "q_sim_topk", "q_sim_topk_ivf", "q_sim_pairs",
     "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_fingerprint",
-    "q_text_repetition", "q_text_vocab", "q_text_tfidf", "q_text_logprob",
-    "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
-    "q_curate_corpus", "q_sample_stratified", "q_pack_sequences",
-    "q_chunk_documents", "q_source_mix", "q_mix_corpus", "q_embed_quantize",
 )
 
 
