@@ -176,6 +176,79 @@ def test_refined_banding_bounds_degenerate_buckets(spark):
     assert (0, 1000) in got
 
 
+def _ref_band_keys(sig: int, n_chunks: int = 4, max_hamming: int = 3):
+    """Independent pure-Python reference of the Manku-refined band keys
+    (from the spec, not the Spark code): for each chunk i, the remaining
+    64-width bits re-packed contiguously and split into n_chunks
+    sub-blocks; key = (band position, chunk value ‖ sub value)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    rem_bits = 64 - width
+    n_sub = min(n_chunks, rem_bits)
+    sub_w = [
+        rem_bits // n_sub + (1 if j < rem_bits % n_sub else 0)
+        for j in range(n_sub)
+    ]
+    sub_off = [sum(sub_w[:j]) for j in range(n_sub)]
+    sw_bits = max(sub_w)
+    out = []
+    for i in range(n_chunks):
+        ck = (sig >> (i * width)) & mask
+        lo = sig & ((1 << (i * width)) - 1)
+        hi = sig >> ((i + 1) * width) if (i + 1) * width < 64 else 0
+        rem = lo | (hi << (i * width))
+        for j in range(n_sub):
+            sk = (rem >> sub_off[j]) & ((1 << sub_w[j]) - 1)
+            out.append((i * n_sub + j, (ck << sw_bits) | sk))
+    return out
+
+
+def test_banding_key_expressions_match_python_reference(spark):
+    """The Spark band-key expressions must agree with an independent
+    Python implementation of the same spec on random signatures (one
+    batched job, 500 examples)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    sigs = [rng.getrandbits(64) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= 1 << 63 else s) for i, s in enumerate(sigs)],
+        "i long, sig long",
+    )
+    keys = dedup.banding_key_columns("sig", n_chunks=4, max_hamming=3)
+    got = {}
+    for r in df.select(
+        "i", F.posexplode(F.array(*keys)).alias("band", "bk")
+    ).collect():
+        got.setdefault(r.i, set()).add((r.band, r.bk & 0xFFFFFFFFFFFFFFFF))
+    for i, s in enumerate(sigs):
+        assert got[i] == set(_ref_band_keys(s)), (i, hex(s))
+
+
+def test_banding_pigeonhole_property():
+    """Hypothesis, pure Python (validated equal to the Spark
+    expressions above): any two signatures at hamming ≤ 3 share at
+    least one band key — the exact-recall guarantee the operator's
+    final bit_count filter relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+    )
+    def check(sig, flip_bits):
+        other = sig
+        for b in flip_bits:
+            other ^= 1 << b
+        assert set(_ref_band_keys(sig)) & set(_ref_band_keys(other))
+
+    check()
+
+
 def test_banding_bucket_cap_drops_degenerate_corpus(spark):
     """max_bucket_size is the safety valve for ~identical signatures
     (where pair output is legitimately quadratic): capped, the
