@@ -374,7 +374,7 @@ def iter_ocf_range(
 DEFAULT_SPLIT_SIZE = 128 << 20  # HDFS-block-ish; override in tests
 
 
-def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
+def scan_splits(spark, path: str, split_size: int | None = None):
     """The Avro scan operator (op 5): sync-marker byte-range splits →
     one Arrow-batched ``mapInPandas`` decode stage.
 
@@ -382,6 +382,10 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
     offset) and emits ``ceil(size / split_size)`` splits per file, so
     scan parallelism tracks DATA volume, not file count — a single
     misaligned 10 GB container becomes ~80 tasks at the default split.
+    ``split_size=None`` (default) sizes splits adaptively à la Spark's
+    own file planner (min(128 MB, max(1 MB, bytes/core))), so a small
+    table still fans out across every core of the CPU-bound Python
+    decode instead of one task per file.
     All files must share one record schema (the reference's
     `AvroKeyInputFormat<PWData>` assumes the same). Returns a DataFrame
     of the record fields as nullable strings/primitives per the schema.
@@ -390,14 +394,21 @@ def scan_splits(spark, path: str, split_size: int = DEFAULT_SPLIT_SIZE):
 
     import pandas as pd
 
+    from hbase_bulkload_spark.sources.split_planning import adaptive_split_size
+
     files = sorted(_glob.glob(os.path.join(path, "*.avro")))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
 
+    headers = [(p, header_info(p)) for p in files]
+    if split_size is None:
+        total = sum(h[3] - h[2] for _, h in headers)
+        split_size = adaptive_split_size(
+            total, spark.sparkContext.defaultParallelism
+        )
     plan = []
     schema = None
-    for p in files:
-        s, sync, data_start, fsize, codec = header_info(p)
+    for p, (s, sync, data_start, fsize, codec) in headers:
         if schema is None:
             schema = s
         b = data_start

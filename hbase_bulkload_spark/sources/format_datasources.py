@@ -53,14 +53,29 @@ def _plan_byte_splits(
     path: str,
     ext: str,
     header_fn: Callable[[str], tuple],
-    split_size: int,
+    split_size: int | None,
 ) -> list[_RangeSplit]:
     """Shared split planner for both sync-anchored container formats:
     one tiny header read per file, then ceil(size/split_size) ranges —
-    the same protocol as the operator scans' planners."""
+    the same protocol as the operator scans' planners. ``None`` sizes
+    splits adaptively from total bytes and the session's parallelism
+    (Spark's own maxSplitBytes policy — see sources.split_planning)."""
+    headers = [(p, header_fn(p)) for p in _glob_files(path, ext)]
+    if split_size is None:
+        from pyspark.sql import SparkSession
+
+        from hbase_bulkload_spark.sources.split_planning import adaptive_split_size
+
+        active = SparkSession.getActiveSession()
+        cores = (
+            active.sparkContext.defaultParallelism
+            if active is not None
+            else (os.cpu_count() or 8)
+        )
+        total = sum(h[2] - h[1] for _, h in headers)
+        split_size = adaptive_split_size(total, cores)
     plan = []
-    for p in _glob_files(path, ext):
-        sync, data_start, fsize, codec, meta = header_fn(p)
+    for p, (sync, data_start, fsize, codec, meta) in headers:
         b = data_start
         while b < fsize:
             e = min(b + split_size, fsize)
@@ -76,7 +91,8 @@ class AvroOcfReader(DataSourceReader):
             raise ValueError("format('avro_ocf') requires .load(<dir>)")
         from hbase_bulkload_spark.sources import avro_ocf as ao
 
-        self.split_size = int(options.get("split_size", ao.DEFAULT_SPLIT_SIZE))
+        sz = options.get("split_size")
+        self.split_size = int(sz) if sz is not None else None
 
     def partitions(self) -> Sequence[InputPartition]:
         from hbase_bulkload_spark.sources import avro_ocf as ao
@@ -136,7 +152,8 @@ class RCFileReader(DataSourceReader):
             raise ValueError("format('rcfile') requires .load(<dir>)")
         from hbase_bulkload_spark.sources import rcfile as rc
 
-        self.split_size = int(options.get("split_size", rc.DEFAULT_SPLIT_SIZE))
+        sz = options.get("split_size")
+        self.split_size = int(sz) if sz is not None else None
         self.names = options["names"].split(",") if "names" in options else None
 
     def partitions(self) -> Sequence[InputPartition]:

@@ -384,7 +384,7 @@ def scan_splits(
     spark,
     path: str,
     names: list[str],
-    split_size: int = DEFAULT_SPLIT_SIZE,
+    split_size: int | None = None,
     columns: list[str] | None = None,
 ):
     """The RCFile scan operator (op 4, `BulkImporterFromRC.java:94-95`):
@@ -405,9 +405,16 @@ def scan_splits(
     out_names = names if columns is None else [c for c in names if c in columns]
     proj = None if columns is None else [names.index(c) for c in out_names]
 
+    headers = [(p, header_info(p)) for p in files]
+    if split_size is None:
+        from hbase_bulkload_spark.sources.split_planning import adaptive_split_size
+
+        total = sum(h[4] - h[3] for _, h in headers)
+        split_size = adaptive_split_size(
+            total, spark.sparkContext.defaultParallelism
+        )
     plan = []
-    for p in files:
-        n_cols, codec, sync, data_start, fsize = header_info(p)
+    for p, (n_cols, codec, sync, data_start, fsize) in headers:
         if n_cols != len(names):
             raise ValueError(f"{p}: {n_cols} columns, {len(names)} names")
         b = data_start
