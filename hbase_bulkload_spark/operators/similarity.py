@@ -187,6 +187,31 @@ def _hyperplanes(n_planes: int, n_tables: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_planes, EMBED_DIM))
 
 
+def ivf_auto_params(
+    n_rows: int,
+    min_centroids: int = 16,
+    max_centroids: int = 65536,
+    probe_fraction: float = 0.125,
+) -> tuple[int, int]:
+    """Derive (n_centroids, n_probe) for the IVF paths from the corpus
+    size: ``n_centroids ≈ √n`` (the standard IVF sizing — cell
+    membership grows as √n instead of linearly, so a fixed-16 cell
+    count never degenerates into scanning 1/16th of a 10⁹-vector
+    corpus per probe), and ``n_probe`` a constant fraction of the
+    cells (recall under random cell geometry tracks the probed
+    probability mass; the per-round RECALL artifact guards the
+    realized number). Per-query scan work ≈ n × probe_fraction of a
+    brute-force pass with strictly better constants as centroids
+    sharpen."""
+    import math
+
+    n_centroids = max(
+        min_centroids, min(max_centroids, round(math.sqrt(max(n_rows, 1))))
+    )
+    n_probe = max(4, int(n_centroids * probe_fraction))
+    return n_centroids, min(n_probe, n_centroids)
+
+
 def lsh_auto_params(
     n_rows: int,
     threshold: float,

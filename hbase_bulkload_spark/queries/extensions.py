@@ -150,10 +150,17 @@ def q_sim_pairs(spark, sf_dir) -> DataFrame:
 def q_sim_topk_ivf(spark, sf_dir) -> DataFrame:
     """Op 54 (ANN scale path): IVF — coarse-quantize into cells, probe
     the n_probe nearest cells per query. Rows-only: recall depends on
-    the probe budget (precision is exact)."""
+    the probe budget (precision is exact; recall recorded per round in
+    the RECALL artifact). Cell and probe counts derive from the footer
+    row count (√n centroids, constant probe fraction) so cell
+    membership grows sub-linearly instead of the corpus/16."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
+    n_centroids, n_probe = similarity.ivf_auto_params(n)
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return similarity.ivf_topk(emb, queries, k=5)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=n_centroids, n_probe=n_probe
+    )
 
 
 def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
