@@ -681,6 +681,114 @@ def incremental_dedup(
     )
 
 
+def incremental_ngram_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Op 52d: production-shaped NEAR dedup — dedupe a NEW batch against
+    an already-ingested corpus by exact n-gram Jaccard, without ever
+    pairing history against itself (the crawl-increment contract, the
+    near-dup sibling of :func:`incremental_dedup`).
+
+    Per batch doc: ``dup_of_history`` = smallest history doc at
+    Jaccard ≥ threshold (null if none), ``dup_in_batch`` = smallest
+    EARLIER batch doc at ≥ threshold, and the ``keep`` verdict (no
+    near-dup on either side). Exact Jaccard → full SQL oracle, unlike
+    the probabilistic MinHash path.
+
+    Scale shape: one posting-list shuffle over the union of tagged
+    shingle streams (8-byte xxhash64 keys, same injectivity bet as
+    ngram_jaccard_pairs), but the pair expansion splits each bucket
+    into (history, batch) halves and only emits history×batch and
+    earlier-batch×batch pairs — history×history pairs are never
+    generated, so the history side costs its posting list and nothing
+    quadratic. In a real deployment that posting list is a stored
+    index maintained across increments, exactly like
+    incremental_dedup's hash index. The hot-shingle cap bounds the
+    per-bucket expansion and is published via the
+    ``incremental_shingle_cap`` observation."""
+    def shingle_stream(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.lit(side).alias("side"),
+            F.col(id_col).alias("doc_id"),
+            word_shingles_text(F.col(text_col), n).alias("shs"),
+        ).select(
+            "side",
+            "doc_id",
+            F.size("shs").alias("n_sh"),
+            F.explode(
+                F.transform("shs", lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        )
+
+    sh = shingle_stream(history, 0).union(shingle_stream(batch, 1))
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.struct("side", "doc_id", "n_sh"))).alias("ds")
+    )
+    if max_shingle_freq is not None:
+        postings = postings.observe(
+            "incremental_shingle_cap",
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.size("ds") > max_shingle_freq).cast("long")
+            ).alias("n_dropped_shingles"),
+        ).filter(F.size("ds") <= max_shingle_freq)
+    # split each bucket into its history and batch halves (the sort put
+    # side=0 first, batch ids ascending within side=1); candidates for
+    # batch entry i are ALL history entries + the batch entries before i
+    halves = postings.select(
+        F.filter("ds", lambda s: s["side"] == 0).alias("hs"),
+        F.filter("ds", lambda s: s["side"] == 1).alias("bs"),
+    ).filter((F.size("bs") >= 1) & (F.size("hs") + F.size("bs") >= 2))
+    p1 = halves.select("hs", "bs", F.posexplode("bs").alias("i", "b"))
+    cand = p1.select(
+        "b",
+        F.explode(
+            F.concat(F.col("hs"), F.slice("bs", 1, F.col("i")))
+        ).alias("a"),
+    )
+    inter = cand.groupBy(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.n_sh").alias("n_b"),
+        F.col("a.side").alias("a_side"),
+        F.col("a.doc_id").alias("a_id"),
+        F.col("a.n_sh").alias("n_a"),
+    ).agg(F.count("*").alias("n_inter"))
+    jac = inter.filter(
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        )
+        >= threshold
+    )
+    verdict = jac.groupBy("doc_id").agg(
+        F.min(F.when(F.col("a_side") == 0, F.col("a_id"))).alias(
+            "dup_of_history"
+        ),
+        F.min(F.when(F.col("a_side") == 1, F.col("a_id"))).alias(
+            "dup_in_batch"
+        ),
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(verdict, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of_history",
+            "dup_in_batch",
+            (
+                F.col("dup_of_history").isNull()
+                & F.col("dup_in_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 8,

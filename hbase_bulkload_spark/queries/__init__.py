@@ -39,6 +39,8 @@ _DRIVER_WINDOW_FIRST = (
     "q_dedup_simhash", "q_multimodal_phash", "q_sim_pairs_lsh",
     "q_kv_index_lookup", "q_dedup_semantic",
     "q_bulkload_hfile", "q_bulkload_pipeline",
+    # new in round 4
+    "q_dedup_incremental_near",
     # the rest of the round-3 window, recorded in CORRECTNESS_r03 —
     # they fill the remaining first-50 slots and keep a stable order
     "q_split_dataset", "q_length_buckets",

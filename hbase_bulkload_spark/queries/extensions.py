@@ -112,6 +112,21 @@ def q_dedup_incremental(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_incremental_near(spark, sf_dir) -> DataFrame:
+    """Op 52d: incremental NEAR dedup — the new crawl batch
+    (doc_id ≡ 0 mod 3) near-deduped against the already-ingested
+    history (the rest) by exact 3-gram Jaccard, plus earlier-in-batch
+    near-dups; history is never paired against itself
+    (operators.dedup.incremental_ngram_dedup). Full oracle: exact
+    Jaccard is SQL-expressible, unlike the MinHash scale variant."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_ngram_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 def q_dedup_semantic(spark, sf_dir) -> DataFrame:
     """Op 53f: SemDeDup — deterministic centroid blocking (md5-sampled
     seeds, one nearest-centroid pass), then the min-id cosine dedup
@@ -859,6 +874,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_incremental_near": q_dedup_incremental_near,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_substring": q_dedup_substring,
     "q_sim_topk": q_sim_topk,
@@ -1052,6 +1068,47 @@ ORACLES = {
                CASE WHEN fb.f < fb.doc_id THEN fb.f END AS dup_in_batch,
                h.text_hash IS NULL AND fb.f >= fb.doc_id AS keep
         FROM firsts fb LEFT JOIN hist h USING (text_hash)
+    """,
+    "q_dedup_incremental_near": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        kept AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {dedup.DEFAULT_MAX_SHINGLE_FREQ}
+        ),
+        bsh AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+        inter AS (
+            SELECT b.doc_id AS doc_id, a.doc_id AS a_id,
+                   (a.doc_id % 3 <> 0) AS a_hist, COUNT(*) AS n_inter
+            FROM bsh b
+            JOIN sh a ON a.shingle = b.shingle
+                 AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+            JOIN kept k ON k.shingle = b.shingle
+            GROUP BY 1, 2, 3
+        ),
+        jac AS (
+            SELECT i.doc_id, a_id, a_hist FROM inter i
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = i.doc_id
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        verd AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN a_hist THEN a_id END) AS dup_of_history,
+                   MIN(CASE WHEN NOT a_hist THEN a_id END) AS dup_in_batch
+            FROM jac GROUP BY doc_id
+        )
+        SELECT d.doc_id, v.dup_of_history, v.dup_in_batch,
+               v.dup_of_history IS NULL AND v.dup_in_batch IS NULL AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        LEFT JOIN verd v USING (doc_id)
     """,
     "q_dedup_semantic": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -674,6 +674,66 @@ def test_incremental_dedup_verdicts(spark):
     assert out[14].keep
 
 
+def test_incremental_ngram_dedup_verdicts(spark):
+    """Near-dup (not just exact) verdicts against history and within
+    the batch: a batch doc sharing most 3-grams with a history doc is
+    dup_of_history; one near an EARLIER batch doc is dup_in_batch (min
+    id); later ids never flag; a doc with no near-dup keeps. History is
+    never paired with itself (asserted indirectly: identical history
+    docs don't affect batch verdicts)."""
+    base = "the quick brown fox jumps over the lazy dog again today"
+    hist = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely unrelated history text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),          # near-dup of history 1 (min id)
+            (11, "fresh novel content with its own distinct wording"),
+            (12, "fresh novel content with its own distinct wordings"),  # near 11
+            (13, "nothing like anything else in any corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_ngram_dedup(hist, batch, threshold=0.5).collect()
+    }
+    assert len(out) == 4
+    assert out[10].dup_of_history == 1 and not out[10].keep
+    assert out[11].dup_in_batch is None and out[11].dup_of_history is None
+    assert out[11].keep
+    assert out[12].dup_in_batch == 11 and not out[12].keep
+    assert out[13].keep
+
+
+def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
+    """Consistency with the batch pair operator: on the documents
+    corpus, a batch doc's history verdict must agree with
+    ngram_jaccard_pairs run over the union (restricted to
+    history×batch pairs)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_ngram_dedup(hist, batch, threshold=0.5).collect()
+    }
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    expected_hist: dict[int, int] = {}
+    for r in pairs:
+        for b, a in ((r.doc_b, r.doc_a), (r.doc_a, r.doc_b)):
+            if b % 3 == 0 and a % 3 != 0:
+                expected_hist[b] = min(expected_hist.get(b, a), a)
+    for b, a in expected_hist.items():
+        assert out[b].dup_of_history == a, (b, a, out[b])
+    for b, r in out.items():
+        if r.dup_of_history is not None:
+            assert expected_hist.get(b) == r.dup_of_history
+
+
 def test_incremental_dedup_property(spark):
     """Hypothesis-driven: on random tiny corpora the incremental
     verdicts equal a dict-based Python reference. Cases share one
