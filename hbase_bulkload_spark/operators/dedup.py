@@ -789,6 +789,68 @@ def incremental_ngram_dedup(
     )
 
 
+def incremental_embed_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks_left: int | None = None,
+    n_blocks_right: int | None = None,
+) -> DataFrame:
+    """Op 52e: incremental EMBEDDING dedup — near-dedup a new batch of
+    vectors against an already-ingested corpus at cosine ≥ threshold,
+    plus earlier-in-batch near-dups. The embedding sibling of
+    :func:`incremental_dedup` / :func:`incremental_ngram_dedup`.
+
+    Scale shape: history×batch runs as a CROSS-frame blocked GEMM
+    (|H|·|B| dots — never (|H|+|B|)², history only ever shuffles as
+    packed block rows) and batch×batch as the self-pair blocked GEMM
+    over the (small) increment. Exact math → full SQL oracle; the
+    sub-quadratic variant at web scale is probing the batch against a
+    history IVF/LSH index (ops 54's machinery) with this operator as
+    its verification step."""
+    from hbase_bulkload_spark.operators import similarity
+
+    hist_pairs = similarity.cross_cosine_pairs(
+        history,
+        batch,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks_left=n_blocks_left,
+        n_blocks_right=n_blocks_right,
+    )
+    batch_pairs = similarity.cosine_pairs_exact(
+        batch,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks_right,
+    )
+    verdict_h = hist_pairs.groupBy(F.col("right_id").alias(id_col)).agg(
+        F.min("left_id").alias("dup_of_history")
+    )
+    # min-id policy within the batch: vec_id_a < vec_id_b by contract
+    verdict_b = batch_pairs.groupBy(F.col("vec_id_b").alias(id_col)).agg(
+        F.min("vec_id_a").alias("dup_in_batch")
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(verdict_h, id_col, "left")
+        .join(verdict_b, id_col, "left")
+        .select(
+            id_col,
+            "dup_of_history",
+            "dup_in_batch",
+            (
+                F.col("dup_of_history").isNull()
+                & F.col("dup_in_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 8,

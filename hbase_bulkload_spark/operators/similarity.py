@@ -180,6 +180,72 @@ def cosine_pairs_exact(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def cross_cosine_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks_left: int | None = None,
+    n_blocks_right: int | None = None,
+) -> DataFrame:
+    """Exact CROSS-frame cosine pairs ≥ threshold — the blocked-GEMM
+    discipline of :func:`cosine_pairs_exact`, but between two different
+    frames, so within-side pairs are never generated. The incremental
+    shape: left = history, right = new batch → work is |L|·|R| dots,
+    not (|L|+|R|)², and the left side only ever shuffles as packed
+    block rows. Returns (left_id, right_id, cos_sim) with the same
+    JVM-side HALF_UP round-6 as the self-pair operator.
+
+    ``n_blocks_*=None`` auto-sizes each side to ~4096-vector blocks
+    via one count job per side — callers with footer metadata should
+    pass sizes to keep the query job-free before execution."""
+    import pandas as pd  # noqa: F811 — local for executor pickling
+
+    if n_blocks_left is None:
+        n_blocks_left = max(1, min(128, -(-left.count() // 4096)))
+    if n_blocks_right is None:
+        n_blocks_right = max(1, min(128, -(-right.count() // 4096)))
+
+    def packed(df, n_blocks, blk_name, items_name):
+        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias(blk_name)
+        return (
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), blk)
+            .groupBy(blk_name)
+            .agg(F.collect_list(F.struct("vid", "vec")).alias(items_name))
+        )
+
+    a = packed(left, n_blocks_left, "blk_a", "items_a")
+    b = packed(right, n_blocks_right, "blk_b", "items_b")
+    grid = a.crossJoin(b).repartition(n_blocks_left * n_blocks_right)
+
+    margin = threshold - 1e-6
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([it["vid"] for it in row["items_a"]], dtype=np.int64)
+                ids_b = np.array([it["vid"] for it in row["items_b"]], dtype=np.int64)
+                va = np.array([it["vec"] for it in row["items_a"]], dtype=np.float64)
+                vb = np.array([it["vec"] for it in row["items_b"]], dtype=np.float64)
+                va /= np.linalg.norm(va, axis=1, keepdims=True)
+                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                sim = va @ vb.T
+                ia, ib = np.nonzero(sim >= margin)
+                yield pd.DataFrame(
+                    {
+                        "left_id": ids_a[ia],
+                        "right_id": ids_b[ib],
+                        "raw_cos": sim[ia, ib],
+                    }
+                )
+
+    raw = grid.mapInPandas(gemm, "left_id long, right_id long, raw_cos double")
+    return raw.select(
+        "left_id", "right_id", F.round("raw_cos", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def _hyperplanes(n_planes: int, n_tables: int) -> np.ndarray:
     """Deterministic hyperplanes (seeded MT19937 — identical on every
     executor and every run)."""

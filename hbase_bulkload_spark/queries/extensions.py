@@ -127,6 +127,24 @@ def q_dedup_incremental_near(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_incremental_embed(spark, sf_dir) -> DataFrame:
+    """Op 52e: incremental embedding dedup — the new batch of vectors
+    (vec_id ≡ 0 mod 3) near-deduped against the ingested history at
+    cosine ≥ threshold via a cross-frame blocked GEMM (history is never
+    paired with itself), plus earlier-in-batch pairs. Block counts are
+    pre-sized from the parquet footer row count (no sizing scan)."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
+    blocks = lambda m: max(1, min(128, -(-m // 4096)))  # noqa: E731
+    emb = _emb(spark, sf_dir)
+    return dedup.incremental_embed_dedup(
+        emb.filter(F.col("vec_id") % 3 != 0),
+        emb.filter(F.col("vec_id") % 3 == 0),
+        threshold=SIM_THRESHOLD,
+        n_blocks_left=blocks(2 * n // 3),
+        n_blocks_right=blocks(n // 3),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir) -> DataFrame:
     """Op 53f: SemDeDup — deterministic centroid blocking (md5-sampled
     seeds, one nearest-centroid pass), then the min-id cosine dedup
@@ -875,6 +893,7 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_near": q_dedup_incremental_near,
+    "q_dedup_incremental_embed": q_dedup_incremental_embed,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_substring": q_dedup_substring,
     "q_sim_topk": q_sim_topk,
@@ -1048,6 +1067,33 @@ ORACLES = {
         SELECT d.doc_id, dup.dup_of, dup.max_sim,
                dup.dup_of IS NOT NULL AS is_dup
         FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    """,
+    "q_dedup_incremental_embed": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        h AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+        b AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+        hb AS (
+            SELECT b.vec_id, MIN(h.vec_id) AS dup_of_history
+            FROM h JOIN b
+              ON round(list_dot_product(h.v, b.v)
+                       / (sqrt(list_dot_product(h.v, h.v)) * sqrt(list_dot_product(b.v, b.v))),
+                       6) >= {SIM_THRESHOLD}
+            GROUP BY 1
+        ),
+        bb AS (
+            SELECT y.vec_id, MIN(x.vec_id) AS dup_in_batch
+            FROM b x JOIN b y
+              ON x.vec_id < y.vec_id
+             AND round(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                       6) >= {SIM_THRESHOLD}
+            GROUP BY 1
+        )
+        SELECT b.vec_id, hb.dup_of_history, bb.dup_in_batch,
+               hb.dup_of_history IS NULL AND bb.dup_in_batch IS NULL AS keep
+        FROM b
+        LEFT JOIN hb ON b.vec_id = hb.vec_id
+        LEFT JOIN bb ON b.vec_id = bb.vec_id
     """,
     "q_dedup_incremental": """
         WITH hist AS (

@@ -734,6 +734,40 @@ def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
             assert expected_hist.get(b) == r.dup_of_history
 
 
+def test_incremental_embed_dedup_verdicts(spark, sf_dir):
+    """Cross-GEMM incremental embedding verdicts must agree with the
+    batch self-pair operator on the embeddings corpus: dup_of_history =
+    min history partner from the all-pairs graph, dup_in_batch = min
+    earlier batch partner."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    out = {
+        r.vec_id: r
+        for r in dedup.incremental_embed_dedup(hist, batch, threshold=0.4).collect()
+    }
+    assert len(out) == batch.count()
+    allp = similarity.cosine_pairs_exact(emb, threshold=0.4).collect()
+    want_h: dict[int, int] = {}
+    want_b: dict[int, int] = {}
+    for r in allp:
+        for b, a in ((r.vec_id_b, r.vec_id_a), (r.vec_id_a, r.vec_id_b)):
+            if b % 3 != 0:
+                continue
+            if a % 3 != 0:
+                want_h[b] = min(want_h.get(b, a), a)
+            elif a < b:
+                want_b[b] = min(want_b.get(b, a), a)
+    for b, r in out.items():
+        assert r.dup_of_history == want_h.get(b), (b, r, want_h.get(b))
+        assert r.dup_in_batch == want_b.get(b), (b, r, want_b.get(b))
+        assert r.keep == (b not in want_h and b not in want_b)
+
+
 def test_incremental_dedup_property(spark):
     """Hypothesis-driven: on random tiny corpora the incremental
     verdicts equal a dict-based Python reference. Cases share one

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q_dedup_embed",
     "q_dedup_semantic",  # 1-row broadcast centroid array (map-only assignment)
     "q_sim_pairs",
+    "q_dedup_incremental_embed",  # bounded block-grid fan-out (La×Lb packed rows)
     "q_text_tfidf",
     "q_text_logprob",
     "q_curate_corpus",
