@@ -789,6 +789,122 @@ def incremental_ngram_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    broadcast_pairs_limit: int = 1_000_000,
+) -> DataFrame:
+    """Op 52f: incremental near-dedup at the MINHASH scale tier — the
+    probabilistic sibling of :func:`incremental_ngram_dedup` for
+    corpora where even the capped posting lists are too hot. Batch
+    band keys join against the history band index (in a real
+    deployment a stored artifact maintained across increments);
+    history×history pairs are never generated. Candidates verify with
+    exact Jaccard, so PRECISION is exact — every emitted dup partner
+    truly clears the threshold — and only recall is probabilistic
+    (recorded per round in the RECALL artifact against the exact
+    incremental twin, floor-pinned in tests/test_recall.py).
+
+    Returns the family's verdict contract: (doc_id, dup_of_history,
+    dup_in_batch, keep) per batch doc."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    rows = k // bands
+
+    def keyed(docs: DataFrame, side: int) -> DataFrame:
+        sig = minhash_signatures(docs, k=k, n=n)
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(band),
+                    *[F.col(f"mh{band * rows + r}") for r in range(rows)],
+                )
+                for band in range(bands)
+            ]
+        )
+        return sig.select(
+            F.lit(side).alias("side"),
+            "doc_id",
+            F.posexplode(band_keys).alias("band", "bkey"),
+        )
+
+    bd = keyed(history, 0).union(keyed(batch, 1))
+    buckets = bd.groupBy("band", "bkey").agg(
+        F.array_sort(F.collect_set(F.struct("side", "doc_id"))).alias("ds")
+    )
+    halves = buckets.select(
+        F.filter("ds", lambda s: s["side"] == 0).alias("hs"),
+        F.filter("ds", lambda s: s["side"] == 1).alias("bs"),
+    ).filter((F.size("bs") >= 1) & (F.size("hs") + F.size("bs") >= 2))
+    p1 = halves.select("hs", "bs", F.posexplode("bs").alias("i", "b"))
+    cand = (
+        p1.select(
+            F.col("b.doc_id").alias("doc_b"),
+            F.explode(
+                F.concat(F.col("hs"), F.slice("bs", 1, F.col("i")))
+            ).alias("a"),
+        )
+        .select(
+            F.col("a.side").alias("a_side"),
+            F.col("a.doc_id").alias("doc_a"),
+            "doc_b",
+        )
+        .distinct()
+    )
+    # size-gated candidate broadcast, verification over candidate docs
+    # only — same discipline as minhash_lsh_pairs
+    cand = cand.persist()
+    n_pairs = cand.count()
+    all_docs = history.select("doc_id", "text").union(
+        batch.select("doc_id", "text")
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b")))
+        .distinct()
+    )
+    if n_pairs <= broadcast_pairs_limit:
+        cand_docs = F.broadcast(cand_docs)
+    shs = all_docs.join(cand_docs, "doc_id").select(
+        "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
+    )
+    a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.round(n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 6)
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("a_side", "doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    verdict = verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min(F.when(F.col("a_side") == 0, F.col("doc_a"))).alias(
+            "dup_of_history"
+        ),
+        F.min(F.when(F.col("a_side") == 1, F.col("doc_a"))).alias(
+            "dup_in_batch"
+        ),
+    )
+    return (
+        batch.select("doc_id")
+        .join(verdict, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of_history",
+            "dup_in_batch",
+            (
+                F.col("dup_of_history").isNull()
+                & F.col("dup_in_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def incremental_embed_dedup(
     history: DataFrame,
     batch: DataFrame,

@@ -127,6 +127,20 @@ def q_dedup_incremental_near(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
+    """Op 52f: incremental near-dedup at the MinHash scale tier — batch
+    band keys vs the history band index, exact-Jaccard verification.
+    Rows-only: recall is probabilistic (banding), recorded per round in
+    the RECALL artifact against the exact incremental twin
+    (q_dedup_incremental_near); precision is exact by construction."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 def q_dedup_incremental_embed(spark, sf_dir) -> DataFrame:
     """Op 52e: incremental embedding dedup — the new batch of vectors
     (vec_id ≡ 0 mod 3) near-deduped against the ingested history at
@@ -894,6 +908,7 @@ QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_near": q_dedup_incremental_near,
     "q_dedup_incremental_embed": q_dedup_incremental_embed,
+    "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_substring": q_dedup_substring,
     "q_sim_topk": q_sim_topk,

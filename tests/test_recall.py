@@ -11,7 +11,12 @@ this test scale: IVF 0.925, LSH pairs 0.939, MinHash near-dup 1.0.
 
 from __future__ import annotations
 
-from tools.record_recall import dedup_near_recall, pairs_lsh_recall, topk_recall
+from tools.record_recall import (
+    dedup_near_recall,
+    incremental_minhash_recall,
+    pairs_lsh_recall,
+    topk_recall,
+)
 
 
 def test_ivf_topk_recall_floor(spark, sf_dir):
@@ -29,4 +34,10 @@ def test_lsh_pairs_recall_floor(spark, sf_dir):
 def test_minhash_near_dedup_recall_floor(spark, sf_dir):
     m = dedup_near_recall(spark, sf_dir)
     assert m["n_exact_pairs"] > 0
+    assert m["value"] >= 0.95, m
+
+
+def test_incremental_minhash_recall_floor(spark, sf_dir):
+    m = incremental_minhash_recall(spark, sf_dir)
+    assert m["n_exact_flagged"] > 0
     assert m["value"] >= 0.95, m

@@ -93,12 +93,47 @@ def dedup_near_recall(spark, sf_dir: str) -> dict:
     return out
 
 
+def incremental_minhash_recall(spark, sf_dir: str) -> dict:
+    """Verdict-level recall of the MinHash incremental dedup vs its
+    exact n-gram twin: of the batch docs the exact operator flags as
+    dups (either side), what fraction does the banded variant also
+    flag? Precision is exact by construction (candidates verify with
+    exact Jaccard)."""
+    from hbase_bulkload_spark.queries.extensions import (
+        q_dedup_incremental_minhash,
+        q_dedup_incremental_near,
+    )
+
+    exact_flagged = {
+        r.doc_id
+        for r in q_dedup_incremental_near(spark, sf_dir).collect()
+        if not r.keep
+    }
+    got_flagged = {
+        r.doc_id
+        for r in q_dedup_incremental_minhash(spark, sf_dir).collect()
+        if not r.keep
+    }
+    return {
+        "metric": "flagged_doc_recall",
+        "exact_twin": "q_dedup_incremental_near",
+        "n_exact_flagged": len(exact_flagged),
+        "n_emitted_flagged": len(got_flagged),
+        "value": (
+            round(len(got_flagged & exact_flagged) / len(exact_flagged), 4)
+            if exact_flagged
+            else None
+        ),
+    }
+
+
 def compute_all(spark, sf_dir: str) -> dict:
     return {
         "sf_dir": sf_dir,
         "q_sim_topk_ivf": topk_recall(spark, sf_dir),
         "q_sim_pairs_lsh": pairs_lsh_recall(spark, sf_dir),
         "q_dedup_near": dedup_near_recall(spark, sf_dir),
+        "q_dedup_incremental_minhash": incremental_minhash_recall(spark, sf_dir),
     }
 
 
