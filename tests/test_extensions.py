@@ -815,6 +815,73 @@ def test_incremental_dedup_property(spark):
     assert got == expected
 
 
+def test_incremental_ngram_dedup_property(spark):
+    """Hypothesis-driven: on random tiny corpora the incremental
+    NEAR-dedup verdicts equal a set-based Python Jaccard reference
+    (exact-fraction threshold compare, so no rounding ambiguity).
+    Cases share one Spark round trip via case-prefixed words — 3-gram
+    shingles cannot cross cases because every word carries the case
+    id."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[tuple[list[list[str]], list[list[str]]]] = []
+    word = st.text(alphabet="ab", min_size=1, max_size=2)
+    doc = st.lists(word, max_size=6)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc, max_size=3), st.lists(doc, min_size=1, max_size=5))
+    def collect(hist, batch):
+        cases.append((hist, batch))
+
+    collect()
+
+    def sh(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 0))
+        }
+
+    def near(sa, sb):
+        ni = len(sa & sb)
+        # jaccard >= 0.5 as exact fractions (2*ni >= |a|+|b|-ni)
+        return ni > 0 and 2 * ni >= len(sa) + len(sb) - ni
+
+    hrows, brows, expected = [], [], {}
+    base = 0
+    for ci, (hist, batch) in enumerate(cases):
+        hdocs = [
+            (base + j, [f"c{ci}w{w}" for w in words])
+            for j, words in enumerate(hist)
+        ]
+        hrows += [(i, " ".join(ws)) for i, ws in hdocs]
+        bdocs = [
+            (base + 100 + j, [f"c{ci}w{w}" for w in words])
+            for j, words in enumerate(batch)
+        ]
+        brows += [(i, " ".join(ws)) for i, ws in bdocs]
+        for bi, bws in bdocs:
+            sb = sh(bws)
+            dup_h = min(
+                (hi for hi, hws in hdocs if near(sh(hws), sb)), default=None
+            )
+            dup_b = min(
+                (ai for ai, aws in bdocs if ai < bi and near(sh(aws), sb)),
+                default=None,
+            )
+            expected[bi] = (dup_h, dup_b, dup_h is None and dup_b is None)
+        base += 1000
+
+    out = dedup.incremental_ngram_dedup(
+        spark.createDataFrame(hrows or [(0, "_")], "doc_id long, text string"),
+        spark.createDataFrame(brows, "doc_id long, text string"),
+        threshold=0.5,
+    )
+    got = {
+        r.doc_id: (r.dup_of_history, r.dup_in_batch, r.keep)
+        for r in out.collect()
+    }
+    assert got == expected
+
+
 def test_semantic_dedup_argmax_tie_break(spark):
     """A vector exactly equidistant (equal round-6 cosine) from two
     centroids must assign to the SMALLER centroid id — the contract
