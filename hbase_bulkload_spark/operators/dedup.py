@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     broadcast_pairs_limit: int = 1_000_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Op 53b (scale path): MinHash banding → candidate pairs →
     exact-Jaccard verification ≥ threshold. Probabilistic recall, exact
@@ -177,8 +178,16 @@ def minhash_lsh_pairs(
     into the corpus semi-filter. Past the limit — a pathological corpus
     where banding degenerates, e.g. every document sharing one hot
     shingle — the hint is omitted and AQE plans the join from observed
-    sizes, so the worst case is a shuffle join, never a driver OOM."""
-    assert k % bands == 0
+    sizes, so the worst case is a shuffle join, never a driver OOM.
+
+    ``max_bucket_size`` is the degenerate-corpus valve (same contract
+    as hamming_pairs_banded): a band bucket holds docs sharing a whole
+    signature band — near-identical docs — so huge buckets mean a
+    legitimately quadratic dup cluster; past the cap the bucket is
+    dropped and counted via the ``minhash_bucket_cap`` observation.
+    ``None`` (default) enumerates every cluster."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
     # all band keys in one pass, then POSTING LISTS per bucket instead of
@@ -202,6 +211,14 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.observe(
+            "minhash_bucket_cap",
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                (F.size("ds") > max_bucket_size).cast("long")
+            ).alias("n_dropped_buckets"),
+        ).filter(F.size("ds") <= max_bucket_size)
     p1 = buckets.select("ds", F.posexplode("ds").alias("i", "doc_a"))
     cand = p1.select(
         "doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b")
@@ -797,6 +814,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     n: int = 3,
     broadcast_pairs_limit: int = 1_000_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Op 52f: incremental near-dedup at the MINHASH scale tier — the
     probabilistic sibling of :func:`incremental_ngram_dedup` for
@@ -836,6 +854,15 @@ def incremental_minhash_dedup(
     buckets = bd.groupBy("band", "bkey").agg(
         F.array_sort(F.collect_set(F.struct("side", "doc_id"))).alias("ds")
     )
+    if max_bucket_size is not None:
+        # degenerate-corpus valve, same contract as minhash_lsh_pairs
+        buckets = buckets.observe(
+            "incremental_minhash_bucket_cap",
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                (F.size("ds") > max_bucket_size).cast("long")
+            ).alias("n_dropped_buckets"),
+        ).filter(F.size("ds") <= max_bucket_size)
     halves = buckets.select(
         F.filter("ds", lambda s: s["side"] == 0).alias("hs"),
         F.filter("ds", lambda s: s["side"] == 1).alias("bs"),

@@ -674,6 +674,34 @@ def test_incremental_dedup_verdicts(spark):
     assert out[14].keep
 
 
+def test_minhash_bucket_cap_drops_degenerate_corpus(spark):
+    """The opt-in band-bucket cap: a corpus of identical docs puts all
+    n docs in every band bucket — capped, the buckets drop (documented
+    recall loss on the degenerate cluster); uncapped, all pairs
+    emerge."""
+    n = 12
+    rows = [(i, "same exact text for every single document here") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(docs, 0.5, max_bucket_size=8).collect()
+    assert capped == []
+    uncapped = dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    assert len(uncapped) == n * (n - 1) // 2
+    # incremental variant: same valve
+    hist = docs.filter("doc_id < 6")
+    batch = docs.filter("doc_id >= 6")
+    inc_capped = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_dedup(
+            hist, batch, max_bucket_size=8
+        ).collect()
+    }
+    assert all(r.keep for r in inc_capped.values())
+    inc = {
+        r.doc_id: r for r in dedup.incremental_minhash_dedup(hist, batch).collect()
+    }
+    assert all(r.dup_of_history == 0 for r in inc.values())
+
+
 def test_incremental_ngram_dedup_verdicts(spark):
     """Near-dup (not just exact) verdicts against history and within
     the batch: a batch doc sharing most 3-grams with a history doc is
