@@ -608,6 +608,7 @@ def embedding_dedup(
     method: str = "exact",
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Op 53e: embedding-cosine near-dedup — per-document keep/drop
     verdicts over the cosine-pair graph (docs and embeddings join 1:1 on
@@ -631,7 +632,7 @@ def embedding_dedup(
 
     if method == "exact":
         pairs = similarity.cosine_pairs_exact(
-            embeddings, threshold=threshold, id_col=vec_id_col
+            embeddings, threshold=threshold, id_col=vec_id_col, n_blocks=n_blocks
         )
     elif method == "lsh":
         pairs = similarity.cosine_pairs_lsh(

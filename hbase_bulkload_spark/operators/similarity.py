@@ -102,6 +102,15 @@ def brute_force_topk(
     ).select("query_id", "cand_id", "cos_sim", "rn")
 
 
+def gemm_blocks(n_rows: int) -> int:
+    """Block count for the blocked-GEMM pair operators: ~4096-vector
+    blocks (a few MB dense), clamped to [1, 128]. Callers with parquet
+    footer metadata derive ``n_rows`` for free
+    (`datasets.parquet_row_count`); the operators' ``None`` fallback
+    pays one count job."""
+    return max(1, min(128, -(-n_rows // 4096)))
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -134,8 +143,7 @@ def cosine_pairs_exact(
     import pandas as pd  # noqa: F811 — local for executor pickling
 
     if n_blocks is None:
-        n = embeddings.count()
-        n_blocks = max(1, min(128, -(-n // 4096)))
+        n_blocks = gemm_blocks(embeddings.count())
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk")
     packed = (
@@ -203,9 +211,9 @@ def cross_cosine_pairs(
     import pandas as pd  # noqa: F811 — local for executor pickling
 
     if n_blocks_left is None:
-        n_blocks_left = max(1, min(128, -(-left.count() // 4096)))
+        n_blocks_left = gemm_blocks(left.count())
     if n_blocks_right is None:
-        n_blocks_right = max(1, min(128, -(-right.count() // 4096)))
+        n_blocks_right = gemm_blocks(right.count())
 
     def packed(df, n_blocks, blk_name, items_name):
         blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias(blk_name)

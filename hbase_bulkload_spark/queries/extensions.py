@@ -93,9 +93,14 @@ def q_dedup_simhash(spark, sf_dir) -> DataFrame:
 def q_dedup_embed(spark, sf_dir) -> DataFrame:
     """Op 53e: embedding-cosine near-dedup — per-doc keep/drop verdicts
     (min-id policy) over exact cosine pairs ≥ threshold. Full oracle;
-    method='lsh' is the registered scale path's probabilistic variant."""
+    method='lsh' is the registered scale path's probabilistic variant.
+    GEMM blocks pre-sized from parquet footers (no sizing scan)."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
     return dedup.embedding_dedup(
-        _docs(spark, sf_dir), _emb(spark, sf_dir), threshold=SIM_THRESHOLD
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        threshold=SIM_THRESHOLD,
+        n_blocks=similarity.gemm_blocks(n),
     )
 
 
@@ -148,14 +153,13 @@ def q_dedup_incremental_embed(spark, sf_dir) -> DataFrame:
     paired with itself), plus earlier-in-batch pairs. Block counts are
     pre-sized from the parquet footer row count (no sizing scan)."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")
-    blocks = lambda m: max(1, min(128, -(-m // 4096)))  # noqa: E731
     emb = _emb(spark, sf_dir)
     return dedup.incremental_embed_dedup(
         emb.filter(F.col("vec_id") % 3 != 0),
         emb.filter(F.col("vec_id") % 3 == 0),
         threshold=SIM_THRESHOLD,
-        n_blocks_left=blocks(2 * n // 3),
-        n_blocks_right=blocks(n // 3),
+        n_blocks_left=similarity.gemm_blocks(2 * n // 3),
+        n_blocks_right=similarity.gemm_blocks(n // 3),
     )
 
 
@@ -190,8 +194,15 @@ def q_sim_topk(spark, sf_dir) -> DataFrame:
 
 
 def q_sim_pairs(spark, sf_dir) -> DataFrame:
-    """Op 54/53e: exact embedding-cosine near-dup pairs ≥ threshold."""
-    return similarity.cosine_pairs_exact(_emb(spark, sf_dir), threshold=SIM_THRESHOLD)
+    """Op 54/53e: exact embedding-cosine near-dup pairs ≥ threshold.
+    GEMM blocks pre-sized from the parquet footer row count — no
+    sizing scan."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
+    return similarity.cosine_pairs_exact(
+        _emb(spark, sf_dir),
+        threshold=SIM_THRESHOLD,
+        n_blocks=similarity.gemm_blocks(n),
+    )
 
 
 def q_sim_topk_ivf(spark, sf_dir) -> DataFrame:
@@ -774,7 +785,7 @@ def q_curate_corpus(spark, sf_dir) -> DataFrame:
     # footer row count — zero Spark jobs, vs the old bare.count() that
     # ran one extra scan job per query run just to pick n_blocks
     n_rows = datasets.parquet_row_count(sf_dir, "embeddings")
-    n_blocks = max(1, min(128, -(-(n_rows // 2) // 4096)))
+    n_blocks = similarity.gemm_blocks(n_rows // 2)
     emb = bare.join(
         deduped.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
