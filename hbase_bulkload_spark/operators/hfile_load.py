@@ -346,6 +346,85 @@ def plan_block_splits(
     return plan
 
 
+def multi_get(
+    spark: SparkSession,
+    table_dir: str,
+    rowkeys: Sequence[str] | DataFrame,
+    binary: bool = False,
+) -> DataFrame:
+    """Distributed HBase multi-get (`Table.get(List<Get>)`) against a
+    bulk-loaded table directory. The driver reads only metadata — one
+    key range per file (trailer + file info, a few KB each, O(files))
+    — and closure-broadcasts the (path, region, first, last) routing
+    table; executors route their keys to the owning files by range and
+    batch-get each file ONCE (`hfile_multi_get`: bloom, index tree and
+    touched blocks cached across the batch — the block-cache analog).
+    Absent rows cost one bloom check, no index or data IO.
+
+    ``rowkeys`` is a list of canonical (string) keys or a DataFrame
+    with a ``rowkey`` column — the DataFrame form makes this a keyed
+    lookup JOIN against the HBase artifact: cells come back only for
+    requested keys, the table is never scanned. Output matches
+    scan_hfiles: (region, rowkey, family, qualifier, ts, value)."""
+    import pandas as pd
+
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(os.path.join(table_dir, "region-*", "*", "*.hfile"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no hfiles under {table_dir}")
+    routing = []
+    for path in files:
+        region = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        first_row, last_row = hf.file_key_range(path)
+        routing.append((path, region, first_row, last_row))
+
+    if isinstance(rowkeys, DataFrame):
+        keys_df = rowkeys.select("rowkey").distinct()
+    else:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in rowkeys], "rowkey string"
+        ).distinct()
+
+    cell_t = "binary" if binary else "string"
+    out_schema = (
+        f"region string, rowkey {cell_t}, family {cell_t}, "
+        f"qualifier {cell_t}, ts long, value {cell_t}"
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            per_file: dict[str, tuple[str, list[bytes]]] = {}
+            for k in pdf["rowkey"]:
+                kb = k if isinstance(k, bytes) else k.encode()
+                for path, region, fr, lr in routing:
+                    if fr <= kb <= lr:
+                        per_file.setdefault(path, (region, []))[1].append(kb)
+            cols: dict[str, list] = {
+                "region": [], "rowkey": [], "family": [],
+                "qualifier": [], "ts": [], "value": [],
+            }
+            for path, (region, kbs) in sorted(per_file.items()):
+                for r, fam, qual, ts, value in hf.hfile_multi_get(path, kbs):
+                    cols["region"].append(region)
+                    if binary:
+                        cols["rowkey"].append(r)
+                        cols["family"].append(fam)
+                        cols["qualifier"].append(qual)
+                        cols["value"].append(value)
+                    else:
+                        cols["rowkey"].append(r.decode())
+                        cols["family"].append(fam.decode())
+                        cols["qualifier"].append(qual.decode())
+                        cols["value"].append(value.decode())
+                    cols["ts"].append(ts)
+            yield pd.DataFrame(cols)
+
+    return keys_df.mapInPandas(fetch, out_schema)
+
+
 def scan_hfiles(
     spark: SparkSession,
     table_dir: str,

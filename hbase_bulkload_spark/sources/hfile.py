@@ -871,6 +871,69 @@ def hfile_get(path: str, row: bytes) -> list[tuple[bytes, int, bytes]]:
         return out
 
 
+def hfile_multi_get(
+    path: str, rows: list[bytes]
+) -> list[tuple[bytes, bytes, bytes, int, bytes]]:
+    """Point-get a BATCH of rows against one file: trailer, bloom and
+    root index are read once and index/data blocks are memoized by
+    offset across the batch — the open-file analog of HBase's block
+    cache, which is what makes `Table.get(List<Get>)` cheaper than N
+    independent gets. Returns [(row, family, qualifier, ts, value)]
+    over all requested rows (absent rows contribute nothing); same
+    per-row semantics as :func:`hfile_get`."""
+    out: list[tuple[bytes, bytes, bytes, int, bytes]] = []
+    with open(path, "rb") as f:
+        t = read_trailer(f)
+        bloom = read_bloom(f, t)
+        root = read_root_index(f, t)
+        root_rows = [decode_key(k)[0] for _, _, k in root]
+        index_cache: dict[int, tuple[list, list]] = {}
+        data_cache: dict[int, list] = {}
+        for row in sorted(set(rows)):
+            if bloom is not None and not bloom_may_contain(bloom, row):
+                continue
+            entries, first_rows = root, root_rows
+            descend = True
+            for _ in range(t.index_levels - 1):
+                j = bisect_right(first_rows, row) - 1
+                if j < 0:
+                    descend = False
+                    break
+                off = entries[j][0]
+                cached = index_cache.get(off)
+                if cached is None:
+                    plain = _read_block(f, off, t.compression, None)
+                    child = _parse_index_entries(plain)
+                    cached = (child, [decode_key(k)[0] for _, _, k in child])
+                    index_cache[off] = cached
+                entries, first_rows = cached
+            if not descend:
+                continue
+            i = bisect_right(first_rows, row) - 1
+            if i < 0:
+                continue
+            while i < len(entries):
+                if first_rows[i] > row:
+                    break
+                off = entries[i][0]
+                cells = data_cache.get(off)
+                if cells is None:
+                    plain = _read_block(f, off, t.compression, DATA_MAGIC)
+                    cells = list(_decode_cells(plain))
+                    data_cache[off] = cells
+                done = False
+                for r, fam, qual, ts, value in cells:
+                    if r == row:
+                        out.append((r, fam, qual, ts, value))
+                    elif r > row:
+                        done = True
+                        break
+                if done:
+                    break
+                i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Split (LoadIncrementalHFiles.splitStoreFile analog)
 # ---------------------------------------------------------------------------

@@ -31,6 +31,30 @@ def table_dir(spark, sf_dir, tmp_path_factory):
     return str(base / "table")
 
 
+def test_multi_get_matches_scan(spark, table_dir):
+    """Distributed multi-get (Table.get(List<Get>)): for a sampled
+    keyset, the fetched cells must equal the full scan filtered to
+    those keys; absent keys return nothing; the keyset-DataFrame form
+    behaves as a keyed lookup join."""
+    full = hl.scan_hfiles(spark, table_dir).collect()
+    all_keys = sorted({r.rowkey for r in full})
+    want_keys = all_keys[::97][:25]  # spread across regions
+    got = hl.multi_get(spark, table_dir, want_keys).collect()
+    want = [r for r in full if r.rowkey in set(want_keys)]
+    cols = ("region", "rowkey", "family", "qualifier", "ts", "value")
+    assert sorted(tuple(getattr(r, c) for c in cols) for r in got) == sorted(
+        tuple(getattr(r, c) for c in cols) for r in want
+    )
+    assert len(got) > 0
+    # absent keys: bloom short-circuit, zero cells (keys sort inside the
+    # table's key range so file routing alone cannot exclude them)
+    absent = [k[:-2] + "zz" for k in want_keys[:5]]
+    assert hl.multi_get(spark, table_dir, absent).count() == 0
+    # DataFrame keyset form
+    kdf = spark.createDataFrame([(k,) for k in want_keys], "rowkey string")
+    assert hl.multi_get(spark, table_dir, kdf).count() == len(want)
+
+
 def test_datasource_matches_operator_scan(spark, table_dir):
     register(spark)
     ds = spark.read.format("hfile").load(table_dir)
