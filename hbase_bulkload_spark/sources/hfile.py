@@ -888,6 +888,11 @@ def hfile_multi_get(
         root = read_root_index(f, t)
         root_rows = [decode_key(k)[0] for _, _, k in root]
         index_cache: dict[int, tuple[list, list]] = {}
+        # bounded data-block cache: keys are processed in sorted order,
+        # so hits are overwhelmingly on the most recent block — FIFO
+        # eviction at 256 entries (~16 MB of 64 KB blocks) bounds task
+        # memory on degenerate all-keys batches, like a real block
+        # cache's working set
         data_cache: dict[int, list] = {}
         for row in sorted(set(rows)):
             if bloom is not None and not bloom_may_contain(bloom, row):
@@ -920,6 +925,8 @@ def hfile_multi_get(
                 if cells is None:
                     plain = _read_block(f, off, t.compression, DATA_MAGIC)
                     cells = list(_decode_cells(plain))
+                    if len(data_cache) >= 256:
+                        data_cache.pop(next(iter(data_cache)))
                     data_cache[off] = cells
                 done = False
                 for r, fam, qual, ts, value in cells:
