@@ -346,6 +346,83 @@ def plan_block_splits(
     return plan
 
 
+#: Separator between the indexed value and the base rowkey in a
+#: value-index key. NUL sorts below every printable byte, so index keys
+#: for one value are contiguous and [v+NUL, v+0x01) is an exact range
+#: scan. Canonical rowkeys are hex and reference values are text, so
+#: NUL never appears inside either — documented contract, matching
+#: Phoenix's 0-byte column separators.
+INDEX_KEY_SEP = "\x00"
+
+
+def build_value_index(
+    kv: DataFrame,
+    qualifier: str,
+    index_dir: str,
+    boundaries: list[bytes] | None = None,
+    compression: str | None = "snappy",
+) -> list[dict]:
+    """Phoenix-style GLOBAL secondary index, materialized: the
+    (value → base rowkey) projection of one qualifier's cells as its
+    own bulk-loaded sorted table — the stored artifact the
+    q_kv_index_lookup docstring's scale story names. Index cell =
+    (value ‖ NUL ‖ base_rowkey, family 'i', qualifier 'r',
+    value = base rowkey): the composite key makes entries unique and
+    clusters them by indexed value, so a lookup is an exact range scan.
+    Built with the SAME machinery as the base table (executor-written
+    region HFiles → doBulkLoad placement with boundary splits), so the
+    index shares the table's operational contract: compaction,
+    multi-level block indexes, blooms, block-range scan splits."""
+    from pyspark.sql import functions as F
+
+    idx = kv.filter(F.col("qualifier") == qualifier).select(
+        F.concat(
+            F.col("value"), F.lit(INDEX_KEY_SEP), F.col("rowkey")
+        ).alias("rowkey"),
+        F.lit("i").alias("family"),
+        F.lit("r").alias("qualifier"),
+        F.col("rowkey").alias("value"),
+        F.substring(F.col("value"), 1, 1).alias("bucket"),
+    )
+    from hbase_bulkload_spark.operators.bulkload import region_align
+
+    staging = os.path.join(index_dir, "_staging")
+    manifest = write_region_hfiles(
+        region_align(idx), staging, compression=compression
+    )
+    return do_bulk_load(
+        [m["path"] for m in manifest],
+        index_dir,
+        boundaries if boundaries is not None else [b""],
+        family="i",
+        spark=kv.sparkSession,
+        compression=compression,
+    )
+
+
+def index_seek(
+    spark: SparkSession,
+    index_dir: str,
+    base_table_dir: str,
+    value: str,
+) -> DataFrame:
+    """Index seek + multi-get — the scale form of the secondary-index
+    lookup: an exact range scan of the stored value index (block-pruned
+    by the index tree's key fences; [v+NUL, v+0x01) covers exactly the
+    entries for ``value``) yields the matched base rowkeys, which fetch
+    their rows from the base table via the distributed multi-get
+    (bloom + index walk per key). Neither table is ever scanned in
+    full, and nothing but file metadata touches the driver."""
+    start = (value + INDEX_KEY_SEP).encode()
+    stop = (value + "\x01").encode()
+    from pyspark.sql import functions as F
+
+    rks = scan_hfiles(
+        spark, index_dir, start_row=start, stop_row=stop, columns=("value",)
+    ).select(F.col("value").alias("rowkey"))
+    return multi_get(spark, base_table_dir, rks)
+
+
 def multi_get(
     spark: SparkSession,
     table_dir: str,

