@@ -699,6 +699,30 @@ def incremental_dedup(
     )
 
 
+def shingle_postings(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stored shingle index for :func:`incremental_ngram_dedup`:
+    (shingle xxhash64, doc_id, n_sh) — one row per (doc, distinct
+    shingle). A deployment persists this (parquet, bucketed by
+    shingle) after each ingested increment and UNIONs the new batch's
+    postings into it, so no later increment ever re-shingles the
+    corpus; ``history_postings=`` feeds it back in."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_text(F.col(text_col), n).alias("shs"),
+    ).select(
+        "doc_id",
+        F.size("shs").alias("n_sh"),
+        F.explode(
+            F.transform("shs", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+
+
 def incremental_ngram_dedup(
     history: DataFrame,
     batch: DataFrame,
@@ -707,6 +731,7 @@ def incremental_ngram_dedup(
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     text_col: str = "text",
     id_col: str = "doc_id",
+    history_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Op 52d: production-shaped NEAR dedup — dedupe a NEW batch against
     an already-ingested corpus by exact n-gram Jaccard, without ever
@@ -725,26 +750,28 @@ def incremental_ngram_dedup(
     into (history, batch) halves and only emits history×batch and
     earlier-batch×batch pairs — history×history pairs are never
     generated, so the history side costs its posting list and nothing
-    quadratic. In a real deployment that posting list is a stored
-    index maintained across increments, exactly like
-    incremental_dedup's hash index. The hot-shingle cap bounds the
-    per-bucket expansion and is published via the
-    ``incremental_shingle_cap`` observation."""
-    def shingle_stream(df: DataFrame, side: int) -> DataFrame:
-        return df.select(
-            F.lit(side).alias("side"),
-            F.col(id_col).alias("doc_id"),
-            word_shingles_text(F.col(text_col), n).alias("shs"),
-        ).select(
-            "side",
-            "doc_id",
-            F.size("shs").alias("n_sh"),
-            F.explode(
-                F.transform("shs", lambda s: F.xxhash64(s))
-            ).alias("shingle"),
+    quadratic. Pass ``history_postings`` (a persisted
+    :func:`shingle_postings` frame — the stored index maintained
+    across increments, exactly like incremental_dedup's hash index)
+    and the history corpus is never re-read at all: intersection
+    counts and Jaccard denominators both ride the postings, so the
+    whole increment costs one shuffle of (index ∪ batch shingles) and
+    zero history text IO. The hot-shingle cap bounds the per-bucket
+    expansion and is published via the ``incremental_shingle_cap``
+    observation."""
+    def tagged(postings: DataFrame, side: int) -> DataFrame:
+        return postings.select(
+            F.lit(side).alias("side"), "doc_id", "n_sh", "shingle"
         )
 
-    sh = shingle_stream(history, 0).union(shingle_stream(batch, 1))
+    hist_p = (
+        history_postings
+        if history_postings is not None
+        else shingle_postings(history, n, text_col, id_col)
+    )
+    sh = tagged(hist_p, 0).union(
+        tagged(shingle_postings(batch, n, text_col, id_col), 1)
+    )
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.struct("side", "doc_id", "n_sh"))).alias("ds")
     )

@@ -735,6 +735,33 @@ def test_incremental_ngram_dedup_verdicts(spark):
     assert out[13].keep
 
 
+def test_incremental_ngram_stored_index_parity(spark, sf_dir, tmp_path):
+    """The stored-index form: shingle_postings(history) persisted to
+    parquet and fed back via history_postings= must produce verdicts
+    identical to recomputing from history text — the crawl-increment
+    contract where no later increment re-shingles the corpus."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx_path = str(tmp_path / "shingle_index")
+    dedup.shingle_postings(hist).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    a = sorted(
+        map(tuple, dedup.incremental_ngram_dedup(hist, batch).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.incremental_ngram_dedup(
+                hist.limit(0), batch, history_postings=stored
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
     """Consistency with the batch pair operator: on the documents
     corpus, a batch doc's history verdict must agree with
