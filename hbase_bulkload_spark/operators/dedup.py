@@ -834,6 +834,29 @@ def incremental_ngram_dedup(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """The stored band index for :func:`incremental_minhash_dedup`:
+    (band, bkey, doc_id) — ``bands`` rows per doc. A deployment
+    persists this after each increment (parquet, bucketed by bkey) and
+    unions new batches in, so signatures are computed once per doc
+    ever; ``history_bands=`` feeds it back."""
+    sig = minhash_signatures(docs, k=k, n=n)
+    rows = k // bands
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(band), *[F.col(f"mh{band * rows + r}") for r in range(rows)]
+            )
+            for band in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    ).select("band", "bkey", "doc_id")
+
+
 def incremental_minhash_dedup(
     history: DataFrame,
     batch: DataFrame,
@@ -843,42 +866,42 @@ def incremental_minhash_dedup(
     n: int = 3,
     broadcast_pairs_limit: int = 1_000_000,
     max_bucket_size: int | None = None,
+    history_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Op 52f: incremental near-dedup at the MINHASH scale tier — the
     probabilistic sibling of :func:`incremental_ngram_dedup` for
     corpora where even the capped posting lists are too hot. Batch
-    band keys join against the history band index (in a real
-    deployment a stored artifact maintained across increments);
-    history×history pairs are never generated. Candidates verify with
-    exact Jaccard, so PRECISION is exact — every emitted dup partner
-    truly clears the threshold — and only recall is probabilistic
-    (recorded per round in the RECALL artifact against the exact
-    incremental twin, floor-pinned in tests/test_recall.py).
+    band keys join against the history band index (pass a persisted
+    :func:`minhash_band_index` via ``history_bands=`` and history
+    signatures are never recomputed — the stored artifact maintained
+    across increments); history×history pairs are never generated.
+    Candidates verify with exact Jaccard, so PRECISION is exact —
+    every emitted dup partner truly clears the threshold — and only
+    recall is probabilistic (recorded per round in the RECALL artifact
+    against the exact incremental twin, floor-pinned in
+    tests/test_recall.py). ``history`` text is still read for
+    VERIFICATION, but only for candidate docs (semi-join filtered) —
+    at full scale that fetch is a keyed multi-get against the corpus
+    store, not a scan.
 
     Returns the family's verdict contract: (doc_id, dup_of_history,
     dup_in_batch, keep) per batch doc."""
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
-    rows = k // bands
 
-    def keyed(docs: DataFrame, side: int) -> DataFrame:
-        sig = minhash_signatures(docs, k=k, n=n)
-        band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(band),
-                    *[F.col(f"mh{band * rows + r}") for r in range(rows)],
-                )
-                for band in range(bands)
-            ]
-        )
-        return sig.select(
-            F.lit(side).alias("side"),
-            "doc_id",
-            F.posexplode(band_keys).alias("band", "bkey"),
+    def tagged(bands_df: DataFrame, side: int) -> DataFrame:
+        return bands_df.select(
+            F.lit(side).alias("side"), "doc_id", "band", "bkey"
         )
 
-    bd = keyed(history, 0).union(keyed(batch, 1))
+    hist_b = (
+        history_bands
+        if history_bands is not None
+        else minhash_band_index(history, k=k, bands=bands, n=n)
+    )
+    bd = tagged(hist_b, 0).union(
+        tagged(minhash_band_index(batch, k=k, bands=bands, n=n), 1)
+    )
     buckets = bd.groupBy("band", "bkey").agg(
         F.array_sort(F.collect_set(F.struct("side", "doc_id"))).alias("ds")
     )

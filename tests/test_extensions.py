@@ -762,6 +762,30 @@ def test_incremental_ngram_stored_index_parity(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_minhash_stored_index_parity(spark, sf_dir, tmp_path):
+    """minhash_band_index(history) persisted and fed back via
+    history_bands= must produce identical verdicts to recomputing
+    signatures from history text."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx_path = str(tmp_path / "band_index")
+    dedup.minhash_band_index(hist).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    a = sorted(map(tuple, dedup.incremental_minhash_dedup(hist, batch).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.incremental_minhash_dedup(
+                hist, batch, history_bands=stored
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
     """Consistency with the batch pair operator: on the documents
     corpus, a batch doc's history verdict must agree with
