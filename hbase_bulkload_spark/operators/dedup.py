@@ -653,11 +653,23 @@ def embedding_dedup(
     )
 
 
+def hash_index(
+    history: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The stored content-hash index for :func:`incremental_dedup`:
+    one distinct md5 per historical document (column ``text_hash``).
+    Persist after each increment; union the accepted batch's hashes
+    in; feed back via ``history_hashes=`` so no increment ever
+    re-hashes the corpus."""
+    return history.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+
+
 def incremental_dedup(
     history: DataFrame,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    history_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Production-shaped exact dedup: dedupe a NEW batch against an
     already-deduped corpus without re-processing the corpus — at 100 TB
@@ -670,17 +682,20 @@ def incremental_dedup(
     verdict (first occurrence of a hash unseen in history).
 
     Scale shape: both sides reduce to content hashes map-side; the
-    history side collapses to its DISTINCT hash set (the "index" — in a
-    real deployment this is a stored artifact, not recomputed), joined
-    hash-to-hash. The batch-internal check is one window over the
-    (small) batch. The corpus-scale frame is never shuffled on anything
-    wider than a 32-char hash.
+    history side collapses to its DISTINCT hash set (the "index" —
+    persist :func:`hash_index` and feed it back via
+    ``history_hashes=`` so increments never re-hash the corpus),
+    joined hash-to-hash. The batch-internal check is one window over
+    the (small) batch. The corpus-scale frame is never shuffled on
+    anything wider than a 32-char hash.
     """
     from pyspark.sql import Window
 
-    hist_hashes = history.select(
-        F.md5(F.col(text_col)).alias("text_hash")
-    ).distinct()
+    hist_hashes = (
+        history_hashes
+        if history_hashes is not None
+        else hash_index(history, text_col)
+    )
     b = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
     w = Window.partitionBy("text_hash").orderBy(id_col)
     b = b.withColumn("_first", F.min(id_col).over(w))

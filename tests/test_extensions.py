@@ -762,6 +762,29 @@ def test_incremental_ngram_stored_index_parity(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_hash_stored_index_parity(spark, sf_dir, tmp_path):
+    """hash_index(history) persisted and fed back via history_hashes=
+    must produce identical verdicts to recomputing from history text."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx_path = str(tmp_path / "hash_index")
+    dedup.hash_index(hist).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    a = sorted(map(tuple, dedup.incremental_dedup(hist, batch).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.incremental_dedup(
+                hist.limit(0), batch, history_hashes=stored
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_incremental_minhash_stored_index_parity(spark, sf_dir, tmp_path):
     """minhash_band_index(history) persisted and fed back via
     history_bands= must produce identical verdicts to recomputing
