@@ -1264,6 +1264,7 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_shingle_limit: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination — the training-corpus hygiene step that
     keeps eval data out of the training set: flag every training
@@ -1280,6 +1281,14 @@ def decontaminate(
     shingles, so the corpus-scale frame is never shuffled on the
     shingle key. Per-doc overlap counts then reduce on doc_id (one
     row per doc before the join back).
+
+    The broadcast hint is SIZE-GATED (same contract as the LSH and
+    index-lookup gates, not hardcoded): the distinct benchmark shingle
+    set is persisted and counted once, and past
+    ``broadcast_shingle_limit`` (~40 MB of 8-byte hashes at the
+    default) the hint is omitted so a corpus-sized "benchmark" split
+    degrades to an AQE-planned shuffle semi-join instead of a forced
+    unbounded broadcast.
     """
     # shingles compare as 8-byte xxhash64 keys (hashed map-side inside
     # the same codegen'd transform): the semi-join and overlap count
@@ -1289,11 +1298,13 @@ def decontaminate(
     sh = F.explode(
         F.transform(word_shingles_text(text_col, n), lambda s: F.xxhash64(s))
     ).alias("shingle")
-    bench_sh = docs.filter(is_benchmark).select(sh).distinct()
+    bench_sh = docs.filter(is_benchmark).select(sh).distinct().persist()
+    if bench_sh.count() <= broadcast_shingle_limit:
+        bench_sh = F.broadcast(bench_sh)
     train = docs.filter(~is_benchmark)
     hits = (
         train.select(F.col(id_col), sh)
-        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .join(bench_sh, "shingle", "left_semi")
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_overlap"))
     )
