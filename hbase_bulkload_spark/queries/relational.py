@@ -763,6 +763,63 @@ SQL_TPCH5 = """
 """
 
 
+SQL_TPCH1 = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+SQL_TPCH10 = """
+    SELECT c_custkey,
+           c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_sql_tpch1(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 (pricing summary) shape: the canonical full-scan
+    aggregate — one wide partial-aggregated groupBy over lineitem with
+    compound arithmetic per row; deterministic cross-engine via exact
+    DECIMAL(18,6) sum interiors (the dsum discipline in SQL form).
+    Pushdown-filtered on shipdate; no join, no window — the map-side
+    combine benchmark."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_TPCH1)
+
+
+def q_sql_tpch10(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: selective fact filter
+    (one quarter of returned lines) → three-join star → per-customer
+    revenue → deterministic top-20. nation broadcasts; the grouped key
+    carries customer attributes through the aggregate, the classic
+    wide-group pattern."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_TPCH10)
+
+
 def q_sql_tpch3(spark, sf_dir) -> DataFrame:
     """TPC-H Q3 (shipping priority) shape: selective dim filter →
     two-join star → grouped revenue → deterministic top-10 (revenue
@@ -877,8 +934,10 @@ QUERIES = {
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
     "q_sql_star": q_sql_star,
+    "q_sql_tpch1": q_sql_tpch1,
     "q_sql_tpch3": q_sql_tpch3,
     "q_sql_tpch5": q_sql_tpch5,
+    "q_sql_tpch10": q_sql_tpch10,
     "q_join_salted": q_join_salted,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_count_distinct": q_agg_count_distinct,
@@ -971,8 +1030,10 @@ ORACLES = {
         ORDER BY n_rows DESC, user_id LIMIT 10
     """,
     "q_sql_star": SQL_STAR,
+    "q_sql_tpch1": SQL_TPCH1,
     "q_sql_tpch3": SQL_TPCH3,
     "q_sql_tpch5": SQL_TPCH5,
+    "q_sql_tpch10": SQL_TPCH10,
     "q_join_salted": f"""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
