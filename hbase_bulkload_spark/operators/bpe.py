@@ -27,6 +27,7 @@ check.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,3 +140,72 @@ def learn_bpe(
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus — the tokenizer APPLY
+    step that :func:`learn_bpe` trains for: per word, characters →
+    merges replayed in learning order (leftmost-first, non-overlapping
+    — exactly the transform the learner applied to its own vocabulary,
+    so the corpus segments identically to training). Returns
+    (doc_id, tokens array<string>, n_tokens).
+
+    Scale shape: MAP-ONLY — the merge table is vocabulary-bounded (a
+    tokenizer is a few 10k merges), collected once driver-side and
+    closure-broadcast into an Arrow-batched UDF; per-batch word
+    memoization means each distinct word is encoded once per batch, so
+    throughput tracks the corpus's word-vocabulary locality, not its
+    token count. Deterministic given the merge list (no SQL oracle —
+    iterative per-word rewriting — so the correctness pin is
+    encode ≡ the pure-Python reference, tests/test_bpe.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        mlist = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("step").collect()
+        ]
+    else:
+        mlist = list(merges)
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            t = cache.get(w)
+            if t is None:
+                syms = list(w)
+                for left, right in mlist:
+                    out: list[str] = []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                cache[w] = syms
+                t = syms
+            return t
+
+        return texts.map(
+            lambda s: [t for w in s.split(" ") if w for t in enc_word(w)]
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        enc(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))

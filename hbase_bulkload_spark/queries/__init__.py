@@ -42,6 +42,7 @@ _DRIVER_WINDOW_FIRST = (
     # new in round 4
     "q_dedup_incremental_near", "q_dedup_incremental_embed",
     "q_dedup_incremental_minhash", "q_sql_tpch1", "q_sql_tpch10",
+    "q_bpe_encode",
     # the rest of the round-3 window, recorded in CORRECTNESS_r03 —
     # they fill the remaining first-50 slots and keep a stable order
     "q_split_dataset", "q_length_buckets",

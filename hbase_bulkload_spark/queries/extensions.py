@@ -843,6 +843,19 @@ def q_bpe_merges(spark, sf_dir) -> DataFrame:
     return learn_bpe(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir) -> DataFrame:
+    """Op 55d: tokenizer APPLY — the corpus encoded with the merge
+    table q_bpe_merges learns (8 merges, same corpus), returning
+    per-doc token counts. Rows-only: iterative per-word rewriting has
+    no SQL oracle; encode ≡ pure-Python reference is pinned by
+    tests/test_bpe.py, and the learn side is already reference-exact."""
+    from hbase_bulkload_spark.operators.bpe import bpe_encode, learn_bpe
+
+    docs = _docs(spark, sf_dir, floor=True)
+    merges = learn_bpe(docs, n_merges=8)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 def q_multimodal_phash(spark, sf_dir) -> DataFrame:
     """Op 56d: perceptual-hash image near-dup — the multimodal column
     meets the op-53 signature machinery. Payload is the bytes a real
@@ -936,6 +949,7 @@ QUERIES = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_phash": q_multimodal_phash,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
     "q_curate_corpus": q_curate_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_pack_sequences": q_pack_sequences,

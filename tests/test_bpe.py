@@ -103,3 +103,57 @@ def test_bpe_property_random_corpora(spark):
         ]
         want = _ref_bpe(_word_counts(rows), 3)
         assert got == want, (ci, docs, got, want)
+
+
+def _ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    out_tokens = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        out_tokens += syms
+    return out_tokens
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Tokenizer APPLY: the distributed encode must reproduce the
+    pure-Python replay of the learned merges word-for-word, and token
+    concatenation must recover each doc's text (lossless)."""
+    from hbase_bulkload_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    merges_df = learn_bpe(docs, n_merges=8)
+    mlist = [(r.left, r.right) for r in merges_df.orderBy("step").collect()]
+    got = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_encode(docs, merges_df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        want = _ref_encode(text, mlist)
+        assert got[doc_id][0] == want, doc_id
+        assert got[doc_id][1] == len(want)
+        assert "".join(got[doc_id][0]) == text.replace(" ", "")
+
+
+def test_bpe_encode_crafted(spark):
+    """'aaaa' under merges [(a,a),(aa,aa)] → ['aaaa']; leftmost rule on
+    'aaa' → ['aa','a']."""
+    from hbase_bulkload_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa ab")], "doc_id long, text string"
+    )
+    out = bpe_encode(docs, [("a", "a"), ("aa", "aa")]).collect()[0]
+    assert list(out.tokens) == ["aaaa", "aa", "a", "a", "b"]
+    assert out.n_tokens == 5
