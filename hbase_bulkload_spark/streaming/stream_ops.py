@@ -377,6 +377,62 @@ def read_rollup(spark, rollup_dir: str) -> DataFrame:
     )
 
 
+def start_incremental_dedup_sink(
+    docs: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint: str,
+):
+    """The crawl-ingest loop as a streaming query: each microbatch is
+    exact-deduped against the STORED hash index
+    (`operators.dedup.incremental_dedup` with ``history_hashes=``),
+    accepted docs land in ``accepted_dir`` and their hashes extend the
+    index — so the index is maintained continuously and no batch ever
+    re-hashes the corpus.
+
+    Both stores are batch-scoped directories with per-batch OVERWRITE
+    (the rollup sink's idempotence discipline — foreachBatch is only
+    at-least-once). A replayed batch b reads the index EXCLUDING its
+    own prior contribution (batch_id != b): its own hashes must not
+    reject its own docs, and later batches' hashes cannot collide with
+    batch b's originally-accepted docs (a later doc with the same hash
+    would have been rejected against batch b's entry), so the replay
+    reproduces the original verdicts exactly."""
+    import glob as _glob
+    import os
+
+    from hbase_bulkload_spark.operators.dedup import incremental_dedup
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _glob.glob(os.path.join(index_dir, "batch_id=*")):
+            stored = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("text_hash")
+            )
+        else:
+            stored = spark.createDataFrame([], "text_hash string")
+        verdicts = incremental_dedup(
+            batch_df.limit(0), batch_df, history_hashes=stored
+        )
+        keep = verdicts.filter("keep").select("doc_id", "text_hash")
+        accepted = batch_df.join(keep.select("doc_id"), "doc_id")
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch_id={batch_id}"
+        )
+        keep.select("text_hash").distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_upsert_sink(
     changes: DataFrame,
     table_dir: str,

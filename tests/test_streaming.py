@@ -447,3 +447,56 @@ def test_gapfill_locf_crafted(spark):
     assert out[("u1", "2024-01-03")] == (0, None, 3.0)
     assert out[("u1", "2024-01-04")] == (1, 5.0, 5.0)
     assert out[("u2", "2024-02-10")] == (1, 7.0, 7.0)
+
+
+def test_stream_incremental_dedup_sink(spark, sf_dir, tmp_path):
+    """Continuous crawl-dedup: streaming the documents corpus through
+    the incremental-dedup sink must accept exactly one representative
+    per distinct content hash (global coverage, no duplicates), with
+    the stored hash index maintained per batch; replaying every
+    microbatch against the same stores (fresh checkpoint — the
+    at-least-once worst case) must leave both stores equivalent."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    index_dir = str(tmp_path / "hash_index")
+    q = stream_ops.start_incremental_dedup_sink(
+        stream, accepted_dir, index_dir, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    assert len(glob.glob(f"{index_dir}/batch_id=*")) >= 4  # real increments
+    accepted = spark.read.parquet(accepted_dir).drop("batch_id")
+    n_acc = accepted.count()
+    n_acc_hashes = accepted.select(F.md5("text")).distinct().count()
+    n_corpus_hashes = docs.select(F.md5("text")).distinct().count()
+    assert n_acc == n_acc_hashes == n_corpus_hashes
+    idx = spark.read.parquet(index_dir).select("text_hash")
+    assert idx.distinct().count() == n_corpus_hashes == idx.count()
+
+    before = sorted(map(tuple, accepted.collect()))
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = stream_ops.start_incremental_dedup_sink(
+        stream2, accepted_dir, index_dir, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        map(tuple, spark.read.parquet(accepted_dir).drop("batch_id").collect())
+    )
+    assert before == after
