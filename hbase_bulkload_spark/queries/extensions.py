@@ -843,17 +843,27 @@ def q_bpe_merges(spark, sf_dir) -> DataFrame:
     return learn_bpe(_docs(spark, sf_dir), n_merges=8)
 
 
+#: Fixed merge table for the tokenizer-apply query: common English
+#: bigram merges in priority order. A PRETRAINED tokenizer is the
+#: production case (training is q_bpe_merges' job, and pipelines apply
+#: a tokenizer far more often than they learn one); a static table
+#: also keeps the query deterministic with no in-query argmax loop.
+BPE_DEMO_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),
+)
+
+
 def q_bpe_encode(spark, sf_dir) -> DataFrame:
-    """Op 55d: tokenizer APPLY — the corpus encoded with the merge
-    table q_bpe_merges learns (8 merges, same corpus), returning
-    per-doc token counts. Rows-only: iterative per-word rewriting has
-    no SQL oracle; encode ≡ pure-Python reference is pinned by
-    tests/test_bpe.py, and the learn side is already reference-exact."""
-    from hbase_bulkload_spark.operators.bpe import bpe_encode, learn_bpe
+    """Op 55d: tokenizer APPLY — the corpus encoded with a pretrained
+    merge table (BPE_DEMO_MERGES; learning its own table is
+    q_bpe_merges), returning per-doc token counts. Rows-only:
+    iterative per-word rewriting has no SQL oracle; encode ≡
+    pure-Python reference is pinned by tests/test_bpe.py."""
+    from hbase_bulkload_spark.operators.bpe import bpe_encode
 
     docs = _docs(spark, sf_dir, floor=True)
-    merges = learn_bpe(docs, n_merges=8)
-    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    return bpe_encode(docs, list(BPE_DEMO_MERGES)).select("doc_id", "n_tokens")
 
 
 def q_multimodal_phash(spark, sf_dir) -> DataFrame:
