@@ -55,6 +55,26 @@ def test_multi_get_matches_scan(spark, table_dir):
     assert hl.multi_get(spark, table_dir, kdf).count() == len(want)
 
 
+def test_multi_get_binary_mode(spark, table_dir):
+    """binary=True returns raw bytes for every cell column, value-equal
+    to the string mode's encodings (canonical hex keys are UTF-8)."""
+    full = hl.scan_hfiles(spark, table_dir).collect()
+    keys = sorted({r.rowkey for r in full})[:5]
+    s_rows = hl.multi_get(spark, table_dir, keys).collect()
+    b_rows = hl.multi_get(spark, table_dir, keys, binary=True).collect()
+    conv = sorted(
+        (r.region, r.rowkey.decode(), r.family.decode(), r.qualifier.decode(),
+         r.ts, r.value.decode())
+        for r in b_rows
+    )
+    want = sorted(
+        (r.region, r.rowkey, r.family, r.qualifier, r.ts, r.value)
+        for r in s_rows
+    )
+    assert conv == want and len(conv) > 0
+    assert all(isinstance(r.rowkey, (bytes, bytearray)) for r in b_rows)
+
+
 def test_value_index_seek(spark, sf_dir, table_dir, tmp_path):
     """The materialized secondary index: build the (value -> rowkey)
     index table with the bulkload contract, then index_seek = exact
