@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from bisect import bisect_right
+from bisect import bisect_left, bisect_right
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -473,12 +473,23 @@ def multi_get(
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # route by bisecting the sorted keyset against each file's
+            # range: O(files · log keys + hits), never O(keys · files) —
+            # file ranges may overlap (multiple HFiles per region), so
+            # the per-file range probe, not a per-key bisect, is the
+            # correct inversion
+            ks = sorted(
+                {
+                    k if isinstance(k, bytes) else k.encode()
+                    for k in pdf["rowkey"]
+                }
+            )
             per_file: dict[str, tuple[str, list[bytes]]] = {}
-            for k in pdf["rowkey"]:
-                kb = k if isinstance(k, bytes) else k.encode()
-                for path, region, fr, lr in routing:
-                    if fr <= kb <= lr:
-                        per_file.setdefault(path, (region, []))[1].append(kb)
+            for path, region, fr, lr in routing:
+                lo = bisect_left(ks, fr)
+                hi = bisect_right(ks, lr)
+                if lo < hi:
+                    per_file[path] = (region, ks[lo:hi])
             cols: dict[str, list] = {
                 "region": [], "rowkey": [], "family": [],
                 "qualifier": [], "ts": [], "value": [],
