@@ -433,6 +433,73 @@ def start_incremental_dedup_sink(
     )
 
 
+def start_incremental_near_dedup_sink(
+    docs: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Continuous NEAR dedup — the crawl loop at the MinHash tier: each
+    microbatch runs `incremental_minhash_dedup` against the STORED band
+    index (signatures computed once per doc ever) with the accepted
+    corpus as the verification side, then accepted docs and their band
+    keys extend the stores. Batch-scoped overwrite for idempotence,
+    like the exact sink; verification text is fetched only for
+    candidate docs (semi-join inside the operator).
+
+    Semantics of the accepted set: every accepted doc had no
+    ≥-threshold neighbor among PREVIOUSLY accepted docs (banding
+    recall applies — the batch operator's RECALL artifact quantifies
+    it), so accepted documents are pairwise non-near-dup up to that
+    recall."""
+    import glob as _glob
+    import os
+
+    from hbase_bulkload_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        have_idx = bool(_glob.glob(os.path.join(index_dir, "batch_id=*")))
+        if have_idx:
+            stored_bands = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("band", "bkey", "doc_id")
+            )
+            history = (
+                spark.read.parquet(accepted_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("doc_id", "text")
+            )
+        else:
+            stored_bands = spark.createDataFrame(
+                [], "band int, bkey long, doc_id long"
+            )
+            history = spark.createDataFrame([], "doc_id long, text string")
+        verdicts = incremental_minhash_dedup(
+            history, batch_df, threshold=threshold, history_bands=stored_bands
+        )
+        keep_ids = verdicts.filter("keep").select("doc_id")
+        accepted = batch_df.join(keep_ids, "doc_id")
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch_id={batch_id}"
+        )
+        minhash_band_index(accepted).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_upsert_sink(
     changes: DataFrame,
     table_dir: str,

@@ -500,3 +500,61 @@ def test_stream_incremental_dedup_sink(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(accepted_dir).drop("batch_id").collect())
     )
     assert before == after
+
+
+def test_stream_incremental_near_dedup_sink(spark, sf_dir, tmp_path):
+    """Continuous NEAR dedup: after streaming the corpus through the
+    MinHash-tier sink, (1) no two accepted docs are near-dups under the
+    exact n-gram metric (banding recall is 1.0 on this corpus — pinned
+    by tests/test_recall.py), and (2) every rejected doc has an
+    accepted >= threshold partner (its dup_of at accept time stays in
+    the store)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "near_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    accepted_dir = str(tmp_path / "near_accepted")
+    index_dir = str(tmp_path / "near_bands")
+    q = stream_ops.start_incremental_near_dedup_sink(
+        stream, accepted_dir, index_dir, str(tmp_path / "near_ck")
+    )
+    q.awaitTermination(120)
+    assert len(glob.glob(f"{index_dir}/batch_id=*")) >= 4
+
+    accepted = {
+        r.doc_id
+        for r in spark.read.parquet(accepted_dir).select("doc_id").collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    rejected = all_ids - accepted
+    assert accepted and rejected  # corpus has near-dups
+
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    # (1) accepted set pairwise non-near-dup
+    internal = [
+        (r.doc_a, r.doc_b)
+        for r in pairs
+        if r.doc_a in accepted and r.doc_b in accepted
+    ]
+    assert internal == [], internal[:5]
+    # (2) every rejected doc has an accepted partner
+    partner_of = {}
+    for r in pairs:
+        if r.doc_a in accepted and r.doc_b in rejected:
+            partner_of.setdefault(r.doc_b, r.doc_a)
+        if r.doc_b in accepted and r.doc_a in rejected:
+            partner_of.setdefault(r.doc_a, r.doc_b)
+    missing = rejected - set(partner_of)
+    assert not missing, sorted(missing)[:5]
