@@ -119,6 +119,22 @@ def test_value_index_seek(spark, sf_dir, table_dir, tmp_path):
     # a value absent from the corpus seeks to zero rows
     assert hl.index_seek(spark, idx_dir, table_dir, "no-such-value").count() == 0
 
+    # the seek's index scan must be block-PRUNED, not a full read: the
+    # planned block set for the value's range is a strict subset of the
+    # unbounded plan's
+    full_blocks = sum(
+        len(p[3]) for p in hl.plan_block_splits(idx_dir, 64 << 10)
+    )
+    start = (val + hl.INDEX_KEY_SEP).encode()
+    stop = (val + "\x01").encode()
+    pruned_blocks = sum(
+        len(p[3])
+        for p in hl.plan_block_splits(
+            idx_dir, 64 << 10, start_row=start, stop_row=stop
+        )
+    )
+    assert 0 < pruned_blocks < full_blocks, (pruned_blocks, full_blocks)
+
 
 def test_datasource_matches_operator_scan(spark, table_dir):
     register(spark)
