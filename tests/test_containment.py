@@ -116,6 +116,36 @@ def test_phash_banding_equals_brute_force(spark, sf_dir):
     assert got <= exact, sorted(got - exact)[:5]
 
 
+def test_incremental_minhash_contained_in_exact(spark, sf_dir):
+    """Verdict-level precision for the incremental MinHash tier: every
+    doc it flags (and every dup partner it names) must appear in the
+    uncapped exact incremental twin's verdict graph — banding may MISS
+    dups, never invent them (candidates verify with exact Jaccard)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_dedup(hist, batch).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in dedup.incremental_ngram_dedup(
+            hist, batch, max_shingle_freq=None
+        ).collect()
+    }
+    for doc_id, r in got.items():
+        e = exact[doc_id]
+        if r.dup_of_history is not None:
+            assert e.dup_of_history is not None, doc_id
+        if r.dup_in_batch is not None:
+            assert e.dup_in_batch is not None, doc_id
+        if not r.keep:
+            assert not e.keep, doc_id
+
+
 def test_banding_rejects_out_of_recall_hamming(docs):
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(docs, max_hamming=4)
