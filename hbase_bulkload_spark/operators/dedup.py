@@ -172,7 +172,7 @@ def minhash_lsh_pairs(
     precision. Returns (doc_a, doc_b, jaccard).
 
     ``broadcast_pairs_limit`` gates the candidate-doc broadcast hint: the
-    candidate frame is persisted and counted once (the count is the same
+    candidate frame is materialized (localCheckpoint) and counted once (the count is the same
     job the verification step needs anyway, so nothing is computed
     twice), and only a candidate set under the limit is hint-broadcast
     into the corpus semi-filter. Past the limit — a pathological corpus
@@ -231,10 +231,14 @@ def minhash_lsh_pairs(
     # the pair join then runs over that small frame and the intersection
     # is row-wise array_intersect — the full shingle explosion is never
     # shuffled. The broadcast hint is SIZE-GATED, not hardcoded: cand is
-    # persisted (spill-safe) and counted, and past broadcast_pairs_limit
-    # the hint is omitted so AQE plans from observed sizes instead of
-    # being forced to ship an unbounded set to every executor.
-    cand = cand.persist()
+    # materialized once (localCheckpoint, not persist: checkpoint blocks
+    # are GC-cleaned when the frame goes out of scope, so repeated
+    # invocation — e.g. a sink loop — doesn't accumulate CacheManager
+    # entries for the session's lifetime) and counted, and past
+    # broadcast_pairs_limit the hint is omitted so AQE plans from
+    # observed sizes instead of being forced to ship an unbounded set
+    # to every executor.
+    cand = cand.localCheckpoint(eager=True)
     n_pairs = cand.count()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -949,8 +953,11 @@ def incremental_minhash_dedup(
         .distinct()
     )
     # size-gated candidate broadcast, verification over candidate docs
-    # only — same discipline as minhash_lsh_pairs
-    cand = cand.persist()
+    # only — same discipline as minhash_lsh_pairs. localCheckpoint, not
+    # persist: the streaming near-dedup sink calls this every
+    # microbatch, and persisted frames are pinned in the CacheManager
+    # until explicit unpersist — checkpoint blocks instead free on GC.
+    cand = cand.localCheckpoint(eager=True)
     n_pairs = cand.count()
     all_docs = history.select("doc_id", "text").union(
         batch.select("doc_id", "text")
@@ -1284,7 +1291,7 @@ def decontaminate(
 
     The broadcast hint is SIZE-GATED (same contract as the LSH and
     index-lookup gates, not hardcoded): the distinct benchmark shingle
-    set is persisted and counted once, and past
+    set is materialized (localCheckpoint) and counted once, and past
     ``broadcast_shingle_limit`` (~40 MB of 8-byte hashes at the
     default) the hint is omitted so a corpus-sized "benchmark" split
     degrades to an AQE-planned shuffle semi-join instead of a forced
@@ -1298,7 +1305,14 @@ def decontaminate(
     sh = F.explode(
         F.transform(word_shingles_text(text_col, n), lambda s: F.xxhash64(s))
     ).alias("shingle")
-    bench_sh = docs.filter(is_benchmark).select(sh).distinct().persist()
+    # localCheckpoint, not persist — gate-frame reuse without a
+    # session-lifetime CacheManager entry (see minhash_lsh_pairs note)
+    bench_sh = (
+        docs.filter(is_benchmark)
+        .select(sh)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if bench_sh.count() <= broadcast_shingle_limit:
         bench_sh = F.broadcast(bench_sh)
     train = docs.filter(~is_benchmark)

@@ -41,6 +41,16 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _row_normalize(M: np.ndarray) -> np.ndarray:
+    """Row-normalize in place with the zero-norm contract used across
+    the engine (semantic_dedup, _rowwise_raw_cosine_udf): an all-zero
+    vector stays all-zero (cosine 0 against everything) instead of
+    producing a NaN row and a NumPy warning."""
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    M /= np.where(nrm == 0, 1.0, nrm)
+    return M
+
+
 def cosine(a: Column, b: Column, digits: int = 6) -> Column:
     """Round-6 cosine: the rounding makes cross-engine hashes stable and
     ranking ties deterministic (broken by id downstream)."""
@@ -55,7 +65,7 @@ def _collect_query_matrix(
     rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.array([r[1] for r in rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    _row_normalize(Q)
     return qids, Q
 
 
@@ -80,7 +90,7 @@ def brute_force_topk(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            _row_normalize(V)
             S = V @ Q.T  # (batch, n_queries)
             ic, iq = np.nonzero(ids[:, None] != qids[None, :])
             yield pd.DataFrame(
@@ -166,8 +176,8 @@ def cosine_pairs_exact(
                 ids_b = np.array([it["vid"] for it in row["items_b"]], dtype=np.int64)
                 va = np.array([it["vec"] for it in row["items_a"]], dtype=np.float64)
                 vb = np.array([it["vec"] for it in row["items_b"]], dtype=np.float64)
-                va /= np.linalg.norm(va, axis=1, keepdims=True)
-                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                _row_normalize(va)
+                _row_normalize(vb)
                 sim = va @ vb.T
                 keep = sim >= margin
                 if row["blk_a"] == row["blk_b"]:
@@ -236,8 +246,8 @@ def cross_cosine_pairs(
                 ids_b = np.array([it["vid"] for it in row["items_b"]], dtype=np.int64)
                 va = np.array([it["vec"] for it in row["items_a"]], dtype=np.float64)
                 vb = np.array([it["vec"] for it in row["items_b"]], dtype=np.float64)
-                va /= np.linalg.norm(va, axis=1, keepdims=True)
-                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                _row_normalize(va)
+                _row_normalize(vb)
                 sim = va @ vb.T
                 ia, ib = np.nonzero(sim >= margin)
                 yield pd.DataFrame(

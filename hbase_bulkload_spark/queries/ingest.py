@@ -322,7 +322,8 @@ def q_kv_index_lookup(
     benchmark-selective, so the matched keyset broadcasts into a
     semi-join against the main cell table and the base scan is never
     shuffled. The hint is SIZE-GATED, not hardcoded: the keyset is
-    persisted and counted once, and past ``broadcast_limit`` the hint
+    materialized (localCheckpoint) and counted once, and past
+    ``broadcast_limit`` the hint
     is omitted so an unselective predicate degrades to an AQE-planned
     shuffle semi-join instead of forcing an unbounded broadcast
     (tests/test_plans.py asserts both regimes). At scale the index is
@@ -340,9 +341,12 @@ def q_kv_index_lookup(
     index = w.filter(
         predicate if predicate is not None else (F.col("z8") == "42")
     ).select(composite_rowkey(*KEY_COLS).alias("rowkey"))
-    # persist before the gate count so the join side reuses the scan
-    # instead of re-filtering the corpus
-    index = index.persist()
+    # materialize before the gate count so the join side reuses the
+    # scan instead of re-filtering the corpus. localCheckpoint, not
+    # persist: the keyset is ephemeral per call and persist() would pin
+    # a CacheManager entry until explicit unpersist — checkpoint blocks
+    # free when the frame is GC'd.
+    index = index.localCheckpoint(eager=True)
     keyset = F.broadcast(index) if index.count() <= broadcast_limit else index
     return kv.join(keyset, "rowkey", "left_semi").select(
         "rowkey", "qualifier", "value"

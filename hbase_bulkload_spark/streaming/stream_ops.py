@@ -392,12 +392,11 @@ def start_incremental_dedup_sink(
 
     Both stores are batch-scoped directories with per-batch OVERWRITE
     (the rollup sink's idempotence discipline — foreachBatch is only
-    at-least-once). A replayed batch b reads the index EXCLUDING its
-    own prior contribution (batch_id != b): its own hashes must not
-    reject its own docs, and later batches' hashes cannot collide with
-    batch b's originally-accepted docs (a later doc with the same hash
-    would have been rejected against batch b's entry), so the replay
-    reproduces the original verdicts exactly."""
+    at-least-once). A replayed batch b reads the index restricted to
+    STRICTLY EARLIER batches (batch_id < b; foreachBatch ids are
+    monotonic): that reproduces exactly the input the original run of
+    batch b saw, so the replay reproduces the original verdicts
+    without relying on any property of later batches."""
     import glob as _glob
     import os
 
@@ -408,7 +407,7 @@ def start_incremental_dedup_sink(
         if _glob.glob(os.path.join(index_dir, "batch_id=*")):
             stored = (
                 spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != batch_id)
+                .filter(F.col("batch_id") < batch_id)
                 .select("text_hash")
             )
         else:
@@ -445,8 +444,12 @@ def start_incremental_near_dedup_sink(
     index (signatures computed once per doc ever) with the accepted
     corpus as the verification side, then accepted docs and their band
     keys extend the stores. Batch-scoped overwrite for idempotence,
-    like the exact sink; verification text is fetched only for
-    candidate docs (semi-join inside the operator).
+    like the exact sink — on replay both stores are filtered to
+    batch_id < b (foreachBatch ids are monotonic), which reproduces
+    the original input exactly; filtering with != b would admit LATER
+    batches whose verdicts depend on probabilistic banding recall and
+    could flip a replayed doc's verdict. Verification text is fetched
+    only for candidate docs (semi-join inside the operator).
 
     Semantics of the accepted set: every accepted doc had no
     ≥-threshold neighbor among PREVIOUSLY accepted docs (banding
@@ -467,12 +470,12 @@ def start_incremental_near_dedup_sink(
         if have_idx:
             stored_bands = (
                 spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != batch_id)
+                .filter(F.col("batch_id") < batch_id)
                 .select("band", "bkey", "doc_id")
             )
             history = (
                 spark.read.parquet(accepted_dir)
-                .filter(F.col("batch_id") != batch_id)
+                .filter(F.col("batch_id") < batch_id)
                 .select("doc_id", "text")
             )
         else:

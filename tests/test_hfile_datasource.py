@@ -92,7 +92,9 @@ def test_value_index_seek(spark, sf_dir, table_dir, tmp_path):
     idx_dir = str(tmp_path / "z8_index")
     # two regions to prove boundary splitting applies to the index too
     manifest = hl.build_value_index(kv, "z8", idx_dir, boundaries=[b"", b"5"])
-    assert {m["region"] for m in manifest} == {"region-0000", "region-0001"} or len(manifest) > 0
+    assert {m["region"] for m in manifest} == {0, 1}
+    assert all("/region-0000-" in m["path"] for m in manifest if m["region"] == 0)
+    assert all("/region-0001-" in m["path"] for m in manifest if m["region"] == 1)
 
     val = (
         kv.filter(F.col("qualifier") == "z8")
