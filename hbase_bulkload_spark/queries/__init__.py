@@ -26,6 +26,9 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
+    # round 5 head: new storage-tier read-path queries (never had a
+    # driver row)
+    "q_index_seek", "q_multi_get",
     # round 4 head: the 14 keys that have never had a driver row (they
     # were positions 51-64 in rounds 1-3; judge-verified green locally
     # twice) — one rotation completes the official record for all 129

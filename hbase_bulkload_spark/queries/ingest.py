@@ -487,6 +487,86 @@ def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic multi-get keyset: rows with l_orderkey % MULTIGET_MOD
+#: == 0 (~0.1% of rows — point-read-selective, like a real Get batch).
+MULTIGET_MOD = 991
+
+
+def _hfile_artifacts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once (fixture-cached, like sources.records) bulk-loaded
+    HFile BASE TABLE + z8 VALUE INDEX for the storage-tier read-path
+    queries (q_index_seek / q_multi_get). A real deployment seeks
+    against a table that already exists — the write path is its own
+    query (q_bulkload_hfile) — so the read queries measure reads, not
+    rebuilds. Returns (table_dir, index_dir)."""
+    from hbase_bulkload_spark.operators import hfile_load as hl
+
+    root = records._fixture_path(sf_dir, "hfile_table_v1")
+    table_dir = os.path.join(root, "table")
+    idx_dir = os.path.join(root, "z8_index")
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        kv = bulkload_pipeline(
+            records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS,
+            range_partitions=32,
+        )
+        boundaries = [format(i, "x").encode() for i in range(16)]
+        manifest = hl.write_region_hfiles(kv, os.path.join(root, "_staging"))
+        hl.do_bulk_load(
+            [m["path"] for m in manifest], table_dir, boundaries, spark=spark
+        )
+        hl.build_value_index(kv, "z8", idx_dir, boundaries=boundaries)
+        with open(marker, "w"):
+            pass
+    return table_dir, idx_dir
+
+
+def q_index_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 24d at the STORAGE tier (the r4 flagship, now driver-gated):
+    seek the materialized (value → rowkey) secondary index for
+    z8 = '42' — an exact range scan [v+NUL, v+0x01) that the index
+    tree's key fences block-prune — then fetch the matched base rows
+    via the distributed multi-get (bloom + index walk per key; each
+    touched file is opened once per task batch). Neither the index nor
+    the base table is ever scanned in full. The oracle computes the
+    same answer relationally (all cells of rows whose z8 cell holds
+    '42'), so a green row certifies index build, range-scan pruning,
+    key routing, and cell decode value-for-value — the read path the
+    reference's table exists to serve (create_table.rb:1,
+    BulkImporterFromText.java:129-130)."""
+    from hbase_bulkload_spark.operators.hfile_load import index_seek
+
+    oracle_safe(spark)
+    table_dir, idx_dir = _hfile_artifacts(spark, sf_dir)
+    return index_seek(spark, idx_dir, table_dir, "42").select(
+        "rowkey", "qualifier", "value"
+    )
+
+
+def q_multi_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 18c driver-gated: batched point reads (`Table.get(List<Get>)`)
+    as a keyed lookup JOIN against the bulk-loaded HFile artifact — the
+    keyset derives deterministically from the source frame
+    (l_orderkey % MULTIGET_MOD == 0 → composite MD5 rowkeys), executors
+    route keys to owning files by bisecting the sorted keyset against
+    each file's key range, and each file is batch-read once (bloom,
+    index tree and touched blocks cached across the batch). The table
+    is never scanned; absent keys cost one bloom probe."""
+    from hbase_bulkload_spark.operators.hfile_load import multi_get
+
+    oracle_safe(spark)
+    table_dir, _ = _hfile_artifacts(spark, sf_dir)
+    keys = (
+        records.wide9(spark, sf_dir, floor=False)
+        .filter(F.col("_seq") % MULTIGET_MOD == 0)
+        .select(composite_rowkey(*KEY_COLS).alias("rowkey"))
+    )
+    return multi_get(spark, table_dir, keys).select(
+        "rowkey", "qualifier", "value"
+    )
+
+
 QUERIES = {
     "q_scan_text": q_scan_text,
     "q_parse_delimited": q_parse_delimited,
@@ -513,6 +593,8 @@ QUERIES = {
     "q_sorted_ingest": q_sorted_ingest,
     "q_bulkload_pipeline": q_bulkload_pipeline,
     "q_bulkload_hfile": q_bulkload_hfile,
+    "q_index_seek": q_index_seek,
+    "q_multi_get": q_multi_get,
 }
 
 _Z = ", ".join(RECORD_COLS)
@@ -631,6 +713,20 @@ ORACLES = {
         SELECT rowkey, qualifier, value FROM kv
         WHERE rowkey IN (
             SELECT rowkey FROM kv WHERE qualifier = 'z8' AND value = '42'
+        )
+    """,
+    "q_index_seek": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, qualifier, value FROM kv
+        WHERE rowkey IN (
+            SELECT rowkey FROM kv WHERE qualifier = 'z8' AND value = '42'
+        )
+    """,
+    "q_multi_get": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, qualifier, value FROM kv
+        WHERE rowkey IN (
+            SELECT {ROWKEY_SQL} FROM wide9 WHERE _seq % {MULTIGET_MOD} = 0
         )
     """,
     "q_pivot_wide": f"""
