@@ -27,8 +27,12 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
     # round 5 head: new storage-tier read-path queries (never had a
-    # driver row)
+    # driver row), plus the sketch aggregates whose outputs became
+    # bound-asserted full oracles and the tokenizer apply whose oracle
+    # became the committed reference fixture — all need a fresh row
     "q_index_seek", "q_multi_get",
+    "q_agg_approx_distinct", "q_agg_hll_sketch", "q_agg_approx_quantile",
+    "q_bpe_encode",
     # round 4 head: the 14 keys that have never had a driver row (they
     # were positions 51-64 in rounds 1-3; judge-verified green locally
     # twice) — one rotation completes the official record for all 129
@@ -51,7 +55,7 @@ _DRIVER_WINDOW_FIRST = (
     "q_split_dataset", "q_length_buckets",
     "q_dedup_substring", "q_profile_table",
     "q_table_diff", "q_skew_report",
-    "q_agg_approx_quantile", "q_scan_avro_ds", "q_scan_rcfile_ds",
+    "q_scan_avro_ds", "q_scan_rcfile_ds",
     "q_bpe_merges", "q_dedup_incremental",
     "q_window_firstlast", "q_window_range_frame", "q_pivot_agg", "q_sql_exists",
     "q_string_fuzzy", "q_kv_scan", "q_compaction",

@@ -857,9 +857,13 @@ BPE_DEMO_MERGES = (
 def q_bpe_encode(spark, sf_dir) -> DataFrame:
     """Op 55d: tokenizer APPLY — the corpus encoded with a pretrained
     merge table (BPE_DEMO_MERGES; learning its own table is
-    q_bpe_merges), returning per-doc token counts. Rows-only:
-    iterative per-word rewriting has no SQL oracle; encode ≡
-    pure-Python reference is pinned by tests/test_bpe.py."""
+    q_bpe_merges), returning per-doc token counts. Full oracle since
+    round 5: iterative per-word rewriting is not SQL-expressible, so
+    the oracle joins the COMMITTED reference fixture
+    (tests/fixtures/bpe_encode_ref.parquet — an independent pure-Python
+    replay of the demo merges, tools/gen_bpe_oracle_fixture.py); token
+    SEQUENCES (not just counts) ≡ reference is additionally pinned by
+    tests/test_bpe.py."""
     from hbase_bulkload_spark.operators.bpe import bpe_encode
 
     docs = _docs(spark, sf_dir, floor=True)
@@ -1026,6 +1030,16 @@ _NGRAM_PAIRS_CTES = f"""
 ORACLES = {
     "q_scan_jsonl": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    # Committed reference fixture, not a re-derivation: BPE apply is not
+    # SQL-expressible, so tools/gen_bpe_oracle_fixture.py replays the
+    # fixed demo merges with an independent pure-Python encoder over
+    # every test corpus and commits the result; SUM(n_chars) keys the
+    # scale (sf0.001/sf0.01 share COUNT(*) but not content).
+    "q_bpe_encode": """
+        SELECT doc_id, n_tokens
+        FROM read_parquet('/root/repo/tests/fixtures/bpe_encode_ref.parquet')
+        WHERE corpus_chars = (SELECT SUM(n_chars) FROM documents)
     """,
     "q_decontaminate": f"""
         WITH toks AS (

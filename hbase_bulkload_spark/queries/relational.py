@@ -205,13 +205,31 @@ def q_agg_count_distinct(spark, sf_dir) -> DataFrame:
     )
 
 
+#: Relative-error fence for the distinct-count sketches: HLL++ default
+#: rsd = 0.05, DataSketches HLL lgk=12 → rsd ≈ 0.016; 4 standard
+#: deviations of the looser of the two. The sketches are deterministic
+#: given the data, so this is a stable verdict, not a flaky one.
+SKETCH_REL_BOUND = 4 * 0.05
+
+
 def q_agg_approx_distinct(spark, sf_dir) -> DataFrame:
-    """Op 29: HLL++ approximate distinct — engine-dependent value, so
-    rows-only oracle (SURVEY.md §7.4 item 3)."""
+    """Op 29: HLL++ approximate distinct, BOUND-ASSERTED (full oracle
+    since round 5): the sketch estimate is engine-specific, so the
+    hashable output is the exact distinct count plus a Spark-computed
+    verdict that the estimate sits within the published relative-error
+    fence (4·rsd). The oracle recomputes the exact count and asserts
+    the verdict literally TRUE — a bound breach flips the boolean and
+    fails the driver's hash compare."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    per = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_partkey").alias("_approx"),
     )
+    within = (
+        F.abs(F.col("_approx") - F.col("n_parts"))
+        <= SKETCH_REL_BOUND * F.col("n_parts")
+    )
+    return per.select("l_returnflag", "n_parts", within.alias("within_bound"))
 
 
 def q_agg_histogram(spark, sf_dir) -> DataFrame:
@@ -234,17 +252,20 @@ def q_agg_hll_sketch(spark, sf_dir) -> DataFrame:
     HLL, built into Spark 3.5+): per-group sketches whose UNION equals
     the sketch of the union — the property that makes pre-aggregated
     distinct-count rollups work (store per-bucket sketches, merge at
-    read time; never re-scan raw data). Rows-only oracle: the estimate
-    is engine-specific; merge-equals-global and accuracy-vs-exact are
-    pinned by tests/test_sketches.py."""
+    read time; never re-scan raw data). Merge-equals-global and
+    accuracy-vs-exact are pinned by tests/test_sketches.py.
+    BOUND-ASSERTED (full oracle since round 5): like
+    q_agg_approx_distinct, the hashable output is the exact distinct
+    count plus a within-fence verdict on the sketch estimate, so the
+    driver gate fails if the sketch ever drifts."""
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sk")
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("n_parts"),
     )
-    return per.select(
-        "l_returnflag",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_parts"),
-    )
+    est = F.hll_sketch_estimate("sk").cast("long")
+    within = F.abs(est - F.col("n_parts")) <= SKETCH_REL_BOUND * F.col("n_parts")
+    return per.select("l_returnflag", "n_parts", within.alias("within_bound"))
 
 
 def q_agg_string_agg(spark, sf_dir) -> DataFrame:
@@ -487,22 +508,65 @@ def q_agg_percentile(spark, sf_dir) -> DataFrame:
     )
 
 
+#: GK-sketch accuracy for q_agg_approx_quantile: rank error ≤ N/ACC.
+QUANTILE_ACC = 10_000
+_QUANTILE_QS = ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+
+
 def q_agg_approx_quantile(spark, sf_dir) -> DataFrame:
     """Op 29d: approximate quantiles via Spark's `percentile_approx`
-    (GK-sketch aggregate, relative-rank error ≤ 1/accuracy) — the
-    sketch path for value domains where op 29b's binned-exact
-    formulation has no fixed-precision grid (free-form doubles,
-    nanosecond timestamps). Rows-only like the other sketch ops:
-    the sketch's merge order is engine/partitioning-dependent, so
-    values are not cross-engine stable; the exact twin (op 29b) is the
-    hash-checked correctness anchor."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = lambda q, n: F.expr(  # noqa: E731
-        f"percentile_approx(l_extendedprice, {q}, 10000)"
-    ).alias(n)
-    return li.groupBy("l_returnflag").agg(
-        p(0.25, "p25"), p(0.5, "p50"), p(0.9, "p90")
+    (GK-sketch aggregate, rank error ≤ N/accuracy) — the sketch path
+    for value domains where op 29b's binned-exact formulation has no
+    fixed-precision grid. BOUND-ASSERTED (full oracle since round 5):
+    the sketch value itself is merge-order-dependent, so the hashable
+    output is the per-group row count plus, per quantile, a
+    Spark-computed verdict that the returned value's EXACT rank
+    interval [#(x<v)+1, #(x≤v)] intersects the GK-guaranteed window
+    [qN − εN − 1, qN + εN + 1] (ε = 1/accuracy; ±1 covers the
+    floor/ceil rank conventions). The oracle asserts each verdict
+    literally TRUE, so a bound breach fails the driver's hash compare.
+    Plan shape: one 3-row broadcast of the per-group sketch results
+    back onto the scan, one final 3-group aggregate — the verification
+    adds a scan, never a shuffle of the data by value."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
+    ap = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(
+                f"percentile_approx(l_extendedprice, {q}, {QUANTILE_ACC})"
+            ).alias(f"_v_{n}")
+            for q, n in _QUANTILE_QS
+        ]
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    counts = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        *[
+            agg
+            for _, n in _QUANTILE_QS
+            for agg in (
+                F.sum(
+                    (F.col("l_extendedprice") < F.col(f"_v_{n}")).cast("long")
+                ).alias(f"_lt_{n}"),
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col(f"_v_{n}")).cast("long")
+                ).alias(f"_le_{n}"),
+            )
+        ],
+    )
+    eps = 1.0 / QUANTILE_ACC
+    oks = []
+    for q, n in _QUANTILE_QS:
+        target_lo = q * F.col("n_rows") - eps * F.col("n_rows") - 1
+        target_hi = q * F.col("n_rows") + eps * F.col("n_rows") + 1
+        oks.append(
+            (
+                (F.col(f"_lt_{n}") + 1 <= target_hi)
+                & (F.col(f"_le_{n}") >= target_lo)
+            ).alias(f"{n}_ok")
+        )
+    return counts.select("l_returnflag", "n_rows", *oks)
 
 
 def q_merge_upsert(spark, sf_dir) -> DataFrame:
@@ -1132,6 +1196,28 @@ ORACLES = {
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
                CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # Bound-asserted sketch oracles: the Spark side computes the exact
+    # value AND a within-published-error verdict on its own sketch
+    # estimate; the oracle recomputes the exact value and asserts the
+    # verdict literally TRUE, so a sketch drift fails the hash compare.
+    "q_agg_approx_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_hll_sketch": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_approx_quantile": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
         FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_string_agg": """

@@ -157,3 +157,31 @@ def test_bpe_encode_crafted(spark):
     out = bpe_encode(docs, [("a", "a"), ("aa", "aa")]).collect()[0]
     assert list(out.tokens) == ["aaaa", "aa", "a", "a", "b"]
     assert out.n_tokens == 5
+
+
+def test_bpe_oracle_fixture_in_sync(spark, sf_dir):
+    """The committed q_bpe_encode oracle fixture
+    (tests/fixtures/bpe_encode_ref.parquet) must stay in sync with the
+    query: same merge table as BPE_DEMO_MERGES, and per-doc counts for
+    this sf_dir's corpus equal to a fresh _ref_encode replay."""
+    import duckdb
+
+    from hbase_bulkload_spark.queries.extensions import BPE_DEMO_MERGES
+    from tools.gen_bpe_oracle_fixture import DEMO_MERGES, OUT
+
+    assert DEMO_MERGES == list(BPE_DEMO_MERGES)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, SUM(n_chars) OVER () AS total "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    total = docs[0][2]
+    fix = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_tokens FROM read_parquet('{OUT}') "
+            f"WHERE corpus_chars = {total}"
+        ).fetchall()
+    )
+    assert len(fix) == len(docs)
+    for doc_id, text, _ in docs:
+        assert fix[doc_id] == len(_ref_encode(text, list(BPE_DEMO_MERGES))), doc_id

@@ -1,0 +1,100 @@
+"""Generate the committed DuckDB-oracle fixture for ``q_bpe_encode``.
+
+BPE tokenizer APPLY (iterative per-word pair rewriting) is not
+ANSI-SQL-expressible, so the driver's hash-compare needs a relational
+stand-in: this script replays the fixed demo merge table
+(``BPE_DEMO_MERGES``) over every document of every test scale with an
+INDEPENDENT pure-Python encoder — no Spark, no imports from the engine
+under test — and writes one small parquet the oracle SQL joins against:
+
+    (corpus_chars, doc_id, n_tokens)
+
+``corpus_chars`` = SUM(n_chars) of the source corpus, the scale
+discriminator (sf0.001 and sf0.01 both hold 500 docs but different
+text, so COUNT(*) cannot tell them apart; their char totals differ).
+The oracle filters ``WHERE corpus_chars = (SELECT SUM(n_chars) FROM
+documents)``, so one static SQL string works at every scale the gate
+runs.
+
+Regenerate with ``python tools/gen_bpe_oracle_fixture.py`` if the demo
+merge table or the driver test data ever changes; the output is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Must mirror hbase_bulkload_spark/queries/extensions.py BPE_DEMO_MERGES
+# (asserted by tests/test_bpe.py::test_bpe_oracle_fixture_in_sync).
+DEMO_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "bpe_encode_ref.parquet",
+)
+
+
+def encode_len(text: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of greedy in-priority-order BPE replay (the same
+    reference semantics tests/test_bpe.py pins against the engine)."""
+    n = 0
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n += len(syms)
+    return n
+
+
+def main() -> None:
+    corpus_chars: list[int] = []
+    doc_ids: list[int] = []
+    n_tokens: list[int] = []
+    for sf_dir in SF_DIRS:
+        rows = duckdb.sql(
+            f"SELECT doc_id, text, SUM(n_chars) OVER () AS total "
+            f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        for doc_id, text, total in rows:
+            corpus_chars.append(int(total))
+            doc_ids.append(int(doc_id))
+            n_tokens.append(encode_len(text, DEMO_MERGES))
+    table = pa.table(
+        {
+            "corpus_chars": pa.array(corpus_chars, pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        }
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT}: {table.num_rows} rows, "
+          f"{len(set(corpus_chars))} corpora")
+
+
+if __name__ == "__main__":
+    main()
