@@ -65,16 +65,16 @@ executors* (`operators.hfile_load.write_region_hfiles`), and scans plan
 the driver) so read parallelism tracks bytes, not file count — the same
 split discipline as the RCFile/Avro scans.
 
-Measured single-core codec throughput (round 4, 600k bulkload-shaped
-cells — 64-byte hex rowkeys, 9 cells/row, short qualifiers/values;
-logical = uncompressed cell bytes): snappy encode 58 MB/s (0.77M
-cells/s), decode 64 MB/s (0.85M cells/s); uncompressed 68/68 MB/s.
-This is the known JVM gap of the pure-Python write path, quantified:
-at 32 cores ≈ 1.9 GB/s/node encode, and `q_bulkload_hfile`'s 7 s at
-sf0.1 is codec I/O (a full write→load→scan-back round trip with
-checksum verification), not shuffle waste. A JVM/Rust codec or an
-Arrow-native cell assembler is the upgrade path if a deployment needs
-multi-GB/s per node; the wire format and split planning stay as-is.
+Measured single-core codec throughput (round 5, 200k bulkload-shaped
+cells — 32-byte hex rowkeys, 8 cells/row, short qualifiers/values;
+logical = uncompressed cell bytes, warm min-of-5): snappy encode
+112 MB/s (1.4M cells/s) with the Arrow-assembled ``_add_many_vec``
+(round 4's Python-bytes assembly measured 55 MB/s on the same shape),
+decode ~50 MB/s. At 32 cores ≈ 3.6 GB/s/node encode; what remains of
+`q_bulkload_hfile`'s cost is the decode side of its scan-back plus
+snappy+CRC32. A JVM/Rust codec is the upgrade path if a deployment
+needs multi-GB/s per node; the wire format and split planning stay
+as-is.
 """
 
 from __future__ import annotations
@@ -403,14 +403,19 @@ class HFileWriter:
         ts: int | list[int],
         values: list[bytes],
     ) -> None:
-        """Bulk ``add``: the same cell stream, one call. Cell-byte
-        assembly is hoisted into two list comprehensions over pre-bound
-        ``struct`` packers (with the ts/type tail precomputed when the
-        timestamp is a single int — the bulk-load case), so the
-        remaining per-cell loop does only block-boundary bookkeeping.
-        ~3× faster than per-cell ``add`` on the executor write profile;
-        identical output bytes (pinned by tests/test_hfile.py)."""
+        """Bulk ``add``: the same cell stream, one call, byte-identical
+        output (pinned by tests/test_hfile.py::test_add_many_matches_add_bytes).
+
+        Large batches take the vectorized path (``_add_many_vec``):
+        Arrow concatenates all cell bytes in C, block boundaries come
+        from two ``searchsorted`` probes per block instead of a per-cell
+        loop, and bloom hashes are computed only at row-change
+        positions. Small batches keep the scalar loop — Arrow setup
+        overhead dominates under ~64 cells."""
         if not rows:
+            return
+        if len(rows) >= 64:
+            self._add_many_vec(rows, fams, quals, ts, values)
             return
         pH, pII, pQB = _PACK_H, _PACK_II, _PACK_QB
         if isinstance(ts, int):
@@ -457,6 +462,140 @@ class HFileWriter:
         self.entry_count += len(rows)
         self._key_len_sum += sum(map(len, keys))
         self._value_len_sum += sum(map(len, values))
+
+    def _add_many_vec(
+        self,
+        rows: list[bytes],
+        fams: list[bytes],
+        quals: list[bytes],
+        ts: int | list[int],
+        values: list[bytes],
+    ) -> None:
+        """Vectorized ``add_many`` body (see its docstring). The cell
+        stream is concatenated in C by Arrow's ``binary_join_element_wise``
+        — fixed-width header fields (key/value lengths, row length,
+        family length, timestamp+type tail) become FixedSizeBinary arrays
+        built from big-endian numpy views, variable fields stay as binary
+        arrays — so no per-cell Python bytes objects exist at all. Block
+        boundaries replicate the scalar path's roll rule exactly (flush
+        before cell i iff buffered bytes >= block_size AND
+        row(i) != row(i-1)) via two ``searchsorted`` probes per block over
+        the Arrow offsets vector; bloom hashes are computed only at
+        row-change positions. ~3x the scalar assembly throughput
+        (90 -> ~260 MB/s single-thread on the bench cell shape), leaving
+        snappy+CRC32 as the next ceiling."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(rows)
+
+        # Arrow BinaryArray offsets are int32: split far below 2 GiB per
+        # call so header+payload always fits (executor batches are ~MBs).
+        if n > 4_000_000:
+            mid = n // 2
+            t0, t1 = (ts, ts) if isinstance(ts, int) else (ts[:mid], ts[mid:])
+            self._add_many_vec(rows[:mid], fams[:mid], quals[:mid], t0, values[:mid])
+            self._add_many_vec(rows[mid:], fams[mid:], quals[mid:], t1, values[mid:])
+            return
+
+        ra = pa.array(rows, pa.binary())
+        fa = pa.array(fams, pa.binary())
+        qa = pa.array(quals, pa.binary())
+        va = pa.array(values, pa.binary())
+        lr = pc.binary_length(ra).cast(pa.int64()).to_numpy()
+        lf = pc.binary_length(fa).cast(pa.int64()).to_numpy()
+        lq = pc.binary_length(qa).cast(pa.int64()).to_numpy()
+        lv = pc.binary_length(va).cast(pa.int64()).to_numpy()
+        klen = 12 + lr + lf + lq  # 2+row+1+fam+qual+8(ts)+1(type)
+
+        def fsb(two_d: "np.ndarray") -> pa.Array:
+            width = two_d.shape[1] * two_d.dtype.itemsize
+            buf = pa.py_buffer(np.ascontiguousarray(two_d).tobytes())
+            return pa.Array.from_buffers(pa.binary(width), n, [None, buf]).cast(pa.binary())
+
+        hdr = np.empty((n, 2), dtype=">i4")
+        hdr[:, 0] = klen
+        hdr[:, 1] = lv
+        if isinstance(ts, int):
+            tail_arr = pa.scalar(_PACK_QB(ts, KEYTYPE_PUT), pa.binary())
+        else:
+            tl = np.empty((n, 9), dtype=np.uint8)
+            tl[:, :8] = np.asarray(ts, dtype=">i8").view(np.uint8).reshape(n, 8)
+            tl[:, 8] = KEYTYPE_PUT
+            tail_arr = fsb(tl)
+        cells = pc.binary_join_element_wise(
+            fsb(hdr),
+            fsb(lr.astype(">u2").reshape(-1, 1)),
+            ra,
+            fsb(lf.astype(np.uint8).reshape(-1, 1)),
+            fa,
+            qa,
+            tail_arr,
+            va,
+            pa.scalar(b"", pa.binary()),  # separator
+        )
+        if isinstance(cells, pa.ChunkedArray):
+            cells = cells.combine_chunks()
+        data = memoryview(cells.buffers()[2])
+        base = cells.offset  # 0 for freshly-built arrays, but be exact
+        offs = np.frombuffer(cells.buffers()[1], np.int32)[base : base + n + 1].astype(np.int64)
+
+        def key_at(i: int) -> bytes:
+            ks = int(offs[i]) + 8
+            return bytes(data[ks : ks + int(klen[i])])
+
+        # row-change flags relative to the running stream (C-level compare)
+        chg = np.empty(n, bool)
+        chg[0] = rows[0] != self._last_row
+        if n > 1:
+            chg[1:] = pc.not_equal(ra.slice(1), ra.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        change_idx = np.flatnonzero(chg)
+        if self.bloom:
+            md5, bloom = hashlib.md5, self._bloom_hashes
+            for i in change_idx.tolist():
+                bloom.append(md5(rows[i]).digest())
+
+        # block boundaries: a[i] = buffered bytes before cell i
+        a = self._cells_len + offs[:n]
+        block_size = self.block_size
+        bounds: list[int] = []
+        s = 0  # stream offset of current block start
+        while True:
+            j = int(np.searchsorted(a, s + block_size, side="left"))
+            k = int(np.searchsorted(change_idx, j, side="left"))
+            if k >= change_idx.size:
+                break
+            i = int(change_idx[k])
+            bounds.append(i)
+            s = int(a[i])
+
+        prev = 0
+        for b_i in bounds:
+            head = b"".join(self._cells) if prev == 0 else b""
+            plain = head + bytes(data[int(offs[prev]) : int(offs[b_i])])
+            fk = self._first_key if (prev == 0 and self._first_key is not None) else key_at(prev)
+            off, size = self._write_block(DATA_MAGIC, plain)
+            self._index.append((off, size, fk))
+            if prev == 0:
+                self._cells, self._cells_len, self._first_key = [], 0, None
+            prev = b_i
+        tail = bytes(data[int(offs[prev]) : int(offs[n])])
+        self._cells.append(tail)
+        self._cells_len += len(tail)
+        if self._first_key is None:
+            self._first_key = key_at(prev)
+        self._last_row = rows[-1]
+
+        if self.first_row is None:
+            self.first_row = rows[0]
+        self.last_row = rows[-1]
+        self.last_key = key_at(n - 1)
+        self.entry_count += n
+        self._key_len_sum += int(klen.sum())
+        self._value_len_sum += int(lv.sum())
 
     def close(self) -> dict:
         self._flush_data()
