@@ -567,32 +567,23 @@ def scan_hfiles(
         wants = {f"want_{c}": (c in keep) for c in ("family", "qualifier", "ts", "value")}
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                cols: dict[str, list] = {
-                    "rowkey": [],
-                    "family": [],
-                    "qualifier": [],
-                    "ts": [],
-                    "value": [],
-                }
+                # cells never straddle blocks: concatenate the split's
+                # payloads and decode once, vectorized (see
+                # hfile_datasource.read for the same pattern)
                 with open(r.path, "rb") as f:
-                    for b in r.blocks:
-                        plain = hf._read_block(
+                    plain = b"".join(
+                        hf._read_block(
                             f, b["off"], r.codec or None, hf.DATA_MAGIC,
                             verify_checksums,
                         )
-                        cr, cf, cq, ct, cv = hf.decode_cells_columns(
-                            plain, binary=binary, **wants
-                        )
-                        cols["rowkey"] += cr
-                        cols["family"] += cf
-                        cols["qualifier"] += cq
-                        cols["ts"] += ct
-                        cols["value"] += cv
+                        for b in r.blocks
+                    )
+                cols = hf.decode_cells_arrow(plain, binary=binary, **wants)
                 pdf_out = pd.DataFrame(
                     {
                         "region": r.region,
-                        "rowkey": cols["rowkey"],
-                        **{c: cols[c] for c in keep},
+                        "rowkey": cols["rowkey"].to_pandas(),
+                        **{c: cols[c].to_pandas() for c in keep},
                     }
                 )
                 if start_row is not None:

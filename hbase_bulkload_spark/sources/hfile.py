@@ -951,6 +951,96 @@ def decode_cells_columns(
     return rows, fams, quals, tss, vals
 
 
+def decode_cells_arrow(
+    plain: bytes,
+    binary: bool = False,
+    want_family: bool = True,
+    want_qualifier: bool = True,
+    want_ts: bool = True,
+    want_value: bool = True,
+):
+    """Vectorized columnar cell decode: the mirror of
+    ``HFileWriter._add_many_vec``. One Python loop walks only the
+    8-byte length headers to recover cell offsets (the offset chain is
+    inherently sequential); every field is then extracted with numpy
+    gathers and materialized as Arrow binary arrays built directly from
+    offset+data buffers — no per-cell Python objects. ``binary=False``
+    casts to utf8 (validated, like the scalar path's ``.decode()``).
+
+    Returns a dict of ``pa.Array`` keyed ``rowkey/family/qualifier/ts/
+    value`` (pruned columns absent). ~4x ``decode_cells_columns`` on the
+    bench cell shape; both scan callers (``scan_hfiles`` mapInPandas and
+    the ``format('hfile')`` DataSource) feed Arrow/pandas anyway."""
+    import numpy as np
+    import pyarrow as pa
+
+    u_ii = struct.Struct(">ii").unpack_from
+    starts_l: list[int] = []
+    klen_l: list[int] = []
+    vlen_l: list[int] = []
+    pos = 0
+    end = len(plain)
+    while pos < end:
+        k, v = u_ii(plain, pos)
+        starts_l.append(pos)
+        klen_l.append(k)
+        vlen_l.append(v)
+        pos += 8 + k + v
+    n = len(starts_l)
+    out_type = pa.binary() if binary else pa.string()
+    if n == 0:
+        cols = {"rowkey": pa.array([], out_type)}
+        for name, want in (
+            ("family", want_family),
+            ("qualifier", want_qualifier),
+            ("ts", want_ts),
+            ("value", want_value),
+        ):
+            if want:
+                cols[name] = pa.array([], pa.int64() if name == "ts" else out_type)
+        return cols
+
+    i64 = np.int64
+    buf = np.frombuffer(plain, np.uint8)
+    st = np.array(starts_l, i64)
+    klen = np.array(klen_l, i64)
+    vlen = np.array(vlen_l, i64)
+    rl = (buf[st + 8].astype(i64) << 8) | buf[st + 9]
+    fl = buf[st + 10 + rl].astype(i64)
+
+    def gather(field_starts: "np.ndarray", lens: "np.ndarray") -> pa.Array:
+        total = int(lens.sum())
+        offsets = np.empty(n + 1, np.int32)
+        offsets[0] = 0
+        offsets[1:] = np.cumsum(lens)
+        if total:
+            idx = np.repeat(field_starts - (offsets[:-1].astype(i64)), lens) + np.arange(
+                total, dtype=i64
+            )
+            data = buf[idx]
+        else:
+            data = np.empty(0, np.uint8)
+        arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())]
+        )
+        return arr if binary else arr.cast(pa.string())
+
+    cols = {"rowkey": gather(st + 10, rl)}
+    if want_family:
+        cols["family"] = gather(st + 11 + rl, fl)
+    if want_qualifier:
+        cols["qualifier"] = gather(st + 11 + rl + fl, klen - 12 - rl - fl)
+    if want_ts:
+        ts_at = st + 8 + klen - 9
+        ts2d = buf[np.add.outer(ts_at, np.arange(8, dtype=i64))]
+        cols["ts"] = pa.array(
+            np.ascontiguousarray(ts2d).view(">i8").ravel().astype(i64), pa.int64()
+        )
+    if want_value:
+        cols["value"] = gather(st + 8 + klen, vlen)
+    return cols
+
+
 def iter_blocks_range(
     path: str,
     entries: list[tuple[int, int, bytes]],
