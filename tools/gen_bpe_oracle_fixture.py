@@ -40,6 +40,12 @@ SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
+    # local 10x scale-up (tools/scale_up.py output), covered when present
+    # so the sf1.0 gate run gets a full oracle too
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "sf1.0",
+    ),
 ]
 
 OUT = os.path.join(
@@ -75,6 +81,9 @@ def main() -> None:
     doc_ids: list[int] = []
     n_tokens: list[int] = []
     for sf_dir in SF_DIRS:
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            print(f"skip {sf_dir} (absent)")
+            continue
         rows = duckdb.sql(
             f"SELECT doc_id, text, SUM(n_chars) OVER () AS total "
             f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
