@@ -377,6 +377,21 @@ def read_rollup(spark, rollup_dir: str) -> DataFrame:
     )
 
 
+# Test-only failure injection for the at-least-once safety tests
+# (tests/test_streaming_faults.py). When set, the dedup sinks call it at
+# two points per microbatch: ("pre_index", b) after the accepted write
+# but before the index write — a torn-store crash window — and
+# ("post_index", b) after both writes but before Spark commits the
+# batch — the full duplicate-delivery window. Raising from the hook
+# fails the streaming query exactly there; production never sets it.
+_fault_hook = None
+
+
+def _maybe_fault(point: str, batch_id: int) -> None:
+    if _fault_hook is not None:
+        _fault_hook(point, batch_id)
+
+
 def start_incremental_dedup_sink(
     docs: DataFrame,
     accepted_dir: str,
@@ -420,9 +435,11 @@ def start_incremental_dedup_sink(
         accepted.write.mode("overwrite").parquet(
             f"{accepted_dir}/batch_id={batch_id}"
         )
+        _maybe_fault("pre_index", batch_id)
         keep.select("text_hash").distinct().coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/batch_id={batch_id}")
+        _maybe_fault("post_index", batch_id)
 
     return (
         docs.writeStream.foreachBatch(dedup_batch)
@@ -491,9 +508,11 @@ def start_incremental_near_dedup_sink(
         accepted.write.mode("overwrite").parquet(
             f"{accepted_dir}/batch_id={batch_id}"
         )
+        _maybe_fault("pre_index", batch_id)
         minhash_band_index(accepted).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/batch_id={batch_id}")
+        _maybe_fault("post_index", batch_id)
 
     return (
         docs.writeStream.foreachBatch(dedup_batch)
