@@ -582,6 +582,41 @@ try:
                     (q, ts, v) for q, ts, v in sorted(quals, key=lambda x: x[0])
                 ]
                 assert hf.hfile_get(path, rk) == want
+
+            # differential: the vectorized encode (forced, any size) must
+            # produce identical bytes, and the vectorized Arrow decode
+            # must equal the scalar decoder on the same payloads —
+            # arbitrary binary cells, empty values, NULs, every codec
+            vpath = path + ".vec"
+            try:
+                w2 = hf.HFileWriter(vpath, codec, block_size, index_chunk=index_chunk)
+                w2._add_many_vec(
+                    [c[0] for c in data],
+                    [c[1] for c in data],
+                    [c[2] for c in data],
+                    [c[3] for c in data],
+                    [c[4] for c in data],
+                )
+                w2.close()
+                assert open(path, "rb").read() == open(vpath, "rb").read()
+            finally:
+                os.unlink(vpath)
+            with open(path, "rb") as f:
+                tr = hf.read_trailer(f)
+                plains = [
+                    hf._read_block(f, off, tr.compression, hf.DATA_MAGIC)
+                    for off, _s, _k in hf.read_data_index(f, tr)
+                ]
+            ref = [[], [], [], [], []]
+            for p in plains:
+                for part, acc in zip(hf.decode_cells_columns(p, binary=True), ref):
+                    acc.extend(part)
+            got = hf.decode_cells_arrow(b"".join(plains), binary=True)
+            assert got["rowkey"].to_pylist() == ref[0]
+            assert got["family"].to_pylist() == ref[1]
+            assert got["qualifier"].to_pylist() == ref[2]
+            assert got["ts"].to_pylist() == ref[3]
+            assert got["value"].to_pylist() == ref[4]
         finally:
             os.unlink(path)
 
