@@ -899,10 +899,12 @@ def decode_cells_columns(
     want_ts: bool = True,
     want_value: bool = True,
 ) -> tuple[list, list, list, list[int], list]:
-    """Columnar cell decode for the scan hot path: one pass, five
-    output lists (row, family, qualifier, ts, value) — feeds a pandas
-    DataFrame column-wise instead of row tuples, which measures ~2.5×
-    faster than `_decode_cells` + tuple assembly on the sf0.1 corpus.
+    """Scalar columnar cell decode: one pass, five output lists (row,
+    family, qualifier, ts, value). Since round 5 the scan hot paths use
+    :func:`decode_cells_arrow`; this remains the independent REFERENCE
+    decoder the hypothesis differential pins the vectorized one against
+    (tests/test_hfile.py), and the right tool for one-off block reads
+    where Arrow/numpy setup would dominate.
     ``binary=True`` keeps raw bytes (the reference-fidelity raw-key /
     positional-qualifier cells are not UTF-8); default decodes to str
     for the canonical hex-key tables.
@@ -968,9 +970,13 @@ def decode_cells_arrow(
     casts to utf8 (validated, like the scalar path's ``.decode()``).
 
     Returns a dict of ``pa.Array`` keyed ``rowkey/family/qualifier/ts/
-    value`` (pruned columns absent). ~4x ``decode_cells_columns`` on the
-    bench cell shape; both scan callers (``scan_hfiles`` mapInPandas and
-    the ``format('hfile')`` DataSource) feed Arrow/pandas anyway."""
+    value`` (pruned columns absent). Both scan callers (``scan_hfiles``
+    mapInPandas and the ``format('hfile')`` DataSource) feed
+    Arrow/pandas, so measured end-to-end (decode THROUGH an Arrow
+    record batch, 32 warm workers) this is ~1.4x the scalar
+    decode-to-lists+pa.array path; feed it a whole split's
+    concatenated block payloads, not single 64 KB blocks, or the
+    per-call setup eats the win."""
     import numpy as np
     import pyarrow as pa
 
