@@ -26,48 +26,38 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
-    # round 5 head: new storage-tier read-path queries (never had a
-    # driver row), plus the sketch aggregates whose outputs became
-    # bound-asserted full oracles and the tokenizer apply whose oracle
-    # became the committed reference fixture — all need a fresh row
-    "q_index_seek", "q_multi_get",
-    "q_agg_approx_distinct", "q_agg_hll_sketch", "q_agg_approx_quantile",
-    "q_bpe_encode",
-    # round 4 head: the 14 keys that have never had a driver row (they
-    # were positions 51-64 in rounds 1-3; judge-verified green locally
-    # twice) — one rotation completes the official record for all 129
-    "q_text_repetition", "q_text_vocab", "q_text_tfidf", "q_text_logprob",
-    "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_frames",
-    "q_curate_corpus", "q_sample_stratified", "q_pack_sequences",
-    "q_chunk_documents", "q_source_mix", "q_mix_corpus", "q_embed_quantize",
-    # keys whose implementation was reworked in round 4 (banding
-    # refinement, LSH multi-probe/auto-sizing, broadcast gate, semantic
-    # zero-norm guard, HFile tmp-rename write path) — re-record them
-    "q_dedup_simhash", "q_multimodal_phash", "q_sim_pairs_lsh",
-    "q_kv_index_lookup", "q_dedup_semantic",
-    "q_bulkload_hfile", "q_bulkload_pipeline",
-    # new in round 4
-    "q_dedup_incremental_near", "q_dedup_incremental_embed",
-    "q_dedup_incremental_minhash", "q_sql_tpch1", "q_sql_tpch10",
-    "q_bpe_encode",
-    # the rest of the round-3 window, recorded in CORRECTNESS_r03 —
-    # they fill the remaining first-50 slots and keep a stable order
-    "q_split_dataset", "q_length_buckets",
-    "q_dedup_substring", "q_profile_table",
-    "q_table_diff", "q_skew_report",
-    "q_scan_avro_ds", "q_scan_rcfile_ds",
-    "q_bpe_merges", "q_dedup_incremental",
-    "q_window_firstlast", "q_window_range_frame", "q_pivot_agg", "q_sql_exists",
-    "q_string_fuzzy", "q_kv_scan", "q_compaction",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-    "q_stream_stateful", "q_stream_join", "q_events_funnel", "q_events_gapfill",
-    "q_events_retention", "q_events_anomaly",
-    "q_udf_rowkey", "q_udaf_grouped", "q_udtf_cells",
-    "q_scan_jsonl", "q_decontaminate", "q_text_redact",
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
-    "q_dedup_embed", "q_dedup_components",
-    "q_sim_topk", "q_sim_topk_ivf", "q_sim_pairs",
-    "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_fingerprint",
+    # round 6 head: the seven queries whose oracles flipped from
+    # rows-only to full this round (in-query recall / banding verdicts,
+    # committed BPE-merge fixture) — their outputs changed shape, so the
+    # official record needs fresh rows proving the verdict pattern green
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_incremental_minhash",
+    "q_sim_topk_ivf", "q_sim_pairs_lsh", "q_multimodal_phash",
+    "q_bpe_merges",
+    # rotation hygiene (round-5 brief item 7): every key below last
+    # received a driver row in round 1 or 2 — green then, untouched
+    # since — so they fill the rest of this round's ~50-slot window,
+    # refreshing the official record for code paths a Spark upgrade or
+    # AQE change could silently shift. Oldest (r1) first.
+    "q_versions_top3", "q_ttl_filter", "q_current_vs_history",
+    "q_merge_upsert", "q_window_distribution", "q_topk",
+    "q_set_union", "q_set_intersect_except", "q_agg_percentile",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs",
+    "q_array_funcs", "q_map_funcs", "q_json_funcs",
+    # r2-latest keys
+    "q_scan_text", "q_parse_delimited", "q_scan_csv", "q_scan_columnar",
+    "q_scan_rcfile", "q_scan_avro", "q_unpivot_kv", "q_validate_records",
+    "q_filter_arity", "q_filter_notnull", "q_project",
+    "q_rowkey_md5", "q_rowkey_concat", "q_key_reverse", "q_salt_bucket",
+    "q_pivot_wide", "q_range_partition", "q_zorder_layout", "q_sorted_ingest",
+    "q_sample_per_group",
+    "q_join_inner", "q_join_salted", "q_join_broadcast", "q_join_outer",
+    "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
+    "q_join_range_binned", "q_join_cross", "q_sql_star",
+    "q_sql_tpch3", "q_sql_tpch5",
+    "q_agg_groupby", "q_agg_histogram", "q_agg_string_agg", "q_agg_argmax",
+    "q_agg_count_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_agg_conditional",
+    "q_window_rank", "q_window_lag", "q_window_moving",
 )
 
 

@@ -34,7 +34,13 @@ BNLJ_ALLOWED = {
     "q_dedup_embed",
     "q_dedup_semantic",  # 1-row broadcast centroid array (map-only assignment)
     "q_sim_pairs",
+    "q_sim_pairs_lsh",  # verdict arm runs the exact GEMM twin (same block grid)
     "q_dedup_incremental_embed",  # bounded block-grid fan-out (La×Lb packed rows)
+    # banding-vs-brute verdict arms: all-pairs over the md5-ranked
+    # checked subset, ≤ BRUTE_CHECK_CAP broadcast (id, int64) rows —
+    # bounded by the cap, independent of corpus size
+    "q_dedup_simhash",
+    "q_multimodal_phash",
     "q_text_tfidf",
     "q_text_logprob",
     "q_curate_corpus",

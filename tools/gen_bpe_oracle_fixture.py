@@ -1,4 +1,5 @@
-"""Generate the committed DuckDB-oracle fixture for ``q_bpe_encode``.
+"""Generate the committed DuckDB-oracle fixtures for ``q_bpe_encode``
+and ``q_bpe_merges``.
 
 BPE tokenizer APPLY (iterative per-word pair rewriting) is not
 ANSI-SQL-expressible, so the driver's hash-compare needs a relational
@@ -48,10 +49,15 @@ SF_DIRS = [
     ),
 ]
 
-OUT = os.path.join(
+_FIXDIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "bpe_encode_ref.parquet",
+    "tests", "fixtures",
 )
+OUT = os.path.join(_FIXDIR, "bpe_encode_ref.parquet")
+OUT_MERGES = os.path.join(_FIXDIR, "bpe_merges_ref.parquet")
+
+# Must mirror the n_merges q_bpe_merges registers (extensions.py).
+N_MERGES = 8
 
 
 def encode_len(text: str, merges: list[tuple[str, str]]) -> int:
@@ -76,10 +82,47 @@ def encode_len(text: str, merges: list[tuple[str, str]]) -> int:
     return n
 
 
+def learn_merges(word_counts: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE merge learning — the reference
+    semantics tests/test_bpe.py pins against the engine: whitespace
+    words, per-step (count desc, pair asc) argmax, leftmost-first
+    non-overlapping apply. Returns [(step, left, right, pair_count)]."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, c))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
 def main() -> None:
     corpus_chars: list[int] = []
     doc_ids: list[int] = []
     n_tokens: list[int] = []
+    m_chars: list[int] = []
+    m_step: list[int] = []
+    m_left: list[str] = []
+    m_right: list[str] = []
+    m_count: list[int] = []
     for sf_dir in SF_DIRS:
         if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
             print(f"skip {sf_dir} (absent)")
@@ -88,10 +131,21 @@ def main() -> None:
             f"SELECT doc_id, text, SUM(n_chars) OVER () AS total "
             f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
         ).fetchall()
+        wc: dict[str, int] = {}
         for doc_id, text, total in rows:
             corpus_chars.append(int(total))
             doc_ids.append(int(doc_id))
             n_tokens.append(encode_len(text, DEMO_MERGES))
+            for w in text.split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        total = int(rows[0][2])
+        for step, a, b, c in learn_merges(wc, N_MERGES):
+            m_chars.append(total)
+            m_step.append(step)
+            m_left.append(a)
+            m_right.append(b)
+            m_count.append(c)
     table = pa.table(
         {
             "corpus_chars": pa.array(corpus_chars, pa.int64()),
@@ -103,6 +157,18 @@ def main() -> None:
     pq.write_table(table, OUT, compression="zstd")
     print(f"wrote {OUT}: {table.num_rows} rows, "
           f"{len(set(corpus_chars))} corpora")
+    mtable = pa.table(
+        {
+            "corpus_chars": pa.array(m_chars, pa.int64()),
+            "step": pa.array(m_step, pa.int32()),
+            "left": pa.array(m_left, pa.string()),
+            "right": pa.array(m_right, pa.string()),
+            "pair_count": pa.array(m_count, pa.int64()),
+        }
+    )
+    pq.write_table(mtable, OUT_MERGES, compression="zstd")
+    print(f"wrote {OUT_MERGES}: {mtable.num_rows} rows, "
+          f"{len(set(m_chars))} corpora")
 
 
 if __name__ == "__main__":

@@ -1,13 +1,13 @@
-"""Recall artifact for the probabilistic (rows-only) ANN/LSH paths.
+"""Recall artifact for the probabilistic ANN/LSH paths.
 
-The three queries whose oracle is rows-only BY DESIGN — `q_sim_topk_ivf`
-(IVF probe budget), `q_sim_pairs_lsh` (random-hyperplane tables),
-`q_dedup_near` (MinHash banding) — have exact recall-1 twins
-(`q_sim_topk`, `q_sim_pairs`, uncapped n-gram Jaccard). Containment
-tests already pin precision = 1 (emitted ⊆ exact with matching scores);
-this tool records the RECALL side so a silent quality regression in the
-probe budget / band count / table count becomes a visible number diff
-instead of an invisible rows-only pass.
+Since round 6 the registered queries (`q_sim_topk_ivf`,
+`q_sim_pairs_lsh`, `q_dedup_near`, `q_dedup_incremental_minhash`) emit
+in-query recall VERDICTS against their exact twins (full oracle: the
+boolean flips on a floor breach); this tool records the underlying
+recall NUMBERS for the raw probabilistic outputs (`sim_topk_ivf_raw`,
+`sim_pairs_lsh_raw`, `dedup_near_pairs`,
+`incremental_minhash_verdicts`) so trend drift below the verdict floor
+is still visible round-over-round, not just pass/fail.
 
 Usage (the round driver pattern):
 
@@ -32,13 +32,13 @@ sys.path.insert(0, ROOT)
 def topk_recall(spark, sf_dir: str) -> dict:
     """recall@k of q_sim_topk_ivf vs the exact q_sim_topk, averaged
     over queries (standard ANN recall@k)."""
-    from hbase_bulkload_spark.queries.extensions import q_sim_topk, q_sim_topk_ivf
+    from hbase_bulkload_spark.queries.extensions import q_sim_topk, sim_topk_ivf_raw
 
     exact: dict[int, set[int]] = {}
     for r in q_sim_topk(spark, sf_dir).collect():
         exact.setdefault(r.query_id, set()).add(r.cand_id)
     approx: dict[int, set[int]] = {}
-    for r in q_sim_topk_ivf(spark, sf_dir).collect():
+    for r in sim_topk_ivf_raw(spark, sf_dir).collect():
         approx.setdefault(r.query_id, set()).add(r.cand_id)
     per_q = [
         len(approx.get(q, set()) & hits) / len(hits)
@@ -65,10 +65,10 @@ def _pair_recall(approx_df, exact_df, a: str, b: str) -> dict:
 
 
 def pairs_lsh_recall(spark, sf_dir: str) -> dict:
-    from hbase_bulkload_spark.queries.extensions import q_sim_pairs, q_sim_pairs_lsh
+    from hbase_bulkload_spark.queries.extensions import q_sim_pairs, sim_pairs_lsh_raw
 
     out = _pair_recall(
-        q_sim_pairs_lsh(spark, sf_dir),
+        sim_pairs_lsh_raw(spark, sf_dir),
         q_sim_pairs(spark, sf_dir),
         "vec_id_a",
         "vec_id_b",
@@ -82,13 +82,13 @@ def dedup_near_recall(spark, sf_dir: str) -> dict:
     from hbase_bulkload_spark.queries.extensions import (
         JACCARD_THRESHOLD,
         _docs,
-        q_dedup_near,
+        dedup_near_pairs,
     )
 
     exact = ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_shingle_freq=None
     )
-    out = _pair_recall(q_dedup_near(spark, sf_dir), exact, "doc_a", "doc_b")
+    out = _pair_recall(dedup_near_pairs(spark, sf_dir), exact, "doc_a", "doc_b")
     out["exact_twin"] = "uncapped ngram_jaccard_pairs (same threshold)"
     return out
 
@@ -100,7 +100,7 @@ def incremental_minhash_recall(spark, sf_dir: str) -> dict:
     flag? Precision is exact by construction (candidates verify with
     exact Jaccard)."""
     from hbase_bulkload_spark.queries.extensions import (
-        q_dedup_incremental_minhash,
+        incremental_minhash_verdicts,
         q_dedup_incremental_near,
     )
 
@@ -111,7 +111,7 @@ def incremental_minhash_recall(spark, sf_dir: str) -> dict:
     }
     got_flagged = {
         r.doc_id
-        for r in q_dedup_incremental_minhash(spark, sf_dir).collect()
+        for r in incremental_minhash_verdicts(spark, sf_dir).collect()
         if not r.keep
     }
     return {
