@@ -490,9 +490,16 @@ class HFileWriter:
 
         n = len(rows)
 
-        # Arrow BinaryArray offsets are int32: split far below 2 GiB per
-        # call so header+payload always fits (executor batches are ~MBs).
-        if n > 4_000_000:
+        # Arrow BinaryArray offsets are int32: split on ESTIMATED BYTES
+        # (cell payloads + fixed header overhead), not just cell count —
+        # 3M cells of 1 KB values would blow the int32 offset space at
+        # any count cap. The estimate is cheap (sum of lens) and the
+        # 1 GiB bar leaves 2x headroom under the 2^31 limit.
+        est_bytes = (
+            sum(map(len, rows)) + sum(map(len, quals)) + sum(map(len, values))
+            + sum(map(len, fams)) + 25 * n
+        )
+        if n > 4_000_000 or (est_bytes > 1 << 30 and n > 1):
             mid = n // 2
             t0, t1 = (ts, ts) if isinstance(ts, int) else (ts[:mid], ts[mid:])
             self._add_many_vec(rows[:mid], fams[:mid], quals[:mid], t0, values[:mid])
@@ -508,6 +515,18 @@ class HFileWriter:
         lq = pc.binary_length(qa).cast(pa.int64()).to_numpy()
         lv = pc.binary_length(va).cast(pa.int64()).to_numpy()
         klen = 12 + lr + lf + lq  # 2+row+1+fam+qual+8(ts)+1(type)
+        # wire-format field-width guards, matching the scalar path's
+        # struct.pack('>H') / bytes((len,)) OverflowError on the same
+        # input — without them the >u2 / uint8 casts below would WRAP
+        # and silently emit a corrupt file
+        if n and int(lr.max()) > 0xFFFF:
+            raise ValueError(
+                f"rowkey length {int(lr.max())} exceeds the 2-byte wire field"
+            )
+        if n and int(lf.max()) > 0xFF:
+            raise ValueError(
+                f"family length {int(lf.max())} exceeds the 1-byte wire field"
+            )
 
         def fsb(two_d: "np.ndarray") -> pa.Array:
             width = two_d.shape[1] * two_d.dtype.itemsize
@@ -1016,6 +1035,14 @@ def decode_cells_arrow(
 
     def gather(field_starts: "np.ndarray", lens: "np.ndarray") -> pa.Array:
         total = int(lens.sum())
+        # int64 cumsum lands in int32 Arrow offsets: guard the wrap —
+        # unreachable today (callers bound payload via split_bytes) but
+        # a silent wrap would yield garbage columns, not an error
+        if total > 0x7FFFFFFF:
+            raise ValueError(
+                f"decoded payload {total} B exceeds int32 binary offsets; "
+                "split the block batch"
+            )
         offsets = np.empty(n + 1, np.int32)
         offsets[0] = 0
         offsets[1:] = np.cumsum(lens)

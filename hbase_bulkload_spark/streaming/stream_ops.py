@@ -298,6 +298,28 @@ def start_bulkload_hfile_sink(
             )
             os.rename(m["path"], unique)
             paths.append(unique)
+        # At-least-once safety: every artifact of batch b carries the
+        # b{batch_id:05d}- prefix, and a (re)delivery PURGES that
+        # namespace from the table before loading — the executor-side
+        # file names embed task attempt ids (speculative-execution
+        # safety), so a re-run's files do NOT collide with the first
+        # attempt's and a bare re-load would duplicate the batch's
+        # cells. Purge + load is not atomic, but both crash windows
+        # converge: a crash before/during load re-purges and re-loads on
+        # the next delivery; a crash after load but before the
+        # checkpoint commit re-delivers the batch, which purges the
+        # complete first copy and loads an equivalent one. Split halves
+        # inherit the prefix (do_bulk_load derives split names from the
+        # source stem), so they are purged too. Pinned by
+        # tests/test_streaming_faults.py (crash-injection).
+        import glob as _glob
+
+        prefix = f"b{batch_id:05d}-"
+        for stale in _glob.glob(
+            os.path.join(table_dir, "region-*", "*", f"{prefix}*")
+        ):
+            os.remove(stale)
+        _maybe_fault("pre_load", batch_id)
         if paths:
             hfile_load.do_bulk_load(
                 paths,
@@ -306,6 +328,7 @@ def start_bulkload_hfile_sink(
                 spark=batch_df.sparkSession,
                 compression=compression,
             )
+        _maybe_fault("post_load", batch_id)
         shutil.rmtree(staging, ignore_errors=True)
 
     return (

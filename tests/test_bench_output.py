@@ -36,3 +36,27 @@ def test_summary_inlines_slowest_first():
     inline_min = min(s["queries"].values())
     omitted_max = max(v for k, v in timings.items() if k not in s["queries"])
     assert inline_min >= omitted_max  # per-query perf bar sees the slow ones
+
+
+def test_calibration_fields_recorded_and_budget_holds():
+    """Round-6 protocol hardening: the throttle calibration probes and
+    verdict ride BOTH output lines, and the summary still fits the tail
+    window with them aboard."""
+    from bench import CALIB_NOMINAL_SEC, THROTTLE_BAR, throttle_verdict
+
+    timings = _fake(300)
+    probes = [1.2, 1.25, 1.19, 1.21]
+    detail_line, summary_line = build_output_lines(timings, timings, 0.1, probes)
+    assert len(summary_line) <= SUMMARY_BUDGET + 1
+    for line in (detail_line, summary_line):
+        j = json.loads(line)
+        assert j["calib_sec"] == [round(p, 3) for p in probes]
+        assert j["calib_nominal_sec"] == CALIB_NOMINAL_SEC
+        assert j["throttle"] == throttle_verdict(probes)
+    assert CALIB_NOMINAL_SEC is not None
+    ok = throttle_verdict([CALIB_NOMINAL_SEC] * 3)
+    assert ok == "ok"
+    bad = throttle_verdict(
+        [CALIB_NOMINAL_SEC, CALIB_NOMINAL_SEC * (THROTTLE_BAR + 1)]
+    )
+    assert bad.startswith("throttled(x")

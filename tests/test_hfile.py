@@ -622,3 +622,55 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in per TESTDATA
     pass
+
+
+def test_multilevel_point_reads_are_logarithmic(tmp_path, monkeypatch):
+    """Round-6 depth hardening: on a depth ≥ 3 index tree, a point get
+    must read exactly one index block per sub-root level plus ONE data
+    block (O(log n) IO — the property the tree exists for), and a
+    batched multi_get must memoize blocks across keys (strictly fewer
+    reads than independent gets). Counted by instrumenting _read_block,
+    classified by expected magic."""
+    data = cells(900, quals=(b"q0", b"q1"))
+    deep = str(tmp_path / "deep3.hfile")
+    w = hf.HFileWriter(deep, "snappy", block_size=1024, index_chunk=4)
+    for row, fam, qual, ts, value in data:
+        w.add(row, fam, qual, ts, value)
+    w.close()
+    with open(deep, "rb") as f:
+        t = hf.read_trailer(f)
+    assert t.index_levels >= 3
+
+    reads: list[bytes | None] = []
+    orig = hf._read_block
+
+    def counting(f, offset, codec, expect_magic=None, verify=True):
+        reads.append(expect_magic)
+        return orig(f, offset, codec, expect_magic, verify)
+
+    monkeypatch.setattr(hf, "_read_block", counting)
+
+    # single get, present row: 1 root + (levels-1) tree walk + 1 data
+    reads.clear()
+    assert hf.hfile_get(deep, b"00000450")
+    assert reads.count(hf.DATA_MAGIC) == 1
+    assert reads.count(hf.ROOT_INDEX_MAGIC) == 1
+    assert reads.count(None) == t.index_levels - 1
+
+    # bloom-filtered absent row: no index walk, no data block
+    reads.clear()
+    assert hf.hfile_get(deep, b"zz-absent") == []
+    assert reads.count(hf.DATA_MAGIC) == 0
+    assert reads.count(None) == 0
+
+    # batched multi_get: block memoization beats independent gets
+    probe = [f"{i:08d}".encode() for i in range(0, 900, 90)]
+    reads.clear()
+    got = hf.hfile_multi_get(deep, probe)
+    assert {r for r, *_ in got} == set(probe)
+    n_multi = len(reads)
+    reads.clear()
+    for row in probe:
+        assert hf.hfile_get(deep, row)
+    n_indep = len(reads)
+    assert n_multi < n_indep

@@ -15,11 +15,17 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.001"
 
+# driver-generated test data; absent on a bare checkout → skip, don't error
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SRC, "documents.parquet")),
+    reason=f"driver test data not present at {SRC}",
+)
 
-def _run(dst: str, copies: int = 3) -> None:
+
+def _run(dst: str, copies: int = 3, mode: str = "clique") -> None:
     subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "scale_up.py"),
-         SRC, dst, str(copies)],
+         SRC, dst, str(copies), mode],
         check=True, capture_output=True,
     )
 
@@ -100,3 +106,70 @@ def test_deterministic(scaled, tmp_path):
         h1 = hashlib.md5(open(f"{scaled}/{t}.parquet", "rb").read()).hexdigest()
         h2 = hashlib.md5(open(f"{dst2}/{t}.parquet", "rb").read()).hexdigest()
         assert h1 == h2, t
+
+
+@pytest.fixture(scope="module")
+def scaled_density(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scaleup_d") / "out")
+    _run(dst, mode="density")
+    return dst
+
+
+def test_density_mode_breaks_cross_replica_text_overlap(scaled_density):
+    """Constant-density invariant (docs): replica word-tagging is an
+    injective shingle rename — zero shared words across replicas, while
+    each replica keeps the base corpus's internal structure (same word
+    count per doc)."""
+    con = duckdb.connect()
+    shared = con.execute(
+        f"""WITH w AS (
+            SELECT doc_id % 3 AS rep, UNNEST(string_split(text, ' ')) AS word
+            FROM read_parquet('{scaled_density}/documents.parquet')
+        )
+        SELECT count(*) FROM (
+            SELECT word FROM w GROUP BY word
+            HAVING count(DISTINCT rep) > 1
+        )"""
+    ).fetchone()[0]
+    assert shared == 0
+    drift = con.execute(
+        f"""SELECT count(*) FROM
+            read_parquet('{scaled_density}/documents.parquet') s
+        JOIN read_parquet('{SRC}/documents.parquet') b
+          ON b.doc_id = s.doc_id // 3
+        WHERE s.doc_id % 3 > 0
+          AND len(string_split(s.text, ' ')) != len(string_split(b.text, ' '))"""
+    ).fetchone()[0]
+    assert drift == 0
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{scaled_density}/documents.parquet') "
+        f"WHERE n_chars != length(text)"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_density_mode_preserves_in_replica_cosines(scaled_density):
+    """Constant-density invariant (embeddings): the dimension roll is a
+    coordinate permutation — dot products WITHIN a replica equal the
+    base corpus's exactly; cross-replica cosines fall well below the
+    registered SIM_THRESHOLD for all but a vanishing tail."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SRC}/embeddings.parquet")
+    dup = pq.read_table(f"{scaled_density}/embeddings.parquet")
+    B = np.array([list(v) for v in base.column("embedding").to_pylist()][:50])
+    ids = dup.column("vec_id").to_numpy()
+    E = np.array([list(v) for v in dup.column("embedding").to_pylist()])
+    for rep in (1, 2):
+        sel = np.isin(ids, [i * 3 + rep for i in range(50)])
+        R = E[sel][:50]
+        np.testing.assert_allclose(R @ R.T, B @ B.T, rtol=1e-4)
+    # cross-replica: same base vector, different rolls -> not near-dups
+    def norm(M):
+        return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    r0 = E[np.isin(ids, [i * 3 + 0 for i in range(200)])][:200]
+    r1 = E[np.isin(ids, [i * 3 + 1 for i in range(200)])][:200]
+    cross = np.einsum("ij,ij->i", norm(r0), norm(r1))
+    assert float(np.quantile(cross, 0.95)) < 0.4  # SIM_THRESHOLD

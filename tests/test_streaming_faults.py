@@ -153,3 +153,64 @@ def test_near_dedup_sink_survives_crash(spark, sf_dir, tmp_path, point):
         for r in spark.read.parquet(index).select("doc_id").distinct().collect()
     }
     assert idx_ids == accepted_ids
+
+
+@pytest.mark.parametrize("point", ["pre_load", "post_load"])
+def test_bulkload_hfile_sink_survives_crash(spark, sf_dir, tmp_path, point):
+    """At-least-once safety of the streaming doBulkLoad sink (op 48
+    family's storage-tier member): crash BEFORE placement (staging
+    written, nothing loaded) or AFTER placement but before the
+    checkpoint commit (whole batch re-delivered against a table already
+    holding its files). Batch-stamped file names + rename placement must
+    make the restarted run converge to exactly the clean-run content —
+    no duplicated or lost cells."""
+    from hbase_bulkload_spark.operators import hfile_load
+    from hbase_bulkload_spark.operators.bulkload import bulkload_kv
+    from hbase_bulkload_spark.sources import records
+    from hbase_bulkload_spark.sources.records import RECORD_COLS
+
+    wide = records.wide9(spark, sf_dir).select(*RECORD_COLS)
+    src = str(tmp_path / f"hsrc_{point}")
+    wide.repartition(3).write.mode("overwrite").parquet(src)
+
+    def start(table, ck):
+        stream = (
+            spark.readStream.schema(wide.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cells = stream_ops.stream_bulkload_cells(
+            stream, RECORD_COLS[:4], RECORD_COLS
+        )
+        return stream_ops.start_bulkload_hfile_sink(cells, table, ck)
+
+    table = str(tmp_path / f"htable_{point}")
+    ck = str(tmp_path / f"hck_{point}")
+    fired = []
+
+    def hook(p, b):
+        if p == point and b == 1 and not fired:
+            fired.append((p, b))
+            raise RuntimeError(f"injected crash at {p} of batch {b}")
+
+    stream_ops._fault_hook = hook
+    try:
+        q = start(table, ck)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(180)
+    finally:
+        stream_ops._fault_hook = None
+    assert fired, "fault hook never fired"
+
+    q2 = start(table, ck)
+    q2.awaitTermination(180)
+
+    want = bulkload_kv(wide, RECORD_COLS[:4], RECORD_COLS).select(
+        "rowkey", "qualifier", "value"
+    )
+    got = hfile_load.scan_hfiles(spark, table).select(
+        "rowkey", "qualifier", "value"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

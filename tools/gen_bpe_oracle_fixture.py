@@ -41,11 +41,15 @@ SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
-    # local 10x scale-up (tools/scale_up.py output), covered when present
-    # so the sf1.0 gate run gets a full oracle too
+    # local 10x scale-ups (tools/scale_up.py output, both modes),
+    # covered when present so the sf1.0 gate runs get full oracles too
     os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".localdata", "sf1.0",
+    ),
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "sf1.0-density",
     ),
 ]
 

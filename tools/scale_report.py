@@ -1,13 +1,20 @@
 """Build SCALE_r{N}.json: the measured sf0.1 -> sf1.0 scaling record.
 
-Inputs are two bench.py logs (same session, same machine) and the sf1.0
+Inputs are bench.py logs (same session, same machine) and the sf1.0
 oracle-gate log. Output is one JSON document with, per query: steady
 seconds at each scale, the scaling ratio, and an ``outlier`` flag when
 the ratio exceeds the super-linear bar (default 15x for a 10x data
 step — VERDICT r4 'next round' item 1's criterion).
 
+Since round 6 an optional fourth bench log adds the CONSTANT-DENSITY
+sf1.0 fixture (tools/scale_up.py mode=density): ``ratio`` measures the
+clique fixture (data x10 AND near-dup pair output x~45), while
+``ratio_density`` isolates pure data-scaling (pair output x10). A query
+whose clique ratio is high but whose density ratio is ~linear scales
+fine — its output grew, not its plan.
+
 Usage:
-  python tools/scale_report.py BENCH_SF01_LOG BENCH_SF1_LOG GATE_LOG OUT
+  python tools/scale_report.py BENCH_SF01 BENCH_SF1 GATE_LOG OUT [BENCH_SF1_DENSITY]
 """
 
 from __future__ import annotations
@@ -60,11 +67,13 @@ def gate_summary(path: str) -> dict:
 
 def main() -> None:
     b01, b1, gate_log, out = sys.argv[1:5]
+    dens = last_json_line(sys.argv[5]) if len(sys.argv) > 5 else None
     d01 = last_json_line(b01)
     d1 = last_json_line(b1)
     gate = gate_summary(gate_log)
     qs = {}
     outliers = []
+    dens_outliers = []
     for q, t1 in d1.get("queries", {}).items():
         t01 = d01.get("queries", {}).get(q)
         ratio = round(t1 / t01, 2) if t01 and t01 > 0 else None
@@ -74,6 +83,15 @@ def main() -> None:
             "ratio": ratio,
             "gate": gate.get(q, "absent"),
         }
+        if dens is not None:
+            td = dens.get("queries", {}).get(q)
+            if td is not None:
+                rec["sf1.0_density_sec"] = round(td, 3)
+                rec["ratio_density"] = (
+                    round(td / t01, 2) if t01 and t01 > 0 else None
+                )
+                if rec["ratio_density"] and rec["ratio_density"] > SUPERLINEAR:
+                    dens_outliers.append(q)
         if ratio is not None and ratio > SUPERLINEAR:
             rec["outlier"] = True
             outliers.append(q)
@@ -90,6 +108,14 @@ def main() -> None:
         "outliers": outliers,
         "queries": qs,
     }
+    if dens is not None:
+        doc["total_sf1.0_density_sec"] = dens.get("value")
+        doc["density_outliers"] = dens_outliers
+        doc["throttle"] = {
+            "sf0.1": d01.get("throttle"),
+            "sf1.0": d1.get("throttle"),
+            "sf1.0_density": dens.get("throttle"),
+        }
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(
