@@ -122,6 +122,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_banding_params(
+    threshold: float, recall_floor: float = 0.98, max_k: int = 64
+) -> tuple[int, int]:
+    """Derive MinHash banding (k, bands) from the verification
+    threshold — the round-6 fix for the fixed (16, 4) defaults, whose
+    S-curve ``1-(1-s^r)^b`` only reached 0.95 recall at s ≥ 0.85 and
+    silently missed near-threshold pairs (exposed by the sf1.0
+    constant-clique fixture: flagged-doc recall 0.77 at J ∈ [0.5, 0.6],
+    caught by the in-query verdict oracle).
+
+    The banding's WORST-case recall is the S-curve evaluated exactly at
+    the threshold (every verified pair has s ≥ t, and the curve is
+    monotone), so: pick the largest rows-per-band r whose required band
+    count b = ceil(ln(1-floor)/ln(1-t^r)) still fits the signature
+    budget ``k = b*r ≤ max_k``. Larger r is strictly better for cost at
+    equal recall — false-candidate collisions at background similarity
+    s fall as s^r — and the verification step already makes precision
+    exact, so recall at the threshold is the only quality knob. The
+    0.98 design floor deliberately over-provisions the queries' 0.95
+    verdict assertions: the worst-case expectation then clears the
+    assert with margin even when every flagged pair sits exactly at
+    the threshold. t=0.5 → (28, 14) [recall 0.982 at s=0.5];
+    t=0.8 → (50, 10); t=0.9 → (56, 7). Signatures stay cheap: k is
+    the number of integer re-mixes per pre-hashed shingle, not string
+    hashes."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+
+    def b_for(r: int) -> int:
+        return math.ceil(
+            math.log(1.0 - recall_floor) / math.log(1.0 - threshold**r)
+        )
+
+    for r in range(8, 1, -1):
+        b = b_for(r)
+        if b * r <= max_k:
+            return b * r, b
+    # very low thresholds: r=2 is the hard floor (r=1 band keys are
+    # single minhashes — any shared shingle min collides, so buckets
+    # grow with the corpus); max_k is a soft budget, recall is not
+    b = b_for(2)
+    return 2 * b, b
+
+
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     """k-permutation MinHash signature per doc: min over k seeded hashes
     of each distinct shingle — MAP-ONLY, all JVM expressions.
@@ -161,8 +207,8 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
-    k: int = 16,
-    bands: int = 4,
+    k: int | None = None,
+    bands: int | None = None,
     n: int = 3,
     broadcast_pairs_limit: int = 1_000_000,
     max_bucket_size: int | None = None,
@@ -186,6 +232,8 @@ def minhash_lsh_pairs(
     legitimately quadratic dup cluster; past the cap the bucket is
     dropped and counted via the ``minhash_bucket_cap`` observation.
     ``None`` (default) enumerates every cluster."""
+    if k is None or bands is None:
+        k, bands = lsh_banding_params(threshold)
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows = k // bands
@@ -854,13 +902,22 @@ def incremental_ngram_dedup(
 
 
 def minhash_band_index(
-    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    k: int | None = None,
+    bands: int | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
 ) -> DataFrame:
     """The stored band index for :func:`incremental_minhash_dedup`:
     (band, bkey, doc_id) — ``bands`` rows per doc. A deployment
     persists this after each increment (parquet, bucketed by bkey) and
     unions new batches in, so signatures are computed once per doc
-    ever; ``history_bands=`` feeds it back."""
+    ever; ``history_bands=`` feeds it back. Banding defaults derive
+    from ``threshold`` via :func:`lsh_banding_params` — the stored
+    index's (k, bands) must match the dedup call's, so pass the same
+    threshold (or the same explicit overrides) to both."""
+    if k is None or bands is None:
+        k, bands = lsh_banding_params(threshold)
     sig = minhash_signatures(docs, k=k, n=n)
     rows = k // bands
     band_keys = F.array(
@@ -880,8 +937,8 @@ def incremental_minhash_dedup(
     history: DataFrame,
     batch: DataFrame,
     threshold: float = 0.5,
-    k: int = 16,
-    bands: int = 4,
+    k: int | None = None,
+    bands: int | None = None,
     n: int = 3,
     broadcast_pairs_limit: int = 1_000_000,
     max_bucket_size: int | None = None,
@@ -905,6 +962,8 @@ def incremental_minhash_dedup(
 
     Returns the family's verdict contract: (doc_id, dup_of_history,
     dup_in_batch, keep) per batch doc."""
+    if k is None or bands is None:
+        k, bands = lsh_banding_params(threshold)
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
 

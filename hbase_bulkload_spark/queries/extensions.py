@@ -310,13 +310,18 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     booleans TRUE. recall_ok = the banded pass flags ≥
     INC_MINHASH_RECALL_FLOOR of the exactly-flagged docs; precision_ok
     = it never flags a doc the exact pass keeps (candidates verify
-    with exact Jaccard, so a spurious flag is a bug). Raw verdicts:
-    :func:`incremental_minhash_verdicts`."""
+    with exact Jaccard, so a spurious flag is a bug). The twin runs
+    UNCAPPED (max_shingle_freq=None) because MinHash verification
+    scores full shingle sets — against the capped twin, every true
+    dup the hot-shingle valve drops would mislabel as a spurious
+    MinHash flag (3807 docs at sf1.0, where the cap first binds).
+    Raw verdicts: :func:`incremental_minhash_verdicts`."""
     docs = _docs(spark, sf_dir)
     exact = dedup.incremental_ngram_dedup(
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 3 == 0),
         threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=None,
     ).select("doc_id", F.col("keep").alias("_ek"))
     approx = incremental_minhash_verdicts(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("_ak")
@@ -1307,6 +1312,65 @@ def _ngram_pairs_ctes(max_shingle_freq: int | None) -> str:
 
 _NGRAM_PAIRS_CTES = _ngram_pairs_ctes(dedup.DEFAULT_MAX_SHINGLE_FREQ)
 
+
+def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
+    """Incremental n-gram near-dedup as DuckDB SQL, cap-parameterized:
+    the registered q_dedup_incremental_near keeps the production cap
+    (correctness-checking the cap itself), while the MinHash verdict
+    oracle needs the UNCAPPED twin — MinHash verification computes
+    exact Jaccard on full shingle sets, so comparing it to a capped
+    twin mislabels every capped-away true dup as a spurious flag
+    (exactly what the sf1.0 fixture exposed: 3807 'spurious' docs that
+    were real near-dups the capped twin's hot-shingle valve dropped)."""
+    if max_shingle_freq is None:
+        kept_cte = ""
+        kept_join = ""
+    else:
+        kept_cte = f"""
+        kept AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {max_shingle_freq}
+        ),"""
+        kept_join = "JOIN kept k ON k.shingle = b.shingle"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),{kept_cte}
+        bsh AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+        inter AS (
+            SELECT b.doc_id AS doc_id, a.doc_id AS a_id,
+                   (a.doc_id % 3 <> 0) AS a_hist, COUNT(*) AS n_inter
+            FROM bsh b
+            JOIN sh a ON a.shingle = b.shingle
+                 AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+            {kept_join}
+            GROUP BY 1, 2, 3
+        ),
+        jac AS (
+            SELECT i.doc_id, a_id, a_hist FROM inter i
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = i.doc_id
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        verd AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN a_hist THEN a_id END) AS dup_of_history,
+                   MIN(CASE WHEN NOT a_hist THEN a_id END) AS dup_in_batch
+            FROM jac GROUP BY doc_id
+        )
+        SELECT d.doc_id, v.dup_of_history, v.dup_in_batch,
+               v.dup_of_history IS NULL AND v.dup_in_batch IS NULL AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        LEFT JOIN verd v USING (doc_id)
+    """
+
+
 ORACLES = {
     "q_scan_jsonl": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -1459,47 +1523,9 @@ ORACLES = {
                h.text_hash IS NULL AND fb.f >= fb.doc_id AS keep
         FROM firsts fb LEFT JOIN hist h USING (text_hash)
     """,
-    "q_dedup_incremental_near": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        kept AS (
-            SELECT shingle FROM sh GROUP BY shingle
-            HAVING COUNT(*) <= {dedup.DEFAULT_MAX_SHINGLE_FREQ}
-        ),
-        bsh AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
-        inter AS (
-            SELECT b.doc_id AS doc_id, a.doc_id AS a_id,
-                   (a.doc_id % 3 <> 0) AS a_hist, COUNT(*) AS n_inter
-            FROM bsh b
-            JOIN sh a ON a.shingle = b.shingle
-                 AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
-            JOIN kept k ON k.shingle = b.shingle
-            GROUP BY 1, 2, 3
-        ),
-        jac AS (
-            SELECT i.doc_id, a_id, a_hist FROM inter i
-            JOIN sizes sa ON sa.doc_id = a_id
-            JOIN sizes sb ON sb.doc_id = i.doc_id
-            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        verd AS (
-            SELECT doc_id,
-                   MIN(CASE WHEN a_hist THEN a_id END) AS dup_of_history,
-                   MIN(CASE WHEN NOT a_hist THEN a_id END) AS dup_in_batch
-            FROM jac GROUP BY doc_id
-        )
-        SELECT d.doc_id, v.dup_of_history, v.dup_in_batch,
-               v.dup_of_history IS NULL AND v.dup_in_batch IS NULL AS keep
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
-        LEFT JOIN verd v USING (doc_id)
-    """,
+    "q_dedup_incremental_near": _incremental_near_oracle(
+        dedup.DEFAULT_MAX_SHINGLE_FREQ
+    ),
     "q_dedup_semantic": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS (
@@ -1919,12 +1945,16 @@ ORACLES["q_dedup_near"] = f"""
     FROM jac
 """
 
+# UNCAPPED twin (max_shingle_freq=None): MinHash verification computes
+# exact Jaccard over full shingle sets, so the comparable exact twin
+# must not drop hot shingles — against the capped twin, every
+# capped-away true dup would count as a spurious MinHash flag.
 ORACLES["q_dedup_incremental_minhash"] = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
            CAST(COALESCE(SUM(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
                AS n_flagged_exact,
            TRUE AS recall_ok, TRUE AS precision_ok
-    FROM ({ORACLES['q_dedup_incremental_near']})
+    FROM ({_incremental_near_oracle(None)})
 """
 
 ORACLES["q_sim_pairs_lsh"] = f"""

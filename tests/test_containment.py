@@ -294,3 +294,22 @@ def test_banding_bucket_cap_drops_degenerate_corpus(spark):
     assert capped == []
     uncapped = dedup.hamming_pairs_banded(df, "sig").collect()
     assert len(uncapped) == n * (n - 1) // 2
+
+
+def test_lsh_banding_params_meet_design_floor():
+    """The derived MinHash banding must clear its design recall floor
+    AT the verification threshold — the worst admissible similarity —
+    for every threshold the engine's queries use (the fixed (16, 4)
+    default this replaced reached 0.95 recall only at s >= 0.85 and
+    failed the sf1.0 in-query verdict at J near 0.5)."""
+    for t in (0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95):
+        k, bands = dedup.lsh_banding_params(t)
+        rows = k // bands
+        # max_k is a soft budget: sub-0.5 thresholds may exceed it
+        # rather than degrade to single-minhash bands
+        assert k % bands == 0 and k <= 128
+        recall_at_t = 1.0 - (1.0 - t**rows) ** bands
+        assert recall_at_t >= 0.98, (t, k, bands, recall_at_t)
+        # rows >= 2 keeps single-minhash band keys (and their massive
+        # false-candidate buckets) out of every derivation
+        assert rows >= 2, (t, k, bands)
