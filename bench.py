@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -98,7 +99,10 @@ def throttle_verdict(probes: list[float]) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1")
+    # sf from the dir name's leading float after 'sf' — tolerant of
+    # suffixed fixture names like sf1.0-density (the scale-mode dirs)
+    m = re.match(r"sf(\d+(?:\.\d+)?)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else 0.1
     # no console progress bars: stderr shares the driver's 2000-char tail
     # capture with the summary line, so every \r-spinner byte printed after
     # the last query shrinks the window the final JSON must fit in
