@@ -799,6 +799,7 @@ def incremental_ngram_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     history_postings: DataFrame | None = None,
+    verify_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Op 52d: production-shaped NEAR dedup — dedupe a NEW batch against
     an already-ingested corpus by exact n-gram Jaccard, without ever
@@ -825,7 +826,19 @@ def incremental_ngram_dedup(
     whole increment costs one shuffle of (index ∪ batch shingles) and
     zero history text IO. The hot-shingle cap bounds the per-bucket
     expansion and is published via the ``incremental_shingle_cap``
-    observation."""
+    observation.
+
+    ``verify_ids`` (a 1-column ``doc_id`` frame, broadcast) restricts
+    the VERIFIED batch entries to that subset while keeping the
+    candidate side complete — each checked doc is still compared
+    against ALL history plus ALL earlier batch docs, so its verdict is
+    identical to the full run's. The filter lands BEFORE the
+    candidate explode, so with the cap off the pair expansion is
+    bounded by |checked postings| × bucket size (linear in corpus for
+    a fixed subset) instead of quadratic: this is what lets the
+    q_dedup_incremental_minhash verdict query run its UNCAPPED exact
+    twin on a bounded md5-ranked prefix at any corpus size. Output
+    rows are restricted to the subset."""
     def tagged(postings: DataFrame, side: int) -> DataFrame:
         return postings.select(
             F.lit(side).alias("side"), "doc_id", "n_sh", "shingle"
@@ -858,6 +871,12 @@ def incremental_ngram_dedup(
         F.filter("ds", lambda s: s["side"] == 1).alias("bs"),
     ).filter((F.size("bs") >= 1) & (F.size("hs") + F.size("bs") >= 2))
     p1 = halves.select("hs", "bs", F.posexplode("bs").alias("i", "b"))
+    if verify_ids is not None:
+        p1 = p1.join(
+            F.broadcast(verify_ids.select(F.col(id_col).alias("_vid"))),
+            F.col("b.doc_id") == F.col("_vid"),
+            "left_semi",
+        )
     cand = p1.select(
         "b",
         F.explode(
@@ -886,9 +905,15 @@ def incremental_ngram_dedup(
             "dup_in_batch"
         ),
     )
+    base = batch.select(F.col(id_col).alias("doc_id"))
+    if verify_ids is not None:
+        base = base.join(
+            F.broadcast(verify_ids.select(F.col(id_col).alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
     return (
-        batch.select(F.col(id_col).alias("doc_id"))
-        .join(verdict, "doc_id", "left")
+        base.join(verdict, "doc_id", "left")
         .select(
             "doc_id",
             "dup_of_history",

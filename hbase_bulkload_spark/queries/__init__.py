@@ -26,38 +26,31 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
-    # round 6 head: the seven queries whose oracles flipped from
-    # rows-only to full this round (in-query recall / banding verdicts,
-    # committed BPE-merge fixture) — their outputs changed shape, so the
-    # official record needs fresh rows proving the verdict pattern green
-    "q_dedup_near", "q_dedup_simhash", "q_dedup_incremental_minhash",
-    "q_sim_topk_ivf", "q_sim_pairs_lsh", "q_multimodal_phash",
-    "q_bpe_merges",
-    # rotation hygiene (round-5 brief item 7): every key below last
-    # received a driver row in round 1 or 2 — green then, untouched
-    # since — so they fill the rest of this round's ~50-slot window,
-    # refreshing the official record for code paths a Spark upgrade or
-    # AQE change could silently shift. Oldest (r1) first.
-    "q_versions_top3", "q_ttl_filter", "q_current_vs_history",
-    "q_merge_upsert", "q_window_distribution", "q_topk",
-    "q_set_union", "q_set_intersect_except", "q_agg_percentile",
-    "q_string_funcs", "q_date_funcs", "q_math_funcs",
-    "q_array_funcs", "q_map_funcs", "q_json_funcs",
-    # r2-latest keys
-    "q_scan_text", "q_parse_delimited", "q_scan_csv", "q_scan_columnar",
-    "q_scan_rcfile", "q_scan_avro", "q_unpivot_kv", "q_validate_records",
-    "q_filter_arity", "q_filter_notnull", "q_project",
-    "q_rowkey_md5", "q_rowkey_concat", "q_key_reverse", "q_salt_bucket",
-    "q_pivot_wide", "q_range_partition", "q_zorder_layout", "q_sorted_ingest",
-    "q_sample_per_group",
-    "q_join_inner", "q_join_salted", "q_join_broadcast", "q_join_outer",
-    "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
-    "q_join_range_binned", "q_join_cross", "q_sql_star",
-    "q_sql_tpch3", "q_sql_tpch5",
-    "q_agg_groupby", "q_agg_histogram", "q_agg_string_agg", "q_agg_argmax",
-    "q_agg_count_distinct", "q_agg_rollup", "q_agg_cube",
-    "q_agg_grouping_sets", "q_agg_conditional",
-    "q_window_rank", "q_window_lag", "q_window_moving",
+    # round 7 head: the three bounded-twin verdict queries — their
+    # output schemas grew (n_docs/n_vecs/n_checked columns) and their
+    # oracles now carry the md5-ranked BRUTE_CHECK_CAP subset, so the
+    # official record needs fresh rows proving the bounded pattern green
+    "q_dedup_near", "q_dedup_incremental_minhash", "q_sim_pairs_lsh",
+    # rotation hygiene, round 3 (round-6 brief item 7): every key below
+    # last received a driver row in round 2, 3 or 4 — green then,
+    # untouched since — so they fill the rest of this round's ~50-slot
+    # window, keeping every key's official record ≤ 3 rounds old.
+    # Oldest (r2) first.
+    "q_join_cross", "q_sql_star", "q_agg_groupby", "q_agg_count_distinct",
+    "q_agg_rollup", "q_agg_conditional", "q_window_rank", "q_window_lag",
+    "q_window_moving", "q_join_range_binned", "q_sql_tpch3", "q_sql_tpch5",
+    "q_agg_histogram", "q_agg_string_agg", "q_agg_argmax", "q_agg_cube",
+    "q_agg_grouping_sets",
+    # r3-latest keys
+    "q_stream_join", "q_events_funnel", "q_events_gapfill",
+    "q_events_retention", "q_events_anomaly", "q_udf_rowkey",
+    "q_udaf_grouped", "q_udtf_cells", "q_scan_jsonl", "q_decontaminate",
+    "q_text_redact", "q_dedup_exact", "q_dedup_ngram", "q_dedup_embed",
+    "q_dedup_components", "q_sim_topk", "q_sim_pairs", "q_text_tokens",
+    "q_text_quality", "q_text_langid", "q_text_fingerprint",
+    # r4-latest keys
+    "q_stream_sliding", "q_stream_session", "q_stream_dedup",
+    "q_stream_stateful",
 )
 
 

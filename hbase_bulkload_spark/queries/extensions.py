@@ -126,22 +126,57 @@ def dedup_near_pairs(spark, sf_dir) -> DataFrame:
 def q_dedup_near(spark, sf_dir) -> DataFrame:
     """Op 53 (scale path): MinHash+LSH banding candidates, verified with
     exact Jaccard. FULL ORACLE since round 6 via the in-query verdict:
-    the query runs BOTH the LSH arm and its exact uncapped n-gram
-    Jaccard twin and emits (n_pairs_exact, recall_ok, precision_ok) —
-    the oracle recomputes the exact pair count in SQL and asserts both
-    booleans TRUE, so banding recall below NEAR_RECALL_FLOOR or a
-    spurious emitted pair fails the driver's hash compare instead of
-    hiding behind a rows-only row. Raw pairs: :func:`dedup_near_pairs`;
-    measured recall per round: RECALL artifact."""
+    the query runs BOTH the LSH arm and an exact n-gram Jaccard twin
+    and emits (n_docs, n_checked, n_pairs_exact, recall_ok,
+    precision_ok) — the oracle recomputes the exact pair count in SQL
+    and asserts both booleans TRUE, so banding recall below
+    NEAR_RECALL_FLOOR or a spurious emitted pair fails the driver's
+    hash compare instead of hiding behind a rows-only row.
+
+    BOUNDED TWIN since round 7: the exact arm runs on the
+    deterministic md5-ranked first BRUTE_CHECK_CAP docs only (the
+    `_banding_brute_verdict` subset pattern), and the LSH pairs are
+    semi-join-filtered to that subset for the compare. At every gate
+    scale ≤ cap (sf0.001/0.01: 500 docs, sf0.1: 5000) the subset IS
+    the corpus, so the verdict there is complete equality with the
+    round-6 uncapped twin; past the cap the checked prefix keeps the
+    twin O(cap²) while the PRODUCTION LSH arm still runs the full
+    corpus — no registered plan is quadratic in corpus size. Raw
+    pairs: :func:`dedup_near_pairs`; measured recall per round:
+    RECALL artifact."""
+    docs = _docs(spark, sf_dir)
+    checked = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(BRUTE_CHECK_CAP)
+        .select("doc_id", "text")
+    )
     exact = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_shingle_freq=None
+        checked, threshold=JACCARD_THRESHOLD, max_shingle_freq=None
     )
-    return _pair_recall_verdict(
-        exact,
-        dedup_near_pairs(spark, sf_dir),
-        ["doc_a", "doc_b"],
-        NEAR_RECALL_FLOOR,
+    ids = checked.select("doc_id")
+    approx = (
+        dedup_near_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "left_semi",
+        )
     )
+    verdict = _pair_recall_verdict(
+        exact, approx, ["doc_a", "doc_b"], NEAR_RECALL_FLOOR
+    )
+    counts = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+        "n_docs",
+        F.least(F.col("n_docs"), F.lit(BRUTE_CHECK_CAP))
+        .cast("bigint")
+        .alias("n_checked"),
+    )
+    return counts.crossJoin(F.broadcast(verdict))
 
 
 #: Brute-force verification cap for the banding-vs-brute verdict arms:
@@ -305,9 +340,9 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     FULL ORACLE since round 6 via the in-query verdict: the query runs
     BOTH the banded incremental dedup and its exact n-gram twin
     (q_dedup_incremental_near's operator) and emits one row
-    (n_batch, n_flagged_exact, recall_ok, precision_ok); the oracle
-    recomputes the two counts from the exact-twin SQL and asserts the
-    booleans TRUE. recall_ok = the banded pass flags ≥
+    (n_batch, n_checked, n_flagged_exact, recall_ok, precision_ok);
+    the oracle recomputes the counts from the exact-twin SQL and
+    asserts the booleans TRUE. recall_ok = the banded pass flags ≥
     INC_MINHASH_RECALL_FLOOR of the exactly-flagged docs; precision_ok
     = it never flags a doc the exact pass keeps (candidates verify
     with exact Jaccard, so a spurious flag is a bug). The twin runs
@@ -315,13 +350,29 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     scores full shingle sets — against the capped twin, every true
     dup the hot-shingle valve drops would mislabel as a spurious
     MinHash flag (3807 docs at sf1.0, where the cap first binds).
+
+    BOUNDED TWIN since round 7: the exact arm verifies only the
+    deterministic md5-ranked first BRUTE_CHECK_CAP batch docs
+    (``verify_ids=``) — each still compared against ALL history and
+    ALL earlier batch docs, so per-doc verdicts equal the full run's
+    — and the PRODUCTION MinHash arm (full batch) is compared on that
+    subset. Every gate scale ≤ cap checks the complete batch; past it
+    the uncapped twin's pair expansion is bounded by the checked
+    prefix instead of growing quadratically with hot-shingle postings.
     Raw verdicts: :func:`incremental_minhash_verdicts`."""
     docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    checked_ids = (
+        batch.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(BRUTE_CHECK_CAP)
+        .select("doc_id")
+    )
     exact = dedup.incremental_ngram_dedup(
         docs.filter(F.col("doc_id") % 3 != 0),
-        docs.filter(F.col("doc_id") % 3 == 0),
+        batch,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=None,
+        verify_ids=checked_ids,
     ).select("doc_id", F.col("keep").alias("_ek"))
     approx = incremental_minhash_verdicts(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("_ak")
@@ -329,14 +380,18 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     n_flagged = F.sum((~F.col("_ek")).cast("long"))
     n_both = F.sum((~F.col("_ek") & ~F.col("_ak")).cast("long"))
     n_spurious = F.sum((F.col("_ek") & ~F.col("_ak")).cast("long"))
-    return exact.join(approx, "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+    verdict = exact.join(approx, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
         F.coalesce(n_flagged, F.lit(0)).cast("bigint").alias("n_flagged_exact"),
         (
             F.coalesce(n_both / n_flagged, F.lit(1.0))
             >= INC_MINHASH_RECALL_FLOOR
         ).alias("recall_ok"),
         (F.coalesce(n_spurious, F.lit(0)) == 0).alias("precision_ok"),
+    )
+    counts = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    return counts.crossJoin(F.broadcast(verdict)).select(
+        "n_batch", "n_checked", "n_flagged_exact", "recall_ok", "precision_ok"
     )
 
 
@@ -463,23 +518,56 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     plane/table counts from similarity.lsh_auto_params) → exact cosine
     verification. FULL ORACLE since round 6 via the in-query verdict:
     the query runs BOTH the LSH arm and the exact blocked-GEMM twin and
-    emits (n_pairs_exact, recall_ok, precision_ok); the oracle
-    recomputes the exact pair count and asserts both booleans TRUE
-    (recall floor LSH_PAIR_RECALL_FLOOR — measured 0.939-0.967 per
-    scale; precision is exact by construction, candidates verify with
-    the exact cosine). Raw pairs: :func:`sim_pairs_lsh_raw`."""
+    emits (n_vecs, n_checked, n_pairs_exact, recall_ok, precision_ok);
+    the oracle recomputes the exact pair count and asserts both
+    booleans TRUE (recall floor LSH_PAIR_RECALL_FLOOR — measured
+    0.939-0.967 per scale; precision is exact by construction,
+    candidates verify with the exact cosine).
+
+    BOUNDED TWIN since round 7: the exact blocked-GEMM arm runs on the
+    deterministic md5-ranked first BRUTE_CHECK_CAP vectors only, and
+    the LSH pairs are semi-join-filtered to that subset for the
+    compare. Every gate scale ≤ cap (sf0.1: 2000 vectors) checks the
+    complete corpus; past the cap the twin is O(cap²) while the
+    PRODUCTION LSH arm still runs the full corpus — the registered
+    plan is no longer quadratic in corpus size (the r6 sf3-density
+    probe's 4.6× step was this GEMM twin). Raw pairs:
+    :func:`sim_pairs_lsh_raw`."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
+    checked = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(BRUTE_CHECK_CAP)
+    )
     exact = similarity.cosine_pairs_exact(
-        _emb(spark, sf_dir),
+        checked,
         threshold=SIM_THRESHOLD,
-        n_blocks=similarity.gemm_blocks(n),
+        n_blocks=similarity.gemm_blocks(min(n, BRUTE_CHECK_CAP)),
     )
-    return _pair_recall_verdict(
-        exact,
-        sim_pairs_lsh_raw(spark, sf_dir),
-        ["vec_id_a", "vec_id_b"],
-        LSH_PAIR_RECALL_FLOOR,
+    ids = checked.select("vec_id")
+    approx = (
+        sim_pairs_lsh_raw(spark, sf_dir)
+        .join(
+            F.broadcast(ids.select(F.col("vec_id").alias("vec_id_a"))),
+            "vec_id_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(ids.select(F.col("vec_id").alias("vec_id_b"))),
+            "vec_id_b",
+            "left_semi",
+        )
     )
+    verdict = _pair_recall_verdict(
+        exact, approx, ["vec_id_a", "vec_id_b"], LSH_PAIR_RECALL_FLOOR
+    )
+    counts = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs")).select(
+        "n_vecs",
+        F.least(F.col("n_vecs"), F.lit(BRUTE_CHECK_CAP))
+        .cast("bigint")
+        .alias("n_checked"),
+    )
+    return counts.crossJoin(F.broadcast(verdict))
 
 
 # --- text analysis -------------------------------------------------------------
@@ -1265,10 +1353,14 @@ scored AS (
 # (same edge definition, one source of truth): yields CTE `jac`
 # (doc_a, doc_b, jaccard) — word-3-gram Jaccard ≥ threshold with the
 # identical hot-shingle cap predicate the Spark side applies
-def _ngram_pairs_ctes(max_shingle_freq: int | None) -> str:
+def _ngram_pairs_ctes(
+    max_shingle_freq: int | None, source: str = "documents"
+) -> str:
     """Word-3-gram Jaccard pair CTE chain ending in ``jac``;
     ``max_shingle_freq=None`` omits the hot-shingle cap (the exact twin
-    the MinHash verdict oracle counts against)."""
+    the MinHash verdict oracle counts against). ``source`` swaps the
+    corpus relation — the bounded-twin verdict oracle points it at the
+    md5-ranked ``checked`` CTE."""
     kept = (
         f"""kept AS (
             SELECT shingle FROM sh GROUP BY shingle
@@ -1284,7 +1376,7 @@ def _ngram_pairs_ctes(max_shingle_freq: int | None) -> str:
     )
     return f"""
         toks AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            SELECT doc_id, string_split(text, ' ') AS w FROM {source}
         ),
         sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -1313,7 +1405,9 @@ def _ngram_pairs_ctes(max_shingle_freq: int | None) -> str:
 _NGRAM_PAIRS_CTES = _ngram_pairs_ctes(dedup.DEFAULT_MAX_SHINGLE_FREQ)
 
 
-def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
+def _incremental_near_oracle(
+    max_shingle_freq: int | None, verify_cap: int | None = None
+) -> str:
     """Incremental n-gram near-dedup as DuckDB SQL, cap-parameterized:
     the registered q_dedup_incremental_near keeps the production cap
     (correctness-checking the cap itself), while the MinHash verdict
@@ -1321,7 +1415,11 @@ def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
     exact Jaccard on full shingle sets, so comparing it to a capped
     twin mislabels every capped-away true dup as a spurious flag
     (exactly what the sf1.0 fixture exposed: 3807 'spurious' docs that
-    were real near-dups the capped twin's hot-shingle valve dropped)."""
+    were real near-dups the capped twin's hot-shingle valve dropped).
+
+    ``verify_cap`` mirrors the Spark side's round-7 bounded twin: only
+    the md5-ranked first ``verify_cap`` batch docs are verified (their
+    candidate side stays complete — all history + all earlier batch)."""
     if max_shingle_freq is None:
         kept_cte = ""
         kept_join = ""
@@ -1332,6 +1430,15 @@ def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
             HAVING COUNT(*) <= {max_shingle_freq}
         ),"""
         kept_join = "JOIN kept k ON k.shingle = b.shingle"
+    if verify_cap is None:
+        checked_cte = "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
+        bsh = "SELECT * FROM sh WHERE doc_id % 3 = 0"
+    else:
+        checked_cte = f"""(
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {verify_cap}
+        )"""
+        bsh = "SELECT sh.* FROM sh JOIN checked USING (doc_id)"
     return f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1341,7 +1448,8 @@ def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
             FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),{kept_cte}
-        bsh AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+        checked AS (SELECT doc_id FROM {checked_cte} c),
+        bsh AS ({bsh}),
         inter AS (
             SELECT b.doc_id AS doc_id, a.doc_id AS a_id,
                    (a.doc_id % 3 <> 0) AS a_hist, COUNT(*) AS n_inter
@@ -1366,7 +1474,7 @@ def _incremental_near_oracle(max_shingle_freq: int | None) -> str:
         )
         SELECT d.doc_id, v.dup_of_history, v.dup_in_batch,
                v.dup_of_history IS NULL AND v.dup_in_batch IS NULL AS keep
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        FROM checked d
         LEFT JOIN verd v USING (doc_id)
     """
 
@@ -1939,8 +2047,15 @@ ORACLES = {
 # pattern that made the sketch aggregates full-oracle in round 5) -------------
 
 ORACLES["q_dedup_near"] = f"""
-    WITH {_ngram_pairs_ctes(None)}
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+    WITH checked AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {BRUTE_CHECK_CAP}
+    ),
+    {_ngram_pairs_ctes(None, source="checked")}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(LEAST(COUNT(*), {BRUTE_CHECK_CAP}) AS BIGINT)
+            FROM documents) AS n_checked,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
            TRUE AS recall_ok, TRUE AS precision_ok
     FROM jac
 """
@@ -1948,19 +2063,38 @@ ORACLES["q_dedup_near"] = f"""
 # UNCAPPED twin (max_shingle_freq=None): MinHash verification computes
 # exact Jaccard over full shingle sets, so the comparable exact twin
 # must not drop hot shingles — against the capped twin, every
-# capped-away true dup would count as a spurious MinHash flag.
+# capped-away true dup would count as a spurious MinHash flag. The twin
+# is bounded (round 7) to the md5-ranked first BRUTE_CHECK_CAP batch
+# docs, mirroring the Spark verify_ids= arm.
 ORACLES["q_dedup_incremental_minhash"] = f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 3 = 0) AS n_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
            CAST(COALESCE(SUM(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
                AS n_flagged_exact,
            TRUE AS recall_ok, TRUE AS precision_ok
-    FROM ({_incremental_near_oracle(None)})
+    FROM ({_incremental_near_oracle(None, verify_cap=BRUTE_CHECK_CAP)})
 """
 
 ORACLES["q_sim_pairs_lsh"] = f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+    WITH checked AS (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {BRUTE_CHECK_CAP}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM checked),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= {SIM_THRESHOLD}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           (SELECT CAST(LEAST(COUNT(*), {BRUTE_CHECK_CAP}) AS BIGINT)
+            FROM embeddings) AS n_checked,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
            TRUE AS recall_ok, TRUE AS precision_ok
-    FROM ({ORACLES['q_sim_pairs']})
+    FROM pairs
 """
 
 ORACLES["q_sim_topk_ivf"] = f"""

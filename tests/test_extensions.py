@@ -735,6 +735,45 @@ def test_incremental_ngram_dedup_verdicts(spark):
     assert out[13].keep
 
 
+def test_incremental_ngram_verify_ids_subset(spark):
+    """``verify_ids=`` bounds which batch docs are VERIFIED without
+    changing any verified doc's verdict: the candidate side stays
+    complete, so a checked doc whose dup_in_batch partner lies OUTSIDE
+    the subset still flags it (the hazard a naive subset-vs-subset twin
+    would miss — partner 11 below is excluded from verify_ids, yet doc
+    12's verdict must still name it)."""
+    base = "the quick brown fox jumps over the lazy dog again today"
+    hist = spark.createDataFrame(
+        [(1, base), (3, "completely unrelated history text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),          # dup_of_history 1
+            (11, "fresh novel content with its own distinct wording"),
+            (12, "fresh novel content with its own distinct wordings"),  # near 11
+            (13, "nothing like anything else in any corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        r.doc_id: (r.dup_of_history, r.dup_in_batch, r.keep)
+        for r in dedup.incremental_ngram_dedup(
+            hist, batch, threshold=0.5
+        ).collect()
+    }
+    checked = spark.createDataFrame([(10,), (12,)], "doc_id long")
+    sub = {
+        r.doc_id: (r.dup_of_history, r.dup_in_batch, r.keep)
+        for r in dedup.incremental_ngram_dedup(
+            hist, batch, threshold=0.5, verify_ids=checked
+        ).collect()
+    }
+    assert set(sub) == {10, 12}
+    assert sub == {k: full[k] for k in (10, 12)}
+    assert sub[12][1] == 11  # out-of-subset partner still visible
+
+
 def test_incremental_ngram_stored_index_parity(spark, sf_dir, tmp_path):
     """The stored-index form: shingle_postings(history) persisted to
     parquet and fed back via history_postings= must produce verdicts

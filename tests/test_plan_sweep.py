@@ -34,7 +34,11 @@ BNLJ_ALLOWED = {
     "q_dedup_embed",
     "q_dedup_semantic",  # 1-row broadcast centroid array (map-only assignment)
     "q_sim_pairs",
-    "q_sim_pairs_lsh",  # verdict arm runs the exact GEMM twin (same block grid)
+    "q_sim_pairs_lsh",  # bounded GEMM twin + 1-row verdict crossJoin
+    # bounded-twin verdict queries (round 7): 1-row corpus-count frame
+    # crossJoined onto the 1-row recall verdict — O(1) bytes moved
+    "q_dedup_near",
+    "q_dedup_incremental_minhash",
     "q_dedup_incremental_embed",  # bounded block-grid fan-out (La×Lb packed rows)
     # banding-vs-brute verdict arms: all-pairs over the md5-ranked
     # checked subset, ≤ BRUTE_CHECK_CAP broadcast (id, int64) rows —
