@@ -68,11 +68,55 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 #: Idle-machine seconds for the fixed calibration work (min of 10 across
 #: two --calibrate runs on this VM while otherwise idle, 2026-08-15).
-#: The throttle verdict compares each run's probes against this.
-CALIB_NOMINAL_SEC = 1.164
+#: The throttle verdict compares each run's probes against this. The
+#: committed value is for THIS fleet's VM class; on other hardware set
+#: SPARK_GRAFT_CALIB_NOMINAL=<idle seconds from `python bench.py
+#: --calibrate`> (or "none" to disable the verdict) — otherwise every
+#: run on a slower machine is stamped "throttled" and a faster one
+#: false-"ok". The artifact records the nominal used plus a hardware
+#: identifier (``calib_host``) so a nominal/hardware mismatch is
+#: detectable after the fact.
+def _resolve_nominal(env_value: str | None, default: float | None) -> float | None:
+    """SPARK_GRAFT_CALIB_NOMINAL handling: unset → committed default;
+    "none"/"" → None (verdict reads "uncalibrated"); else the idle
+    seconds measured on the actual hardware."""
+    if env_value is None:
+        return default
+    return None if env_value.lower() in ("", "none") else float(env_value)
+
+
+CALIB_NOMINAL_SEC: float | None = _resolve_nominal(
+    os.environ.get("SPARK_GRAFT_CALIB_NOMINAL"), 1.164
+)
 CALIB_ITERS = 1_600_000
 #: probe/nominal ratio above which the run is stamped "throttled"
 THROTTLE_BAR = 1.3
+
+#: Full per-query artifact (round-6 judge: the summary line truncates to
+#: the slowest ~64 queries, making the cheap tail invisible from
+#: artifacts alone). Every full-registry run overwrites this file with
+#: the complete detail dict; the driver's end-of-round commit then
+#: records it, so cross-round per-query comparison of ALL keys works
+#: from the repo history. Subset runs (SPARK_GRAFT_BENCH_ONLY) are
+#: marked and keep their own file out of the full-run path's way.
+FULL_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+)
+
+
+def _host_id() -> dict:
+    """Hardware identifier recorded next to the nominal: cpu count plus
+    the first model-name line of /proc/cpuinfo (absent on non-Linux)."""
+    model = None
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"cpus": os.cpu_count(), "cpu_model": model}
 
 
 def _calibrate() -> float:
@@ -166,6 +210,16 @@ def main() -> None:
     }
 
     detail_line, summary_line = build_output_lines(timings, first, sf, probes)
+    artifact = json.loads(detail_line)
+    artifact["sf_dir"] = sf_dir
+    if only:
+        artifact["subset_only"] = sorted(queries)
+    path = FULL_ARTIFACT if not only else FULL_ARTIFACT.replace(
+        "LATEST", "SUBSET"
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(detail_line)
     sys.stdout.flush()
     print(summary_line, flush=True)
@@ -191,7 +245,8 @@ def build_output_lines(
         "throttle": throttle_verdict(probes) if probes else "not-run",
     }
 
-    # line 1: full detail (may exceed the driver's tail window)
+    # line 1: full detail (may exceed the driver's tail window); carries
+    # the hardware id the summary line's char budget can't afford
     detail = {
         "metric": "total_query_sec",
         "value": total,
@@ -201,6 +256,7 @@ def build_output_lines(
         "value_first": total_first,
         "queries_first": {k: round(v, 3) for k, v in first.items()},
         **calib,
+        "calib_host": _host_id(),
     }
 
     # line 2 (final): compact summary that fits the tail window — inline

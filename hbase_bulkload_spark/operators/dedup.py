@@ -152,19 +152,28 @@ def lsh_banding_params(
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
 
-    def b_for(r: int) -> int:
+    def b_for(r: int) -> int | None:
+        # log1p(-t^r) is exact for tiny t^r where log(1.0 - t^r) rounds
+        # to log(1.0) == 0.0 and divides by zero (t=0.005, r=8 →
+        # t^r ≈ 4e-19 < 1 ulp of 1.0); None = t^r underflowed to 0.0
+        # entirely, so this r cannot be sized at all
+        tr = threshold**r
+        if tr == 0.0:
+            return None
         return math.ceil(
-            math.log(1.0 - recall_floor) / math.log(1.0 - threshold**r)
+            math.log(1.0 - recall_floor) / math.log1p(-tr)
         )
 
     for r in range(8, 1, -1):
         b = b_for(r)
-        if b * r <= max_k:
+        if b is not None and b * r <= max_k:
             return b * r, b
     # very low thresholds: r=2 is the hard floor (r=1 band keys are
     # single minhashes — any shared shingle min collides, so buckets
     # grow with the corpus); max_k is a soft budget, recall is not
     b = b_for(2)
+    if b is None:  # threshold² underflowed double precision (< ~1e-154)
+        raise ValueError(f"threshold {threshold} too small to band for")
     return 2 * b, b
 
 
@@ -926,6 +935,49 @@ def incremental_ngram_dedup(
     )
 
 
+def _validate_history_bands(
+    history_bands: DataFrame, k: int, bands: int, n: int
+) -> None:
+    """Guard for the persisted-index workflow: a band index stored
+    under DIFFERENT (k, bands, n) than the current call's produces
+    zero matching band keys — history dups silently missed with no
+    error, only a recall drop (the failure mode the round-6 move to
+    threshold-derived banding defaults would have armed for anyone
+    with a pre-round-6 index on disk). Indexes written by
+    :func:`minhash_band_index` carry their parameters as constant
+    columns — validated with one ``first()`` (O(1): one row of one
+    parquet row group, any corpus size). Legacy 3-column indexes fall
+    back to an aggregate over the RLE'd ``band`` column asserting the
+    distinct band count — that catches every historical default
+    change ((16,4) → threshold-derived) though not a same-bands
+    different-k remix. Empty indexes (first increment) skip
+    validation; there is nothing to mismatch."""
+    cols = set(history_bands.columns)
+    if {"k", "bands", "n"} <= cols:
+        row = history_bands.select("k", "bands", "n").first()
+        if row is None:
+            return
+        if (row["k"], row["bands"], row["n"]) != (k, bands, n):
+            raise ValueError(
+                f"history_bands was built with (k={row['k']}, "
+                f"bands={row['bands']}, n={row['n']}) but this call "
+                f"derives (k={k}, bands={bands}, n={n}); band keys "
+                "would never match and every history dup would be "
+                "silently missed. Rebuild the index with "
+                "minhash_band_index at the current parameters, or pass "
+                "the index's parameters explicitly."
+            )
+        return
+    got = history_bands.agg(F.max("band").alias("mx")).first()["mx"]
+    if got is not None and got != bands - 1:
+        raise ValueError(
+            f"history_bands (legacy schema, no parameter columns) has "
+            f"band ids 0..{got} but this call derives bands={bands}; "
+            "band keys would never match. Rebuild the index with "
+            "minhash_band_index at the current parameters."
+        )
+
+
 def minhash_band_index(
     docs: DataFrame,
     k: int | None = None,
@@ -934,13 +986,23 @@ def minhash_band_index(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The stored band index for :func:`incremental_minhash_dedup`:
-    (band, bkey, doc_id) — ``bands`` rows per doc. A deployment
-    persists this after each increment (parquet, bucketed by bkey) and
-    unions new batches in, so signatures are computed once per doc
-    ever; ``history_bands=`` feeds it back. Banding defaults derive
-    from ``threshold`` via :func:`lsh_banding_params` — the stored
-    index's (k, bands) must match the dedup call's, so pass the same
-    threshold (or the same explicit overrides) to both."""
+    (band, bkey, doc_id, k, bands, n) — ``bands`` rows per doc. A
+    deployment persists this after each increment (parquet, bucketed by
+    bkey) and unions new batches in, so signatures are computed once
+    per doc ever; ``history_bands=`` feeds it back. Banding defaults
+    derive from ``threshold`` via :func:`lsh_banding_params` — the
+    stored index's (k, bands) must match the dedup call's, so pass the
+    same threshold (or the same explicit overrides) to both.
+
+    The banding parameters ride the index as constant columns (RLE'd
+    to ~nothing in parquet) precisely so that mismatch is DETECTABLE:
+    when the derived defaults change (e.g. a threshold change, or the
+    round-6 move from fixed (16,4) to threshold-derived banding), an
+    old persisted index would otherwise produce zero matching band
+    keys against new-default batch keys — history dups silently
+    missed, recall quietly zero. :func:`incremental_minhash_dedup`
+    validates these columns (or, for a legacy 3-column index, the
+    distinct band count) before using ``history_bands``."""
     if k is None or bands is None:
         k, bands = lsh_banding_params(threshold)
     sig = minhash_signatures(docs, k=k, n=n)
@@ -955,7 +1017,14 @@ def minhash_band_index(
     )
     return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
-    ).select("band", "bkey", "doc_id")
+    ).select(
+        "band",
+        "bkey",
+        "doc_id",
+        F.lit(k).cast("int").alias("k"),
+        F.lit(bands).cast("int").alias("bands"),
+        F.lit(n).cast("int").alias("n"),
+    )
 
 
 def incremental_minhash_dedup(
@@ -997,6 +1066,8 @@ def incremental_minhash_dedup(
             F.lit(side).alias("side"), "doc_id", "band", "bkey"
         )
 
+    if history_bands is not None:
+        _validate_history_bands(history_bands, k, bands, n)
     hist_b = (
         history_bands
         if history_bands is not None

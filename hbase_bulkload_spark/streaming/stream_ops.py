@@ -508,10 +508,14 @@ def start_incremental_near_dedup_sink(
         spark = batch_df.sparkSession
         have_idx = bool(_glob.glob(os.path.join(index_dir, "batch_id=*")))
         if have_idx:
+            # keep the (k, bands, n) parameter columns aboard: the
+            # dedup call validates them against its derived banding,
+            # so an index persisted under older defaults fails loudly
+            # instead of silently matching zero band keys
             stored_bands = (
                 spark.read.parquet(index_dir)
                 .filter(F.col("batch_id") < batch_id)
-                .select("band", "bkey", "doc_id")
+                .drop("batch_id")
             )
             history = (
                 spark.read.parquet(accepted_dir)
@@ -520,7 +524,7 @@ def start_incremental_near_dedup_sink(
             )
         else:
             stored_bands = spark.createDataFrame(
-                [], "band int, bkey long, doc_id long"
+                [], "band int, bkey long, doc_id long, k int, bands int, n int"
             )
             history = spark.createDataFrame([], "doc_id long, text string")
         verdicts = incremental_minhash_dedup(
@@ -532,7 +536,10 @@ def start_incremental_near_dedup_sink(
             f"{accepted_dir}/batch_id={batch_id}"
         )
         _maybe_fault("pre_index", batch_id)
-        minhash_band_index(accepted).coalesce(1).write.mode(
+        # index MUST be built at the sink's threshold: the dedup call
+        # derives its banding from it, and a default-threshold index
+        # under a non-default sink threshold would never match
+        minhash_band_index(accepted, threshold=threshold).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/batch_id={batch_id}")
         _maybe_fault("post_index", batch_id)

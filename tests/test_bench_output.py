@@ -60,3 +60,29 @@ def test_calibration_fields_recorded_and_budget_holds():
         [CALIB_NOMINAL_SEC, CALIB_NOMINAL_SEC * (THROTTLE_BAR + 1)]
     )
     assert bad.startswith("throttled(x")
+
+
+def test_nominal_env_override_resolution():
+    """SPARK_GRAFT_CALIB_NOMINAL override (round-7 advice): unset keeps
+    the committed default, "none"/"" disables the verdict (→
+    "uncalibrated" instead of a misleading ok/throttled on foreign
+    hardware), a number replaces the nominal."""
+    from bench import _resolve_nominal
+
+    assert _resolve_nominal(None, 1.164) == 1.164
+    assert _resolve_nominal("none", 1.164) is None
+    assert _resolve_nominal("", 1.164) is None
+    assert _resolve_nominal("2.5", 1.164) == 2.5
+
+
+def test_detail_line_carries_host_id_and_full_query_map():
+    """Round-7 artifact fix: the detail line (persisted to
+    BENCH_FULL_LATEST.json by main()) records every per-query timing
+    plus a hardware identifier next to the nominal, so cross-round
+    comparison of the cheap tail and nominal/hardware mismatches are
+    both possible from artifacts alone."""
+    timings = _fake(137)
+    detail_line, _ = build_output_lines(timings, timings, 0.1, [1.2])
+    d = json.loads(detail_line)
+    assert len(d["queries"]) == 137 and len(d["queries_first"]) == 137
+    assert "calib_host" in d and "cpus" in d["calib_host"]

