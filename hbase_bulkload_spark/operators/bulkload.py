@@ -123,6 +123,13 @@ def bulkload_pipeline(
         wide = wide.repartitionByRange(range_partitions, "rowkey")
     else:
         wide = wide.repartition(n_buckets, "bucket")
+    # NOTE (round-7 A/B): sorting the WIDE frame before the unpivot and
+    # relying on Generate's order-preservation is ~9x less sort work on
+    # paper, but it is WRONG for duplicate rowkeys (each duplicate row
+    # re-emits its qualifiers from the top — ...z8, z0... inversions),
+    # and the measured win was nil (2.2 s -> 2.4 s noop materialization
+    # at sf0.1: the Expand + string copy dominates, not the sort). The
+    # exploded-frame sort is both correct and no slower.
     long = (
         wide.unpivot(["rowkey", "bucket"], list(value_cols), "qualifier", "value")
         .filter(F.col("value").isNotNull())

@@ -112,6 +112,74 @@ def write_partition_cells(
     return out
 
 
+def write_partition_cells_arrow(
+    batches,
+    out_dir: str,
+    task_label: str,
+    compression: str | None = "snappy",
+    ts: int = 0,
+) -> list[dict]:
+    """Arrow-native executor body for :func:`write_region_hfiles`
+    (``mapInArrow``): same contract and byte-identical files as
+    :func:`write_partition_cells`, but the batch columns feed
+    ``HFileWriter.add_many_arrow`` directly — no pandas object arrays,
+    no per-cell Python bytes on the write path at all. Buckets are
+    contiguous within a sorted partition, so grouping is a run-length
+    split over the bucket column (one C-level compare pass per batch);
+    a writer per bucket persists across batches exactly as before."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    writers: dict[str, hf.HFileWriter] = {}
+    finals: dict[str, str] = {}
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        names = rb.schema.names
+        col = {c: rb.column(names.index(c)) for c in
+               ("rowkey", "family", "qualifier", "value", "bucket")}
+        bkt = col["bucket"]
+        if n > 1:
+            neq = pc.not_equal(bkt.slice(1), bkt.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(([0], np.flatnonzero(neq) + 1, [n]))
+        else:
+            starts = np.array([0, n])
+        for s, e in zip(starts[:-1], starts[1:]):
+            s, e = int(s), int(e)
+            bucket = bkt[s].as_py()
+            w = writers.get(bucket)
+            if w is None:
+                path = os.path.join(out_dir, f"part-{task_label}-{bucket}.hfile")
+                finals[bucket] = path
+                w = writers[bucket] = hf.HFileWriter(path + ".tmp", compression)
+            w.add_many_arrow(
+                col["rowkey"].slice(s, e - s),
+                col["family"].slice(s, e - s),
+                col["qualifier"].slice(s, e - s),
+                ts,
+                col["value"].slice(s, e - s),
+            )
+    out = []
+    for bucket, w in writers.items():
+        m = w.close()
+        os.replace(m["path"], finals[bucket])  # task-commit rename
+        out.append(
+            {
+                "path": finals[bucket],
+                "bucket": bucket,
+                "entry_count": m["entry_count"],
+                "n_blocks": m["n_blocks"],
+            }
+        )
+    return out
+
+
+_MANIFEST_SCHEMA = "path string, bucket string, entry_count long, n_blocks long"
+
+
 def write_region_hfiles(
     kv: DataFrame,
     out_dir: str,
@@ -129,8 +197,11 @@ def write_region_hfiles(
     codegen does the UTF-8 encode once per value, so the executor loop
     never runs 4×n_cells Python ``str.encode`` calls (measured ~5-10%
     off the write wall at sf0.1, byte-identical output; a no-op for
-    callers already passing binary columns)."""
-    import pandas as pd
+    callers already passing binary columns). The hop itself is
+    ``mapInArrow`` feeding ``add_many_arrow`` — the mapInPandas
+    object-array materialization was ~2 s of a ~4.7 s write wall at
+    sf0.1 (A/B with a no-op executor body, round 7)."""
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
     cell_cols = ("rowkey", "family", "qualifier", "value")
@@ -143,18 +214,28 @@ def write_region_hfiles(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = write_partition_cells(
+    def write_parts(batches):
+        out = write_partition_cells_arrow(
             batches, out_dir, task_file_label(), compression, ts
         )
-        yield pd.DataFrame(
-            out, columns=["path", "bucket", "entry_count", "n_blocks"]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "path": [m["path"] for m in out],
+                "bucket": [m["bucket"] for m in out],
+                "entry_count": [m["entry_count"] for m in out],
+                "n_blocks": [m["n_blocks"] for m in out],
+            },
+            schema=pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("bucket", pa.string()),
+                    ("entry_count", pa.int64()),
+                    ("n_blocks", pa.int64()),
+                ]
+            ),
         )
 
-    manifest = kv.mapInPandas(
-        write_parts,
-        "path string, bucket string, entry_count long, n_blocks long",
-    ).collect()
+    manifest = kv.mapInArrow(write_parts, _MANIFEST_SCHEMA).collect()
     return [r.asDict() for r in manifest]
 
 
@@ -537,8 +618,6 @@ def scan_hfiles(
     against the index's first-key fences before any data byte is read,
     and the residual cell filter runs in the decode task — the same
     prune-then-filter discipline as a parquet min/max scan."""
-    import pandas as pd
-
     plan = plan_block_splits(table_dir, split_bytes, start_row, stop_row)
 
     # binary mode keeps raw cell bytes — required for tables written in
@@ -563,38 +642,51 @@ def scan_hfiles(
         "blocks array<struct<off: long, size: long>>",
     )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
+        # mapInArrow: decode_cells_arrow already yields pa.Arrays, so
+        # the batch goes back to the JVM as-is — the old mapInPandas
+        # body round-tripped every cell through a pandas object array
+        # (to_pandas here, re-Arrow in the serializer) for nothing
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         wants = {f"want_{c}": (c in keep) for c in ("family", "qualifier", "ts", "value")}
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
+        for rb in batches:
+
+            for task in rb.to_pylist():
                 # cells never straddle blocks: concatenate the split's
                 # payloads and decode once, vectorized (see
                 # hfile_datasource.read for the same pattern)
-                with open(r.path, "rb") as f:
+                with open(task["path"], "rb") as f:
                     plain = b"".join(
                         hf._read_block(
-                            f, b["off"], r.codec or None, hf.DATA_MAGIC,
+                            f, b["off"], task["codec"] or None, hf.DATA_MAGIC,
                             verify_checksums,
                         )
-                        for b in r.blocks
+                        for b in task["blocks"]
                     )
                 cols = hf.decode_cells_arrow(plain, binary=binary, **wants)
-                pdf_out = pd.DataFrame(
-                    {
-                        "region": r.region,
-                        "rowkey": cols["rowkey"].to_pandas(),
-                        **{c: cols[c].to_pandas() for c in keep},
-                    }
-                )
+                rowkey = cols["rowkey"]
+                mask = None
                 if start_row is not None:
                     lo = start_row if binary else start_row.decode()
-                    pdf_out = pdf_out[pdf_out.rowkey >= lo]
+                    mask = pc.greater_equal(rowkey, lo)
                 if stop_row is not None:
                     hi = stop_row if binary else stop_row.decode()
-                    pdf_out = pdf_out[pdf_out.rowkey < hi]
-                yield pdf_out
+                    m2 = pc.less(rowkey, hi)
+                    mask = m2 if mask is None else pc.and_(mask, m2)
+                n = len(rowkey)
+                region_arr = pa.array([task["region"]] * n, pa.string()) \
+                    if n else pa.array([], pa.string())
+                arrays = [region_arr, rowkey] + [cols[c] for c in keep]
+                out = pa.RecordBatch.from_arrays(
+                    arrays, ["region", "rowkey", *keep]
+                )
+                if mask is not None:
+                    out = out.filter(mask)
+                yield out
 
-    return sdf.mapInPandas(decode, out_schema)
+    return sdf.mapInArrow(decode, out_schema)
 
 
 def compact_region(

@@ -471,22 +471,13 @@ class HFileWriter:
         ts: int | list[int],
         values: list[bytes],
     ) -> None:
-        """Vectorized ``add_many`` body (see its docstring). The cell
-        stream is concatenated in C by Arrow's ``binary_join_element_wise``
-        — fixed-width header fields (key/value lengths, row length,
-        family length, timestamp+type tail) become FixedSizeBinary arrays
-        built from big-endian numpy views, variable fields stay as binary
-        arrays — so no per-cell Python bytes objects exist at all. Block
-        boundaries replicate the scalar path's roll rule exactly (flush
-        before cell i iff buffered bytes >= block_size AND
-        row(i) != row(i-1)) via two ``searchsorted`` probes per block over
-        the Arrow offsets vector; bloom hashes are computed only at
-        row-change positions. ~3x the scalar assembly throughput
-        (90 -> ~260 MB/s single-thread on the bench cell shape), leaving
-        snappy+CRC32 as the next ceiling."""
-        import numpy as np
+        """Vectorized ``add_many`` body for LIST inputs: one list→Arrow
+        conversion, then :meth:`add_many_arrow` (the shared core). The
+        int32-offset split guard happens on the lists here (the
+        estimate is cheap — sum of lens) so the Arrow arrays are never
+        built oversized; the arrow entry point re-checks on buffer
+        math for callers that hand arrays directly."""
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         n = len(rows)
 
@@ -506,10 +497,79 @@ class HFileWriter:
             self._add_many_vec(rows[mid:], fams[mid:], quals[mid:], t1, values[mid:])
             return
 
-        ra = pa.array(rows, pa.binary())
-        fa = pa.array(fams, pa.binary())
-        qa = pa.array(quals, pa.binary())
-        va = pa.array(values, pa.binary())
+        self.add_many_arrow(
+            pa.array(rows, pa.binary()),
+            pa.array(fams, pa.binary()),
+            pa.array(quals, pa.binary()),
+            ts,
+            pa.array(values, pa.binary()),
+        )
+
+    def add_many_arrow(
+        self,
+        ra,
+        fa,
+        qa,
+        ts: int | list[int],
+        va,
+    ) -> None:
+        """Arrow-native ``add_many``: inputs are ``pa.Array`` (binary or
+        string — strings are cast once, the UTF-8 encode the scalar path
+        pays per value). This is the zero-conversion entry point for
+        ``mapInArrow`` executors: Spark's Arrow batch columns feed
+        straight in, so no per-cell Python bytes objects are EVER
+        created on the write path (measured ~2 s of a ~4.7 s write wall
+        at sf0.1 was mapInPandas' object-array materialization).
+        Byte-identical to the scalar ``add`` loop (pinned by
+        tests/test_hfile.py).
+
+        The cell stream is concatenated in C by Arrow's
+        ``binary_join_element_wise`` — fixed-width header fields
+        (key/value lengths, row length, family length, timestamp+type
+        tail) become FixedSizeBinary arrays built from big-endian numpy
+        views, variable fields stay as binary arrays. Block boundaries
+        replicate the scalar path's roll rule exactly (flush before
+        cell i iff buffered bytes >= block_size AND row(i) != row(i-1))
+        via two ``searchsorted`` probes per block over the Arrow offsets
+        vector; bloom hashes are computed only at row-change positions.
+        ~3x the scalar assembly throughput (90 -> ~260 MB/s
+        single-thread on the bench cell shape), leaving snappy+CRC32 as
+        the next ceiling."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def as_binary(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                arr = pc.cast(arr, pa.binary())
+            elif pa.types.is_large_binary(arr.type):
+                arr = pc.cast(arr, pa.binary())
+            return arr
+
+        ra, fa, qa, va = as_binary(ra), as_binary(fa), as_binary(qa), as_binary(va)
+        n = len(ra)
+        if n == 0:
+            return
+
+        def _nbytes(arr: pa.Array) -> int:
+            # exact payload bytes of a (possibly sliced) binary array
+            o = np.frombuffer(arr.buffers()[1], np.int32)
+            return int(o[arr.offset + len(arr)]) - int(o[arr.offset])
+
+        est_bytes = _nbytes(ra) + _nbytes(fa) + _nbytes(qa) + _nbytes(va) + 25 * n
+        if n > 4_000_000 or (est_bytes > 1 << 30 and n > 1):
+            mid = n // 2
+            t0, t1 = (ts, ts) if isinstance(ts, int) else (ts[:mid], ts[mid:])
+            self.add_many_arrow(
+                ra.slice(0, mid), fa.slice(0, mid), qa.slice(0, mid), t0,
+                va.slice(0, mid),
+            )
+            self.add_many_arrow(
+                ra.slice(mid), fa.slice(mid), qa.slice(mid), t1, va.slice(mid)
+            )
+            return
         lr = pc.binary_length(ra).cast(pa.int64()).to_numpy()
         lf = pc.binary_length(fa).cast(pa.int64()).to_numpy()
         lq = pc.binary_length(qa).cast(pa.int64()).to_numpy()
@@ -566,7 +626,7 @@ class HFileWriter:
 
         # row-change flags relative to the running stream (C-level compare)
         chg = np.empty(n, bool)
-        chg[0] = rows[0] != self._last_row
+        chg[0] = ra[0].as_py() != self._last_row
         if n > 1:
             chg[1:] = pc.not_equal(ra.slice(1), ra.slice(0, n - 1)).to_numpy(
                 zero_copy_only=False
@@ -574,8 +634,9 @@ class HFileWriter:
         change_idx = np.flatnonzero(chg)
         if self.bloom:
             md5, bloom = hashlib.md5, self._bloom_hashes
-            for i in change_idx.tolist():
-                bloom.append(md5(rows[i]).digest())
+            # one take() materializes ONLY the distinct-row prefix bytes
+            for r in ra.take(pa.array(change_idx)):
+                bloom.append(md5(r.as_py()).digest())
 
         # block boundaries: a[i] = buffered bytes before cell i
         a = self._cells_len + offs[:n]
@@ -606,11 +667,12 @@ class HFileWriter:
         self._cells_len += len(tail)
         if self._first_key is None:
             self._first_key = key_at(prev)
-        self._last_row = rows[-1]
+        last_row = ra[n - 1].as_py()
+        self._last_row = last_row
 
         if self.first_row is None:
-            self.first_row = rows[0]
-        self.last_row = rows[-1]
+            self.first_row = ra[0].as_py()
+        self.last_row = last_row
         self.last_key = key_at(n - 1)
         self.entry_count += n
         self._key_len_sum += int(klen.sum())
