@@ -374,9 +374,14 @@ def start_rollup_sink(
                 "sum_dec",
             )
         )
+        _maybe_fault("pre_write", batch_id)
         part.coalesce(1).write.mode("overwrite").parquet(
             f"{rollup_dir}/batch_id={batch_id}"
         )
+        # crash window: partials are on disk but the checkpoint has not
+        # committed — the whole batch re-fires against its own output;
+        # the batch-scoped overwrite above is what makes that a no-op
+        _maybe_fault("post_write", batch_id)
 
     return (
         events.writeStream.foreachBatch(write_partials)
@@ -601,12 +606,18 @@ def start_upsert_sink(
             out = kept.unionByName(latest).localCheckpoint(eager=True)
         else:
             out = latest
+        _maybe_fault("pre_merge", batch_id)
         # dynamic overwrite scoped to THIS write (only touched buckets are
         # replaced) — set per-writer, not on the shared session conf, so
         # later overwrite-writes in the same session keep static semantics
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("bucket").parquet(table_dir)
+        # crash window: the merge is fully applied but uncommitted — the
+        # re-delivered batch must merge against a table that already
+        # contains its own rows (the anti-join on the batch's keys is
+        # what makes the re-merge reproduce, not duplicate)
+        _maybe_fault("post_merge", batch_id)
 
     return (
         changes.writeStream.foreachBatch(merge_batch)

@@ -214,3 +214,142 @@ def test_bulkload_hfile_sink_survives_crash(spark, sf_dir, tmp_path, point):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def _one_shot_crash(point: str, crash_batch: int):
+    """(hook, fired) — raises exactly once at (point, crash_batch)."""
+    fired = []
+
+    def hook(p, b):
+        if p == point and b == crash_batch and not fired:
+            fired.append((p, b))
+            raise RuntimeError(f"injected crash at {p} of batch {b}")
+
+    return hook, fired
+
+
+def _rollup_rows(spark, rollup_dir):
+    return sorted(
+        (
+            str(r.window_start), str(r.window_end), r.event_type,
+            r.n_events, round(r.sum_value, 6),
+        )
+        for r in stream_ops.read_rollup(spark, rollup_dir).collect()
+    )
+
+
+@pytest.mark.parametrize("point", ["pre_write", "post_write"])
+def test_rollup_sink_survives_crash(spark, sf_dir, tmp_path, point):
+    """At-least-once safety of the continuous-aggregate sink (op 48g;
+    VERDICT r6 item 5): crash BEFORE the partials write (batch re-runs
+    from nothing) or AFTER it but before the checkpoint commit (batch
+    re-fires against a store already holding its own partials — the
+    batch-scoped overwrite must replace, not re-append, or read_rollup
+    double-counts those windows). Final merged aggregate must equal an
+    uninterrupted run's value-for-value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / f"rsrc_{point}")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    ref_dir = str(tmp_path / f"rref_{point}")
+    q = stream_ops.start_rollup_sink(
+        stream(), ref_dir, str(tmp_path / f"rrefck_{point}")
+    )
+    q.awaitTermination(180)
+    want = _rollup_rows(spark, ref_dir)
+
+    roll = str(tmp_path / f"roll_{point}")
+    ck = str(tmp_path / f"rck_{point}")
+    hook, fired = _one_shot_crash(point, crash_batch=2)
+    stream_ops._fault_hook = hook
+    try:
+        q = stream_ops.start_rollup_sink(stream(), roll, ck)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(180)
+    finally:
+        stream_ops._fault_hook = None
+    assert fired, "fault hook never fired — crash batch id not reached"
+    if point == "post_write":
+        # the dangerous state actually materialized: uncommitted partials
+        assert glob.glob(f"{roll}/batch_id=2"), "crash batch partials absent"
+
+    q2 = stream_ops.start_rollup_sink(stream(), roll, ck)
+    q2.awaitTermination(180)
+    assert _rollup_rows(spark, roll) == want and len(want) > 0
+
+
+@pytest.mark.parametrize("point", ["pre_merge", "post_merge"])
+def test_upsert_sink_survives_crash(spark, tmp_path, point):
+    """At-least-once safety of the streaming CDC upsert sink (op 48h;
+    VERDICT r6 item 5): crash BEFORE the bucket rewrite (batch re-runs
+    against the pre-merge table) or AFTER it but before the checkpoint
+    commit (batch re-delivered against a table that already contains its
+    own merged rows — the anti-join on the batch's keys must make the
+    re-merge reproduce, not duplicate or resurrect). Final table must be
+    last-writer-wins per key, equal to an uninterrupted run."""
+    import os
+
+    rows = [
+        (1, "a0", 0), (2, "b0", 1), (3, "c0", 2), (3, "c1", 3), (4, "d0", 4),
+        (1, "a1", 5), (5, "e0", 6), (6, "f0", 7),
+        (2, "b1", 8), (7, "g0", 9), (4, "d1", 10),
+    ]
+    schema = "c_custkey long, val string, _change_seq long"
+
+    def write_src(tag):
+        src = str(tmp_path / f"uchanges_{tag}")
+        os.makedirs(src)
+        for i, sl in enumerate((rows[:5], rows[5:8], rows[8:])):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        return src + "/f*"
+
+    def start(src_glob, table, ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_glob)
+        )
+        return stream_ops.start_upsert_sink(
+            stream, table, ck, key="c_custkey", n_buckets=4
+        )
+
+    want = {1: "a1", 2: "b1", 3: "c1", 4: "d1", 5: "e0", 6: "f0", 7: "g0"}
+    ref_table = str(tmp_path / f"uref_{point}")
+    q = start(write_src(f"ref_{point}"), ref_table, str(tmp_path / f"urefck_{point}"))
+    q.awaitTermination(180)
+    assert {
+        r.c_custkey: r.val for r in spark.read.parquet(ref_table).collect()
+    } == want
+
+    table = str(tmp_path / f"utable_{point}")
+    ck = str(tmp_path / f"uck_{point}")
+    src_glob = write_src(point)
+    hook, fired = _one_shot_crash(point, crash_batch=1)
+    stream_ops._fault_hook = hook
+    try:
+        q = start(src_glob, table, ck)
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(180)
+    finally:
+        stream_ops._fault_hook = None
+    assert fired, "fault hook never fired — crash batch id not reached"
+    if point == "post_merge":
+        # the dangerous state materialized: batch 1's merge is on disk
+        merged = {
+            r.c_custkey: r.val for r in spark.read.parquet(table).collect()
+        }
+        assert merged.get(5) == "e0", "crash-batch rows absent from table"
+
+    q2 = start(src_glob, table, ck)
+    q2.awaitTermination(180)
+    got = {r.c_custkey: r.val for r in spark.read.parquet(table).collect()}
+    assert got == want
