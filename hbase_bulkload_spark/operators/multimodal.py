@@ -3,11 +3,18 @@ video carried as opaque `binary` columns with typed metadata, processed
 by Arrow-batched `mapInPandas` stages.
 
 The Spark-side plumbing — schema, batch iteration, partition behavior —
-is real and tested; the codec step is a STUB because no image/audio
-libraries exist in this container: `decode_stub=True` derives
-deterministic fake features from the payload bytes, and
-`decode_stub=False` raises NotImplementedError where a real
-PIL/ffmpeg/torchcodec call would go.
+is real and tested. The codec step has TWO modes:
+
+- ``decode_stub=True`` (default, the oracle-gated queries' mode):
+  deterministic fake features derived from the payload bytes — no
+  pixel interpretation claimed.
+- ``decode_stub=False`` (round 7): a REAL image path through the
+  pure-Python PNG codec (`sources.png_codec` — stdlib zlib + numpy,
+  no new deps). `attach_png_payload` synthesizes genuine PNG payloads;
+  decode/resize/pHash then parse IHDR, unfilter scanlines, and operate
+  on actual pixels. Non-PNG payloads fail loudly (``ValueError: not a
+  PNG``) — the boundary where a deployment would dispatch to
+  PIL/ffmpeg for other formats.
 """
 
 from __future__ import annotations
@@ -48,26 +55,86 @@ def _fake_decode(payload: bytes) -> float:
     return float(sum(payload)) / max(len(payload), 1)
 
 
-def decode_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """mapInPandas decode/feature-extract stage. Arrow batches in, a
-    feature frame out; one pass, no shuffle — at 100 TB this is a
-    map-only stage whose parallelism is the scan's."""
+def attach_png_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Like :func:`attach_payload`, but every row's payload is a REAL
+    PNG (8-bit greyscale, `sources.png_codec`): the pixels render the
+    text's word-bigram grid (the same locality-preserving raster the
+    stub pHash uses, normalized to uint8), so near-duplicate texts
+    yield near-duplicate images and the real-decode pHash behaves
+    perceptually. The scanline filter type cycles with ``doc_id % 5``,
+    so a corpus-level decode exercises every unfilter path the codec
+    has. Map-only (mapInPandas); meta dims are the true IHDR dims."""
+    import numpy as np
+
+    from hbase_bulkload_spark.sources.png_codec import encode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires an image/audio codec library "
-                    "(PIL/ffmpeg) not present in this environment"
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                grid = _stub_pixels(text.encode())
+                mx = grid.max()
+                px = (grid * (255.0 / mx) if mx else grid).astype(np.uint8)
+                payloads.append(encode_png(px, filter_type=int(did) % 5))
+            modality = ["image", "audio", "video"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": [modality[int(d) % 3] for d in pdf[id_col]],
+                    "payload": payloads,
+                    "meta": [{"width": 32, "height": 32}] * len(pdf),
+                }
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, modality string, payload binary, "
+            "meta struct<width: int, height: int>"
+        ),
+    )
+
+
+def decode_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas decode/feature-extract stage. Arrow batches in, a
+    feature frame out; one pass, no shuffle — at 100 TB this is a
+    map-only stage whose parallelism is the scan's. With
+    ``decode_stub=False`` the payload is parsed as a PNG
+    (`sources.png_codec`): width/height come from IHDR via the actual
+    decoded array, mean_byte is the true pixel mean."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from hbase_bulkload_spark.sources.png_codec import decode_png
+        for pdf in it:
+            if decode_stub:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": pdf["modality"],
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                        "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                        "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                        "mean_byte": pdf["payload"].map(_fake_decode),
+                    }
                 )
+                continue
+            widths, heights, means = [], [], []
+            for p in pdf["payload"]:
+                px = decode_png(bytes(p))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                means.append(float(px.mean()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
-                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
-                    "mean_byte": pdf["payload"].map(_fake_decode),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mean_byte": means,
                 }
             )
 
@@ -87,32 +154,43 @@ def resize(
     decode_stub: bool = True,
 ) -> DataFrame:
     """mapInPandas resize stage (image rows): batch in, batch out, no
-    shuffle — the standard pre-training normalization step. The pixel
-    transform is a STUB (no codec libs in this container): the real
-    branch raises where a PIL `Image.resize` would go; the stub branch
-    keeps the payload and emits target dimensions + the scale factors a
-    real resample would use, so schema, batch shape, and partition
-    behavior are the production ones.
-    """
+    shuffle — the standard pre-training normalization step. The stub
+    branch keeps the payload and emits target dimensions + the scale
+    factors a real resample would use; ``decode_stub=False`` decodes
+    the PNG payload, nearest-neighbor resamples to the target, and
+    re-encodes — a genuine pixel transform through
+    `sources.png_codec`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from hbase_bulkload_spark.sources.png_codec import (
+                decode_png,
+                encode_png,
+                resample_nearest,
+            )
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires an image codec library (PIL) "
-                    "not present in this environment"
-                )
-            width = pdf["meta"].map(lambda m: m["width"]).astype("int32")
-            height = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            if decode_stub:
+                width = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+                height = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+                payloads = pdf["payload"]
+                sx, sy = target_width / width, target_height / height
+            else:
+                payloads, sx, sy = [], [], []
+                for p in pdf["payload"]:
+                    px = decode_png(bytes(p))
+                    out = resample_nearest(px, target_width, target_height)
+                    payloads.append(encode_png(out))
+                    sy.append(target_height / px.shape[0])
+                    sx.append(target_width / px.shape[1])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "width": target_width,
                     "height": target_height,
-                    "scale_x": target_width / width,
-                    "scale_y": target_height / height,
+                    "scale_x": sx,
+                    "scale_y": sy,
                 }
             )
 
@@ -161,15 +239,26 @@ def phash64(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     Everything after the pixels — the orthonormal DCT basis, the
     low-pass crop, the median threshold, the bit pack — is the REAL
     pHash algorithm in vectorized numpy (`einsum` over the Arrow
-    batch); only the pixel decode is the container-constrained stub
-    (`_stub_pixels`; ``decode_stub=False`` raises where a PIL decode
-    would go). Map-only: signature parallelism is the scan's. Like
-    `resize`, only image rows are hashed — audio/video payloads have
-    no pixel interpretation.
+    batch). Pixels come from the locality-preserving stub raster by
+    default; ``decode_stub=False`` decodes the payload as a PNG
+    (`sources.png_codec`), greyscales, and resamples to the 32×32 DCT
+    input — the full real pipeline. Map-only: signature parallelism is
+    the scan's. Like `resize`, only image rows are hashed — audio/video
+    payloads have no pixel interpretation.
     """
     import numpy as np
 
     media = media.filter(F.col("modality") == "image")
+
+    def _real_pixels(payload: bytes):
+        from hbase_bulkload_spark.sources.png_codec import (
+            decode_png,
+            resample_nearest,
+        )
+
+        px = decode_png(payload).astype(np.float64)
+        grey = px.mean(axis=2)  # luma-agnostic channel mean
+        return resample_nearest(grey[:, :, None], 32, 32)[:, :, 0]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         N = 32
@@ -179,15 +268,13 @@ def phash64(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         )
         D[0] /= np.sqrt(2.0)  # orthonormal DCT-II
         shifts = np.arange(64, dtype=np.uint64)
+        pixels = _stub_pixels if decode_stub else (
+            lambda p: _real_pixels(bytes(p))
+        )
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires an image codec library (PIL) "
-                    "not present in this environment"
-                )
             if not len(pdf):
                 continue
-            pix = np.stack([_stub_pixels(p) for p in pdf["payload"]])
+            pix = np.stack([pixels(p) for p in pdf["payload"]])
             dct = np.einsum("ij,njk,lk->nil", D, pix, D)
             block = dct[:, :8, :8].reshape(len(pix), 64)
             med = np.median(block[:, 1:], axis=1)  # DC excluded from median

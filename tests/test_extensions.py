@@ -182,11 +182,11 @@ def test_multimodal_stub_and_frames(docs):
     assert by_id[1].mean_byte == by_id[2].mean_byte  # same text → same payload
     assert {r.modality for r in feats} <= {"image", "audio", "video"}
 
+    # the real-decode boundary fails LOUDLY on non-PNG payloads (the
+    # md5 stub payloads are not images) instead of faking features
     with pytest.raises(Exception) as ei:
         multimodal.decode_features(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    assert "not a PNG" in str(ei.value)
 
     frames = multimodal.frame_sample(media).collect()
     assert all(r.frame_idx % 10 == 0 for r in frames)
@@ -205,9 +205,70 @@ def test_multimodal_resize(docs):
 
     with pytest.raises(Exception) as ei:
         multimodal.resize(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    assert "not a PNG" in str(ei.value)
+
+
+def test_multimodal_real_png_pipeline(docs):
+    """The real-codec path end to end (VERDICT r6 item 8): PNG payloads
+    synthesized distributively, decoded back to true IHDR dims and
+    pixel means, resized through an actual resample + re-encode, and
+    pHashed from genuinely decoded pixels. doc_ids cycle the scanline
+    filter type, so this exercises every unfilter path under Spark."""
+    import numpy as np
+
+    from hbase_bulkload_spark.sources.png_codec import decode_png
+
+    media = multimodal.attach_png_payload(docs)
+    rows = {r.doc_id: r for r in media.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        px = decode_png(bytes(r.payload))  # driver-side independent decode
+        assert px.shape == (32, 32, 1)
+
+    feats = {r.doc_id: r for r in
+             multimodal.decode_features(media, decode_stub=False).collect()}
+    for did, r in feats.items():
+        px = decode_png(bytes(rows[did].payload))
+        assert (r.width, r.height) == (32, 32)
+        assert abs(r.mean_byte - float(px.mean())) < 1e-9
+        assert r.n_bytes == len(bytes(rows[did].payload))
+    # same text -> same pixels -> same mean, regardless of filter type
+    assert feats[1].mean_byte == feats[2].mean_byte
+
+    rs = multimodal.resize(
+        media, target_width=16, target_height=8, decode_stub=False
+    ).collect()
+    assert rs and all(r.modality == "image" for r in rs)
+    for r in rs:
+        out = decode_png(bytes(r.payload))
+        assert out.shape == (8, 16, 1)
+        assert (r.scale_x, r.scale_y) == (16 / 32, 8 / 32)
+
+    # pHash from genuinely decoded pixels: ids all ≡ 0 mod 3 (image
+    # rows), spanning all 5 filter types (id % 5 ∈ {0,3,1,4,2}); ids 0
+    # and 3 share text, so their PNGs differ byte-wise (different
+    # filters) but MUST decode to the same image and hash identically
+    spark = docs.sparkSession
+    img_docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (6, "totally different content for a distant hash value"),
+            (9, "yet another unrelated document body goes here"),
+            (12, "and a fifth body to cover the last filter type"),
+        ],
+        "doc_id long, text string",
     )
+    img_media = multimodal.attach_png_payload(img_docs)
+    real = {r.doc_id: r.phash for r in
+            multimodal.phash64(img_media, decode_stub=False).collect()}
+    assert set(real) == {0, 3, 6, 9, 12}
+    assert real[0] == real[3]
+    assert real[0] != real[6]
+    # determinism
+    again = {r.doc_id: r.phash for r in
+             multimodal.phash64(img_media, decode_stub=False).collect()}
+    assert again == real
 
 
 def test_embedding_dedup_verdicts(spark):
