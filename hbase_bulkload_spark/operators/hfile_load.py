@@ -647,6 +647,7 @@ def scan_hfiles(
         # the batch goes back to the JVM as-is — the old mapInPandas
         # body round-tripped every cell through a pandas object array
         # (to_pandas here, re-Arrow in the serializer) for nothing
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -676,8 +677,12 @@ def scan_hfiles(
                     m2 = pc.less(rowkey, hi)
                     mask = m2 if mask is None else pc.and_(mask, m2)
                 n = len(rowkey)
-                region_arr = pa.array([task["region"]] * n, pa.string()) \
-                    if n else pa.array([], pa.string())
+                # constant column materialized by a C-level take, not a
+                # Python list multiply (splits run to ~1.5M cells)
+                region_arr = pc.take(
+                    pa.array([task["region"]], pa.string()),
+                    pa.array(np.zeros(n, np.int32)),
+                )
                 arrays = [region_arr, rowkey] + [cols[c] for c in keep]
                 out = pa.RecordBatch.from_arrays(
                     arrays, ["region", "rowkey", *keep]
