@@ -53,6 +53,7 @@ per-query regression analysis should wait for an idle re-probe.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -66,8 +67,14 @@ from hbase_bulkload_spark.sources import records  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-#: Idle-machine seconds for the fixed calibration work (min of 10 across
-#: two --calibrate runs on this VM while otherwise idle, 2026-08-15).
+#: Idle-machine seconds for the fixed calibration work. History: 1.164
+#: (r6, 2026-08-15 morning) -> 0.55 (r7, same VM, same day, afternoon:
+#: five idle --calibrate runs 0.55-0.62) — this VM's burst-credit clock
+#: swings ~2x BETWEEN idle sessions, so the committed nominal is the
+#: most recent idle measurement and the verdict is only meaningful
+#: same-session; cross-session comparisons should read the recorded
+#: calib_sec probes, not the ok/throttled stamp. Re-measure with
+#: `python bench.py --calibrate` whenever the stamp looks implausible.
 #: The throttle verdict compares each run's probes against this. The
 #: committed value is for THIS fleet's VM class; on other hardware set
 #: SPARK_GRAFT_CALIB_NOMINAL=<idle seconds from `python bench.py
@@ -86,7 +93,7 @@ def _resolve_nominal(env_value: str | None, default: float | None) -> float | No
 
 
 CALIB_NOMINAL_SEC: float | None = _resolve_nominal(
-    os.environ.get("SPARK_GRAFT_CALIB_NOMINAL"), 1.164
+    os.environ.get("SPARK_GRAFT_CALIB_NOMINAL"), 0.58
 )
 CALIB_ITERS = 1_600_000
 #: probe/nominal ratio above which the run is stamped "throttled"
@@ -197,7 +204,12 @@ def main() -> None:
         spark._jvm.System.gc()  # start each pass from a clean heap
         pass_times: dict[str, float] = {}
         for name, fn in queries.items():
-            spark._jvm.System.gc()  # untimed: charge GC debt to no neighbor
+            # untimed, ordered: Python GC first so py4j drops the refs
+            # that pin earlier queries' localCheckpoint RDD blocks
+            # (ContextCleaner can only unpersist what Python released),
+            # THEN JVM GC — charge neither's debt to a neighbor
+            gc.collect()
+            spark._jvm.System.gc()
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             pass_times[name] = time.time() - t0
