@@ -31,6 +31,8 @@ _DRIVER_WINDOW_FIRST = (
     # oracles now carry the md5-ranked BRUTE_CHECK_CAP subset, so the
     # official record needs fresh rows proving the bounded pattern green
     "q_dedup_near", "q_dedup_incremental_minhash", "q_sim_pairs_lsh",
+    # new in round 7: the real-PNG-codec decode (fixture-backed oracle)
+    "q_multimodal_decode_real",
     # rotation hygiene, round 3 (round-6 brief item 7): every key below
     # last received a driver row in round 2, 3 or 4 — green then,
     # untouched since — so they fill the rest of this round's ~50-slot

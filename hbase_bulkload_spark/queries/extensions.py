@@ -1138,6 +1138,36 @@ def q_multimodal_decode(spark, sf_dir) -> DataFrame:
     return multimodal.decode_features(media, decode_stub=True)
 
 
+def q_multimodal_decode_real(spark, sf_dir) -> DataFrame:
+    """Op 56 with the REAL codec (round 7): genuine PNG payloads
+    synthesized per doc (`attach_png_payload`; scanline filter type
+    cycles with doc_id, so the corpus exercises every unfilter path),
+    then decoded back through `sources.png_codec` — true IHDR dims and
+    exact pixel means. FULL ORACLE via the committed reference fixture
+    (tests/fixtures/png_decode_ref.parquet,
+    tools/gen_png_oracle_fixture.py — an INDEPENDENT pure-Python
+    replay of the raster + uint8 normalize + mean that never touches
+    the codec), keyed by corpus_chars like the BPE fixtures: a green
+    row proves the encode→decode round trip is pixel-exact corpus-wide
+    (mean is exact in float64 — integer sum, power-of-two divisor — so
+    the compare carries no rounding slack). Map-only ×2; parallelism
+    is the scan's (floored: per-row PNG codec work is the heavy case,
+    same policy as q_multimodal_phash)."""
+    media = multimodal.attach_png_payload(_docs(spark, sf_dir, floor=True))
+    feats = multimodal.decode_features(media, decode_stub=False)
+    return feats.select("doc_id", "width", "height", "mean_byte")
+
+
+ORACLES_PNG_REAL = """
+    SELECT f.doc_id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           f.mean_byte
+    FROM read_parquet('/root/repo/tests/fixtures/png_decode_ref.parquet') f
+    WHERE f.corpus_chars = (SELECT SUM(n_chars) FROM documents)
+"""
+
+
 def q_multimodal_resize(spark, sf_dir) -> DataFrame:
     """Op 56b: image-row resize stage — map-only mapInPandas batch
     transform. Stub emits target dims + scale factors (deterministic, so
@@ -1315,6 +1345,7 @@ QUERIES = {
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_repetition": q_text_repetition,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_decode_real": q_multimodal_decode_real,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_phash": q_multimodal_phash,
@@ -2112,6 +2143,10 @@ _BANDING_VERDICT_SQL = f"""
 """
 ORACLES["q_dedup_simhash"] = _BANDING_VERDICT_SQL
 ORACLES["q_multimodal_phash"] = _BANDING_VERDICT_SQL
+# Committed reference fixture (tools/gen_png_oracle_fixture.py): the
+# independent raster replay — a green row proves the PNG encode→decode
+# round trip is pixel-exact corpus-wide (see q_multimodal_decode_real).
+ORACLES["q_multimodal_decode_real"] = ORACLES_PNG_REAL
 
 # Committed reference fixture (tools/gen_bpe_oracle_fixture.py): the
 # iterative argmax loop has no SQL re-derivation; an independent
