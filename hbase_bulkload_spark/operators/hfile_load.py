@@ -38,15 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from hbase_bulkload_spark.sources import hfile as hf
 
 
-def _as_bytes(col) -> list[bytes]:
-    # str in the canonical hex-key mode; already bytes in the
-    # reference-fidelity raw-key/positional modes
-    vals = col.tolist()
-    if vals and isinstance(vals[0], str):
-        return [v.encode() for v in vals]
-    return vals
-
-
 def task_file_label() -> str:
     """``{partitionId}-{taskAttemptId}`` — file names must be unique
     PER ATTEMPT, not per partition: with speculative execution (or a
@@ -61,57 +52,6 @@ def task_file_label() -> str:
     return f"{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
 
 
-def write_partition_cells(
-    batches,
-    out_dir: str,
-    task_label: str,
-    compression: str | None = "snappy",
-    ts: int = 0,
-) -> list[dict]:
-    """Executor-side body shared by `write_region_hfiles` and the
-    `format("hfile")` DataSource writer: stream pandas batches of the
-    region-aligned KV contract (rowkey, family, qualifier, value,
-    bucket — sorted by (bucket, rowkey, qualifier)) into one open
-    HFileWriter per bucket; returns one manifest dict per file.
-    ``task_label`` should come from :func:`task_file_label`.
-
-    Attempts stream into a ``.tmp``-suffixed name (outside the
-    ``part-*.hfile`` namespace committed readers and the job-commit
-    orphan sweep look at) and rename to the final name only on task
-    completion, so a file is visible under its final name either fully
-    written or not at all — a killed/zombie attempt leaves at worst a
-    ``.tmp`` straggler, not a half-written ``part-*`` file."""
-    writers: dict[str, hf.HFileWriter] = {}
-    finals: dict[str, str] = {}
-    for pdf in batches:
-        for bucket, grp in pdf.groupby("bucket", sort=False):
-            w = writers.get(bucket)
-            if w is None:
-                path = os.path.join(out_dir, f"part-{task_label}-{bucket}.hfile")
-                finals[bucket] = path
-                w = writers[bucket] = hf.HFileWriter(path + ".tmp", compression)
-            w.add_many(
-                _as_bytes(grp["rowkey"]),
-                _as_bytes(grp["family"]),
-                _as_bytes(grp["qualifier"]),
-                ts,
-                _as_bytes(grp["value"]),
-            )
-    out = []
-    for bucket, w in writers.items():
-        m = w.close()
-        os.replace(m["path"], finals[bucket])  # task-commit rename
-        out.append(
-            {
-                "path": finals[bucket],
-                "bucket": bucket,
-                "entry_count": m["entry_count"],
-                "n_blocks": m["n_blocks"],
-            }
-        )
-    return out
-
-
 def write_partition_cells_arrow(
     batches,
     out_dir: str,
@@ -119,14 +59,26 @@ def write_partition_cells_arrow(
     compression: str | None = "snappy",
     ts: int = 0,
 ) -> list[dict]:
-    """Arrow-native executor body for :func:`write_region_hfiles`
-    (``mapInArrow``): same contract and byte-identical files as
-    :func:`write_partition_cells`, but the batch columns feed
-    ``HFileWriter.add_many_arrow`` directly — no pandas object arrays,
-    no per-cell Python bytes on the write path at all. Buckets are
-    contiguous within a sorted partition, so grouping is a run-length
-    split over the bucket column (one C-level compare pass per batch);
-    a writer per bucket persists across batches exactly as before."""
+    """Executor-side body shared by `write_region_hfiles` (mapInArrow)
+    and the `format("hfile")` DataSource writer: stream Arrow record
+    batches of the region-aligned KV contract (rowkey, family,
+    qualifier, value, bucket — sorted by (bucket, rowkey, qualifier))
+    into one open HFileWriter per bucket; returns one manifest dict per
+    file. ``task_label`` should come from :func:`task_file_label`.
+    Batch columns feed ``HFileWriter.add_many_arrow`` directly — no
+    pandas object arrays, no per-cell Python bytes on the write path at
+    all (string columns are cast to binary once, C-level — the
+    reference-fidelity raw-key/positional modes pass binary already).
+    Buckets are contiguous within a sorted partition, so grouping is a
+    run-length split over the bucket column (one C-level compare pass
+    per batch); a writer per bucket persists across batches.
+
+    Attempts stream into a ``.tmp``-suffixed name (outside the
+    ``part-*.hfile`` namespace committed readers and the job-commit
+    orphan sweep look at) and rename to the final name only on task
+    completion, so a file is visible under its final name either fully
+    written or not at all — a killed/zombie attempt leaves at worst a
+    ``.tmp`` straggler, not a half-written ``part-*`` file."""
     import numpy as np
     import pyarrow.compute as pc
 

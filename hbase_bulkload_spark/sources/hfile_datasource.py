@@ -249,15 +249,17 @@ class HFileSinkWriter(DataSourceArrowWriter):
         self.ts = int(options.get("ts", 0))
 
     def write(self, iterator) -> "HFileCommit":
+        # the DataSource API hands Arrow record batches — feed them to
+        # the arrow executor body directly (round 7; the former
+        # to_pandas() hop materialized every cell as a Python object)
         from hbase_bulkload_spark.operators.hfile_load import (
             task_file_label,
-            write_partition_cells,
+            write_partition_cells_arrow,
         )
 
         os.makedirs(self.path, exist_ok=True)
-        pdfs = (b.to_pandas() for b in iterator)
-        manifest = write_partition_cells(
-            pdfs,
+        manifest = write_partition_cells_arrow(
+            iterator,
             self.path,
             task_file_label(),  # attempt-unique: speculative-safe
             self.compression,
@@ -275,7 +277,7 @@ class HFileSinkWriter(DataSourceArrowWriter):
         # references — delete it so directory globbers (not just
         # manifest readers) see only committed files. BEST-EFFORT, not
         # an invariant: attempts write under .tmp names and rename only
-        # on task completion (see write_partition_cells), so the
+        # on task completion (see write_partition_cells_arrow), so the
         # remaining race is one rename instant — a zombie attempt that
         # completes AFTER this glob can still leave one orphan, and the
         # sweep assumes this job owns the directory (concurrent writers
