@@ -204,12 +204,17 @@ class HFileReader(DataSourceReader):
             want_value="value" in self.keep,
         )
         n = len(cols["rowkey"])
+        # constant column via a C-level take, not a Python list multiply
+        # (a split runs to ~50k cells at the 2 MB default)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        region_arr = pc.take(
+            pa.array([partition.region], pa.string()),
+            pa.array(np.zeros(n, np.int32)),
+        )
         yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([partition.region] * n, pa.string()),
-                cols["rowkey"],
-            ]
-            + [cols[c] for c in self.keep],
+            [region_arr, cols["rowkey"]] + [cols[c] for c in self.keep],
             schema=arrow_schema,
         )
 
