@@ -945,27 +945,68 @@ def _validate_history_bands(
     threshold-derived banding defaults would have armed for anyone
     with a pre-round-6 index on disk). Indexes written by
     :func:`minhash_band_index` carry their parameters as constant
-    columns — validated with one ``first()`` (O(1): one row of one
-    parquet row group, any corpus size). Legacy 3-column indexes fall
-    back to an aggregate over the RLE'd ``band`` column asserting the
-    distinct band count — that catches every historical default
-    change ((16,4) → threshold-derived) though not a same-bands
-    different-k remix. Empty indexes (first increment) skip
-    validation; there is nothing to mismatch."""
+    columns. A persisted index dir is a UNION of per-batch increments,
+    so the parameters are validated with one AGGREGATE over the whole
+    frame, not ``first()``: a dir mixing increments written under
+    different parameters (a threshold change mid-stream, or legacy
+    3-column batches null-filled by a mergeSchema read) would pass a
+    first()-check on whichever row comes first while the other
+    increments' band keys silently never match — the exact failure
+    this guard exists to close. The aggregate is still cheap: the
+    columns are RLE'd constants, so it is one map-side combine per
+    file. Null parameter rows (legacy increments under mergeSchema)
+    are validated with the legacy fallback — the RLE'd ``band``
+    column's max must equal ``bands - 1`` — which catches every
+    historical default change ((16,4) → threshold-derived) though not
+    a same-bands different-k remix. Pure legacy 3-column indexes take
+    the same fallback over all rows. Empty indexes (first increment)
+    skip validation; there is nothing to mismatch."""
     cols = set(history_bands.columns)
     if {"k", "bands", "n"} <= cols:
-        row = history_bands.select("k", "bands", "n").first()
-        if row is None:
-            return
-        if (row["k"], row["bands"], row["n"]) != (k, bands, n):
+        st = history_bands.agg(
+            F.count_distinct(
+                F.when(F.col("k").isNotNull(), F.struct("k", "bands", "n"))
+            ).alias("nd"),
+            F.first("k", ignorenulls=True).alias("got_k"),
+            F.first("bands", ignorenulls=True).alias("got_bands"),
+            F.first("n", ignorenulls=True).alias("got_n"),
+            F.sum(F.col("k").isNull().cast("long")).alias("legacy_rows"),
+            F.max(F.when(F.col("k").isNull(), F.col("band"))).alias(
+                "legacy_max_band"
+            ),
+        ).first()
+        if st is None or (st["nd"] == 0 and not st["legacy_rows"]):
+            return  # empty index: nothing to mismatch
+        if st["nd"] > 1:
             raise ValueError(
-                f"history_bands was built with (k={row['k']}, "
-                f"bands={row['bands']}, n={row['n']}) but this call "
-                f"derives (k={k}, bands={bands}, n={n}); band keys "
-                "would never match and every history dup would be "
+                f"history_bands mixes {st['nd']} distinct (k, bands, n) "
+                "parameter sets — increments were written under "
+                "different banding (e.g. a threshold change "
+                "mid-stream); band keys from the older increments "
+                "would never match and their history dups would be "
                 "silently missed. Rebuild the index with "
+                "minhash_band_index at one parameter set."
+            )
+        if st["nd"] == 1 and (
+            st["got_k"], st["got_bands"], st["got_n"]
+        ) != (k, bands, n):
+            raise ValueError(
+                f"history_bands was built with (k={st['got_k']}, "
+                f"bands={st['got_bands']}, n={st['got_n']}) but this "
+                f"call derives (k={k}, bands={bands}, n={n}); band "
+                "keys would never match and every history dup would "
+                "be silently missed. Rebuild the index with "
                 "minhash_band_index at the current parameters, or pass "
                 "the index's parameters explicitly."
+            )
+        got = st["legacy_max_band"]
+        if got is not None and got != bands - 1:
+            raise ValueError(
+                f"history_bands contains legacy increments (null "
+                f"parameter columns) with band ids 0..{got} but this "
+                f"call derives bands={bands}; their band keys would "
+                "never match. Rebuild those increments with "
+                "minhash_band_index at the current parameters."
             )
         return
     got = history_bands.agg(F.max("band").alias("mx")).first()["mx"]

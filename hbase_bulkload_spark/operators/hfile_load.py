@@ -69,9 +69,16 @@ def write_partition_cells_arrow(
     pandas object arrays, no per-cell Python bytes on the write path at
     all (string columns are cast to binary once, C-level — the
     reference-fidelity raw-key/positional modes pass binary already).
-    Buckets are contiguous within a sorted partition, so grouping is a
-    run-length split over the bucket column (one C-level compare pass
-    per batch); a writer per bucket persists across batches.
+    Contract (stronger than the old pandas groupby's): the bucket
+    column is NON-NULL and equal buckets are CONTIGUOUS within the
+    partition — grouping is a run-length split over the bucket column
+    (one C-level compare pass per batch), so a non-contiguous bucket
+    would open a second writer mid-file and nulls would propagate
+    through ``pc.not_equal`` and silently merge adjacent runs into the
+    wrong bucket's HFile. The KV contract (sorted by (bucket, rowkey,
+    qualifier), bucket from a non-null key) guarantees both; the null
+    half is asserted loudly per batch. A writer per bucket persists
+    across batches.
 
     Attempts stream into a ``.tmp``-suffixed name (outside the
     ``part-*.hfile`` namespace committed readers and the job-commit
@@ -92,6 +99,13 @@ def write_partition_cells_arrow(
         col = {c: rb.column(names.index(c)) for c in
                ("rowkey", "family", "qualifier", "value", "bucket")}
         bkt = col["bucket"]
+        if bkt.null_count:
+            raise ValueError(
+                f"bucket column has {bkt.null_count} null(s); the KV "
+                "contract guarantees a non-null bucket and the "
+                "run-length split would silently merge runs across a "
+                "null boundary"
+            )
         if n > 1:
             neq = pc.not_equal(bkt.slice(1), bkt.slice(0, n - 1)).to_numpy(
                 zero_copy_only=False

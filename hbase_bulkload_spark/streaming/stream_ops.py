@@ -516,9 +516,16 @@ def start_incremental_near_dedup_sink(
             # keep the (k, bands, n) parameter columns aboard: the
             # dedup call validates them against its derived banding,
             # so an index persisted under older defaults fails loudly
-            # instead of silently matching zero band keys
+            # instead of silently matching zero band keys. mergeSchema
+            # because the dir can mix pre-parameter 3-column batches
+            # with 6-column ones across an upgrade boundary — without
+            # it the parameter columns' presence depends on which
+            # file's footer Spark samples; with it legacy batches read
+            # as null parameters, which the validator treats as legacy
+            # rows (band-count fallback) rather than a mismatch
             stored_bands = (
-                spark.read.parquet(index_dir)
+                spark.read.option("mergeSchema", "true")
+                .parquet(index_dir)
                 .filter(F.col("batch_id") < batch_id)
                 .drop("batch_id")
             )

@@ -327,7 +327,11 @@ def test_lsh_banding_params_tiny_threshold_no_underflow():
         k, bands = dedup.lsh_banding_params(t)
         rows = k // bands
         assert rows >= 2 and k % bands == 0
+        # the r=2 fallback still sizes b from the recall floor (max_k
+        # is the soft budget, recall is not), so the design floor is
+        # the real assertion even at tiny thresholds — the previous
+        # `or bands >= 1` clause made this vacuously true
         recall_at_t = 1.0 - (1.0 - t**rows) ** bands
-        assert recall_at_t >= 0.98 or bands >= 1  # sized, not crashed
+        assert recall_at_t >= 0.98, (t, k, bands, recall_at_t)
     with pytest.raises(ValueError, match="too small"):
         dedup.lsh_banding_params(1e-200)

@@ -946,6 +946,54 @@ def test_incremental_minhash_rejects_mismatched_stored_index(spark, sf_dir):
     )
 
 
+def test_incremental_minhash_rejects_mixed_parameter_index(spark, sf_dir):
+    """A persisted index dir is a UNION of per-batch increments, so
+    validation must aggregate over the whole frame: a dir mixing
+    increments written under different (k, bands, n) — a threshold
+    change mid-stream — used to pass a first()-row check on whichever
+    increment came first while the others' band keys silently never
+    matched. Also: legacy increments surfaced as NULL parameter rows by
+    a mergeSchema read must take the band-count fallback (loud on
+    band-count mismatch, quiet when compatible), not a confusing
+    (k=None) mismatch error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 3 != 0).limit(50)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    good = dedup.minhash_band_index(hist, threshold=0.5)
+    old = dedup.minhash_band_index(hist, k=16, bands=4)
+    mixed = good.unionByName(old)
+    with pytest.raises(ValueError, match="mixes 2 distinct"):
+        dedup.incremental_minhash_dedup(
+            hist, batch, threshold=0.5, history_bands=mixed
+        )
+    # legacy nulls (mergeSchema across an upgrade boundary), wrong
+    # band count → loud legacy error naming the fallback
+    nulls = lambda df: df.select(
+        "band", "bkey", "doc_id",
+        F.lit(None).cast("int").alias("k"),
+        F.lit(None).cast("int").alias("bands"),
+        F.lit(None).cast("int").alias("n"),
+    )
+    with pytest.raises(ValueError, match="legacy increments"):
+        dedup.incremental_minhash_dedup(
+            hist, batch, threshold=0.5,
+            history_bands=good.unionByName(nulls(old)),
+        )
+    # legacy nulls whose band count matches the derived banding pass
+    # the fallback (same-bands different-k remixes are the documented
+    # blind spot) and still dedup
+    out = dedup.incremental_minhash_dedup(
+        hist, batch, threshold=0.5,
+        history_bands=good.unionByName(nulls(good)),
+    )
+    assert out.count() == 20
+
+
 def test_incremental_ngram_matches_batch_pairs(spark, sf_dir):
     """Consistency with the batch pair operator: on the documents
     corpus, a batch doc's history verdict must agree with
