@@ -20,8 +20,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-LSH_SEED = 42
 EMBED_DIM = 64
+#: Fixed-point scale for the LSH projection: embeddings are float32, so
+#: v * 2^20 is EXACT in float64 (a power-of-two exponent shift) and
+#: floor(v * 2^20 + 0.5) is a deterministic int64 in numpy and in any
+#: SQL engine — the signature becomes pure integer arithmetic, immune
+#: to float summation order. 2^-20 granularity is ~1e-6 on O(0.1)-scale
+#: components; the per-round RECALL artifact re-measures the floors.
+LSH_QUANT = 1 << 20
 
 
 def _dvec(col: Column) -> Column:
@@ -265,10 +271,36 @@ def cross_cosine_pairs(
 
 
 def _hyperplanes(n_planes: int, n_tables: int) -> np.ndarray:
-    """Deterministic hyperplanes (seeded MT19937 — identical on every
-    executor and every run)."""
-    rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((n_tables, n_planes, EMBED_DIM))
+    """Integer hyperplanes derived from md5("t_p_d") — deterministic on
+    every executor AND engine-reproducible: the DuckDB oracle for the
+    raw LSH pair query regenerates the identical planes in SQL (md5 is
+    the one hash both engines share), which is what makes the raw
+    production arm full-oracle instead of rows-only.
+
+    Entry = Irwin-Hall(6) centered sum of the digest's six leading
+    16-bit words (Σ uᵢ − 3·65535, uᵢ ∈ [0, 65535]) — an integer-valued
+    ≈Gaussian. The distribution matters: a first cut used Rademacher
+    ±1 entries (Achlioptas-style) and MEASURED pair recall at
+    sf1.0-density fell 0.90 → 0.83 — the synthetic embeddings are not
+    rotation-symmetric, so sign-LSH's collision-vs-angle curve needs
+    (near-)spherically-symmetric planes; the Irwin-Hall entries
+    restore the seeded-Gaussian recall (RECALL artifact re-measures
+    per round). Integer entries keep the projection EXACT int64
+    arithmetic after the LSH_QUANT fixed-point step — bit-identical
+    across engines, no float-summation-order sensitivity in the sign
+    (|dot| ≤ 64 · 2²¹ · 196605 ≈ 2.6e13, well inside int64)."""
+    import hashlib
+
+    planes = np.empty((n_tables, n_planes, EMBED_DIM), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(EMBED_DIM):
+                h = hashlib.md5(f"{t}_{p}_{d}".encode()).hexdigest()
+                planes[t, p, d] = (
+                    sum(int(h[4 * i : 4 * i + 4], 16) for i in range(6))
+                    - 196605
+                )
+    return planes
 
 
 def ivf_auto_params(
@@ -322,17 +354,37 @@ def lsh_auto_params(
     path, not unbounded tables."""
     import math
 
-    q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     planes = max(min_planes, math.ceil(math.log2(max(n_rows, 2))))
+    return planes, lsh_tables_for_planes(
+        planes, threshold, target_recall, probe_radius, max_tables
+    )
+
+
+def lsh_tables_for_planes(
+    planes: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    probe_radius: int = 1,
+    max_tables: int = 32,
+) -> int:
+    """Table count for a given plane count — the second half of
+    :func:`lsh_auto_params`, split out so the DuckDB oracle can embed
+    a Python-computed (planes → tables) lookup literal instead of
+    re-deriving the transcendental math in SQL (a ceil() boundary that
+    rounds differently between libm builds would silently change the
+    emitted pair set; a lookup computed once here cannot)."""
+    import math
+
+    q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     r = 1.0 - q
     p_hit = q**planes
     if probe_radius == 1:
         p_hit += planes * r * q ** (planes - 1)
         p_hit += math.comb(planes, 2) * r * r * q ** (planes - 2)
     if p_hit >= 1.0:
-        return planes, 1
+        return 1
     tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_hit))
-    return planes, max(1, min(max_tables, tables))
+    return max(1, min(max_tables, tables))
 
 
 def _rowwise_raw_cosine_udf():
@@ -357,16 +409,21 @@ def _rowwise_raw_cosine_udf():
 
 def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
     """Arrow-batched signature: per table, the sign-bit pattern of the
-    vector against `n_planes` hyperplanes, packed into an int."""
+    vector against `n_planes` integer ≈Gaussian hyperplanes, packed
+    into an int. The projection is exact int64 arithmetic on LSH_QUANT
+    fixed-point components (see :func:`_hyperplanes`), so the signature is a pure
+    function of the bytes of the embedding — identical in numpy and in
+    the DuckDB oracle's SQL replay."""
     planes = _hyperplanes(n_planes, n_tables)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def sig(vecs: pd.Series) -> pd.Series:
-        V = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)  # float32 → exact
+        Q = np.floor(V * LSH_QUANT + 0.5).astype(np.int64)  # exact: 2^20 shift
         out = []
         for t in range(n_tables):
-            bits = (V @ planes[t].T) > 0  # (batch, planes)
+            bits = (Q @ planes[t].T) > 0  # (batch, planes), int64-exact
             out.append(bits.astype(np.int64) @ weights)
         packed = np.stack(out, axis=1)  # (batch, tables)
         return pd.Series(list(packed))

@@ -26,33 +26,31 @@ _MODULES = ("ingest", "relational", "semantics", "streaming", "udf", "extensions
 # New queries should be appended HERE, not left at module-order position,
 # until they have a recorded driver row.
 _DRIVER_WINDOW_FIRST = (
-    # round 7 head: the three bounded-twin verdict queries — their
-    # output schemas grew (n_docs/n_vecs/n_checked columns) and their
-    # oracles now carry the md5-ranked BRUTE_CHECK_CAP subset, so the
-    # official record needs fresh rows proving the bounded pattern green
-    "q_dedup_near", "q_dedup_incremental_minhash", "q_sim_pairs_lsh",
-    # new in round 7: the real-PNG-codec decode (fixture-backed oracle)
-    "q_multimodal_decode_real",
-    # rotation hygiene, round 3 (round-6 brief item 7): every key below
-    # last received a driver row in round 2, 3 or 4 — green then,
-    # untouched since — so they fill the rest of this round's ~50-slot
-    # window, keeping every key's official record ≤ 3 rounds old.
-    # Oldest (r2) first.
-    "q_join_cross", "q_sql_star", "q_agg_groupby", "q_agg_count_distinct",
-    "q_agg_rollup", "q_agg_conditional", "q_window_rank", "q_window_lag",
-    "q_window_moving", "q_join_range_binned", "q_sql_tpch3", "q_sql_tpch5",
-    "q_agg_histogram", "q_agg_string_agg", "q_agg_argmax", "q_agg_cube",
-    "q_agg_grouping_sets",
-    # r3-latest keys
-    "q_stream_join", "q_events_funnel", "q_events_gapfill",
-    "q_events_retention", "q_events_anomaly", "q_udf_rowkey",
-    "q_udaf_grouped", "q_udtf_cells", "q_scan_jsonl", "q_decontaminate",
-    "q_text_redact", "q_dedup_exact", "q_dedup_ngram", "q_dedup_embed",
-    "q_dedup_components", "q_sim_topk", "q_sim_pairs", "q_text_tokens",
-    "q_text_quality", "q_text_langid", "q_text_fingerprint",
-    # r4-latest keys
-    "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-    "q_stream_stateful",
+    # round 8 head: the three raw production arms, new this round —
+    # never had a driver row; their oracles are the uncapped exact
+    # twins (MinHash: banding catches every fixture pair) and the
+    # engine-exact SQL replay of the hyperplane-LSH pipeline
+    "q_dedup_near_raw", "q_dedup_incremental_minhash_raw",
+    "q_sim_pairs_lsh_raw",
+    # rotation hygiene, round 4 (round-7 verdict item 4): the 45 keys
+    # below last received a driver row in round 5 — green then,
+    # re-verified locally since — so they fill the rest of this
+    # round's ~50-slot window, keeping every key's official driver
+    # record ≤ 3 rounds old.
+    "q_agg_approx_distinct", "q_agg_approx_quantile", "q_agg_hll_sketch",
+    "q_bpe_encode", "q_bulkload_hfile", "q_bulkload_pipeline",
+    "q_chunk_documents", "q_compaction", "q_curate_corpus",
+    "q_dedup_incremental", "q_dedup_incremental_embed",
+    "q_dedup_incremental_near", "q_dedup_semantic", "q_dedup_substring",
+    "q_embed_quantize", "q_index_seek", "q_kv_index_lookup", "q_kv_scan",
+    "q_length_buckets", "q_mix_corpus", "q_multi_get",
+    "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_resize",
+    "q_pack_sequences", "q_pivot_agg", "q_profile_table",
+    "q_sample_stratified", "q_scan_avro_ds", "q_scan_rcfile_ds",
+    "q_skew_report", "q_source_mix", "q_split_dataset", "q_sql_exists",
+    "q_sql_tpch1", "q_sql_tpch10", "q_stream_tumbling", "q_string_fuzzy",
+    "q_table_diff", "q_text_logprob", "q_text_repetition", "q_text_tfidf",
+    "q_text_vocab", "q_window_firstlast", "q_window_range_frame",
 )
 
 

@@ -7,6 +7,8 @@ hamming ≤ 3 with 4 × 16-bit chunks — so there the sets must be EQUAL."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from hbase_bulkload_spark.operators import dedup, similarity
@@ -330,8 +332,13 @@ def test_lsh_banding_params_tiny_threshold_no_underflow():
         # the r=2 fallback still sizes b from the recall floor (max_k
         # is the soft budget, recall is not), so the design floor is
         # the real assertion even at tiny thresholds — the previous
-        # `or bands >= 1` clause made this vacuously true
-        recall_at_t = 1.0 - (1.0 - t**rows) ** bands
+        # `or bands >= 1` clause made this vacuously true. Evaluate
+        # recall via log1p/expm1, the derivation's own float path:
+        # the naive (1 - t**rows)**bands loses ~1e-4 relative precision
+        # in the 1.0 - tr rounding (ulp near 1.0 is 2.2e-16 against a
+        # 1e-12 gap) and bands ~ 4e12 amplifies that into a spurious
+        # 1e-5 recall shortfall at t = 1e-6
+        recall_at_t = -math.expm1(bands * math.log1p(-(t**rows)))
         assert recall_at_t >= 0.98, (t, k, bands, recall_at_t)
     with pytest.raises(ValueError, match="too small"):
         dedup.lsh_banding_params(1e-200)

@@ -71,3 +71,72 @@ def test_gemm_blocks_bounds(n):
     # blocks track ~4096-vector targets until the cap
     if 4096 < n <= 128 * 4096:
         assert (b - 1) * 4096 < n <= b * 4096
+
+
+def test_lsh_plane_derivation_engine_parity():
+    """The raw LSH pair oracle replays the ENTIRE pipeline in DuckDB,
+    so the two engine-derived pieces must agree exactly with Python for
+    every corpus size the gates use (and the tricky boundaries):
+
+    - planes = max(8, ceil(log2 n)) is re-derived in SQL — powers of
+      two are the exact-boundary case for ceil(log2);
+    - plane entries are the centered Irwin-Hall(6) md5 word sums —
+      re-derived in SQL via '0x' hex casts.
+
+    A silent divergence in either changes the emitted pair set with no
+    error anywhere; this pins both, so the failure is a named test."""
+    import duckdb
+    import math
+
+    from hbase_bulkload_spark.operators import similarity as S
+
+    con = duckdb.connect()
+    ns = [2, 3, 50, 200, 255, 256, 257, 500, 1023, 1024, 1025, 2000,
+          20000, 60000, 65536, 200000, 1 << 20, (1 << 20) + 1, 10**9]
+    for n in ns:
+        py_planes = max(8, math.ceil(math.log2(max(n, 2))))
+        sql_planes = con.execute(
+            "SELECT GREATEST(8, CAST(CEIL(LOG2(GREATEST(?, 2))) AS INTEGER))",
+            [n],
+        ).fetchone()[0]
+        assert sql_planes == py_planes, (n, sql_planes, py_planes)
+
+    planes = S._hyperplanes(3, 2)  # (tables=2, planes=3, EMBED_DIM)
+    rows = con.execute(
+        """
+        WITH ph AS (
+            SELECT t, p, d,
+                   md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR)
+                       || '_' || CAST(d AS VARCHAR)) AS h
+            FROM (SELECT UNNEST(range(0, 2)) AS t),
+                 (SELECT UNNEST(range(0, 3)) AS p),
+                 (SELECT UNNEST(range(0, 64)) AS d)
+        )
+        SELECT t, p, d,
+               CAST(CAST('0x' || substr(h, 1, 4) AS INTEGER)
+                  + CAST('0x' || substr(h, 5, 4) AS INTEGER)
+                  + CAST('0x' || substr(h, 9, 4) AS INTEGER)
+                  + CAST('0x' || substr(h, 13, 4) AS INTEGER)
+                  + CAST('0x' || substr(h, 17, 4) AS INTEGER)
+                  + CAST('0x' || substr(h, 21, 4) AS INTEGER)
+                  - 196605 AS BIGINT) AS w
+        FROM ph
+        """
+    ).fetchall()
+    assert len(rows) == 2 * 3 * 64
+    for t, p, d, w in rows:
+        assert w == planes[t, p, d], (t, p, d, w, planes[t, p, d])
+
+
+def test_lsh_tables_lookup_matches_auto_params():
+    """The oracle's (planes → tables) VALUES literal is generated from
+    lsh_tables_for_planes; lsh_auto_params must route through the same
+    function so the literal can never drift from the production
+    sizing."""
+    from hbase_bulkload_spark.operators import similarity as S
+    from hbase_bulkload_spark.queries.extensions import SIM_THRESHOLD
+
+    for n in (2, 500, 2000, 20000, 60000, 10**6, 10**9):
+        planes, tables = S.lsh_auto_params(n, SIM_THRESHOLD)
+        assert tables == S.lsh_tables_for_planes(planes, SIM_THRESHOLD), n
+        assert 8 <= planes <= 64  # lookup literal covers 8..64
