@@ -126,6 +126,45 @@ def _host_id() -> dict:
     return {"cpus": os.cpu_count(), "cpu_model": model}
 
 
+def _recycle_python_workers(spark) -> str:
+    """Drain every PythonWorkerFactory's idle-worker pool (the daemon
+    stays up; the next Python stage re-forks fresh workers from it —
+    COW-cheap, ~1 s for all 32, measured).
+
+    Round-8 fix for the round-7 diagnosis (SURVEY §6 r7 note 1): pandas
+    stages leave bloated idle workers (hundreds of MB RSS each) in the
+    shared local-mode pool, and later Python-stage queries pay the OS
+    memory-reclaim for their neighbors' leftovers — ±20-100% in-registry
+    noise on keys like q_bulkload_hfile (12.6 s in-artifact vs ~6-7 s
+    warm in a plain session). Capping the pool
+    (PYTHON_FACTORY_IDLE_WORKER_MAX_POOL_SIZE) was A/B-rejected in r7
+    (more churn mid-query, worse); draining BETWEEN queries in the
+    untimed window keeps intra-query reuse while each query starts from
+    a slim pool — in-registry and isolated numbers converge.
+
+    Uses reflection into SparkEnv.pythonWorkers (private field) to call
+    each factory's bytecode-public cleanupIdleWorkers() — the exact
+    drain the idle-timeout monitor uses, so worker teardown follows the
+    supported path. Returns "ok" or "unavailable: ..." for the
+    artifact; a Spark upgrade that breaks the reflection degrades to
+    the round-7 protocol (noisy but correct), never a bench crash."""
+    try:
+        env = spark._jvm.org.apache.spark.SparkEnv.get()
+        fld = env.getClass().getDeclaredField("pythonWorkers")
+        fld.setAccessible(True)
+        it = fld.get(env).valuesIterator()
+        while it.hasNext():
+            fac = it.next()
+            getattr(
+                fac,
+                "org$apache$spark$api$python$PythonWorkerFactory$$"
+                "cleanupIdleWorkers",
+            )()
+        return "ok"
+    except Exception as e:  # noqa: BLE001 — degrade, never crash the bench
+        return f"unavailable: {e}"
+
+
 def _calibrate() -> float:
     """Fixed-work single-core CPU probe: a constant-length sha256 chain
     (pure CPU, no allocation growth, no I/O — the same work every call,
@@ -188,7 +227,9 @@ def main() -> None:
     # first-touch JIT/codegen cost, but min(warm-up, steady) can only
     # tighten the steady-state estimate and costs nothing extra
     first: dict[str, float] = {}
+    recycle = "not-run"
     for name, fn in queries.items():
+        recycle = _recycle_python_workers(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         first[name] = time.time() - t0
@@ -207,9 +248,12 @@ def main() -> None:
             # untimed, ordered: Python GC first so py4j drops the refs
             # that pin earlier queries' localCheckpoint RDD blocks
             # (ContextCleaner can only unpersist what Python released),
-            # THEN JVM GC — charge neither's debt to a neighbor
+            # THEN JVM GC — charge neither's debt to a neighbor — then
+            # drain the idle Python-worker pool so no query pays the OS
+            # memory-reclaim for a neighbor's bloated pandas workers
             gc.collect()
             spark._jvm.System.gc()
+            recycle = _recycle_python_workers(spark)
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             pass_times[name] = time.time() - t0
@@ -224,6 +268,10 @@ def main() -> None:
     detail_line, summary_line = build_output_lines(timings, first, sf, probes)
     artifact = json.loads(detail_line)
     artifact["sf_dir"] = sf_dir
+    # between-query idle-worker recycle status (see
+    # _recycle_python_workers) — "ok" means per-query numbers for
+    # Python-stage keys are free of cross-query worker-pool reclaim
+    artifact["worker_recycle"] = recycle
     if only:
         artifact["subset_only"] = sorted(queries)
     path = FULL_ARTIFACT if not only else FULL_ARTIFACT.replace(

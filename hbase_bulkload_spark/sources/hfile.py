@@ -1095,6 +1095,19 @@ def decode_cells_arrow(
     rl = (buf[st + 8].astype(i64) << 8) | buf[st + 9]
     fl = buf[st + 10 + rl].astype(i64)
 
+    # one shared ramp for every variable-width gather (profiling the
+    # sf0.1 scan-back: a fresh np.arange per field was 0.61 s of a
+    # 1.87 s per-region decode — the ramp is field-independent, build
+    # the longest once and slice)
+    _ramp: list = [None]
+
+    def ramp(total: int) -> "np.ndarray":
+        r = _ramp[0]
+        if r is None or r.size < total:
+            r = np.arange(total, dtype=i64)
+            _ramp[0] = r
+        return r[:total]
+
     def gather(field_starts: "np.ndarray", lens: "np.ndarray") -> pa.Array:
         total = int(lens.sum())
         # int64 cumsum lands in int32 Arrow offsets: guard the wrap —
@@ -1105,18 +1118,33 @@ def decode_cells_arrow(
                 f"decoded payload {total} B exceeds int32 binary offsets; "
                 "split the block batch"
             )
-        offsets = np.empty(n + 1, np.int32)
-        offsets[0] = 0
-        offsets[1:] = np.cumsum(lens)
-        if total:
-            idx = np.repeat(field_starts - (offsets[:-1].astype(i64)), lens) + np.arange(
-                total, dtype=i64
-            )
+        width = int(lens[0])
+        fixed = bool((lens == width).all())
+        if fixed and width == 0:  # all-empty field (and arange step 0 raises)
+            offsets = np.zeros(n + 1, np.int32)
+        elif fixed:
+            offsets = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+        else:
+            offsets = np.empty(n + 1, np.int32)
+            offsets[0] = 0
+            offsets[1:] = np.cumsum(lens)
+        if total and fixed:
+            # constant-width field (every hex rowkey, the family
+            # literal, short qualifiers): broadcast-add builds the
+            # index without np.repeat — ~2.5x the ragged path on the
+            # bench cell shape (np.repeat was 0.58 s/region)
+            data = buf[(field_starts[:, None] + ramp(width)).ravel()]
+        elif total:
+            idx = np.repeat(field_starts - (offsets[:-1].astype(i64)), lens)
+            idx += ramp(total)
             data = buf[idx]
         else:
             data = np.empty(0, np.uint8)
+        # pa.py_buffer wraps the ndarrays zero-copy (buffer protocol,
+        # keeps them alive) — .tobytes() here was one avoidable memcpy
+        # of the whole column per field
         arr = pa.Array.from_buffers(
-            pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())]
+            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
         )
         return arr if binary else arr.cast(pa.string())
 
