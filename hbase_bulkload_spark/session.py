@@ -22,6 +22,34 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _daemon_preload_conf() -> dict[str, str]:
+    """``spark.python.daemon.module`` → the warm-import daemon
+    (:mod:`hbase_bulkload_spark.daemon_preload`): worker forks inherit
+    numpy/pandas/pyarrow copy-on-write instead of re-importing them on
+    every cold start (~0.5-1 s per worker, per fork storm).
+
+    Two preconditions, both probed here so a broken environment
+    degrades to the stock daemon instead of killing every Python task:
+    the scientific stack must import driver-side, and the repo root
+    must be exportable on PYTHONPATH (set into os.environ BEFORE the
+    JVM launches — the daemon subprocess inherits the JVM's env, which
+    inherits ours; a bare ``python -m`` in an arbitrary cwd would not
+    find the package otherwise)."""
+    try:
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+    except Exception:  # pragma: no cover — stack is baked into this env
+        return {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            root + (os.pathsep + existing if existing else "")
+        )
+    return {"spark.python.daemon.module": "hbase_bulkload_spark.daemon_preload"}
+
+
 def oracle_safe(spark: SparkSession) -> SparkSession:
     """Pin runtime-mutable confs that cross-engine correctness relies on.
 
@@ -41,6 +69,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    daemon_conf = _daemon_preload_conf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -52,6 +81,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**daemon_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return oracle_safe(builder.getOrCreate())
