@@ -221,8 +221,17 @@ def q_agg_approx_distinct(spark, sf_dir) -> DataFrame:
     the verdict literally TRUE — a bound breach flips the boolean and
     fails the driver's hash compare."""
     li = _t(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
+    # dedup-first instead of countDistinct+approx in one agg: HLL
+    # register updates are duplicate-insensitive, so the estimate over
+    # the distinct (flag, part) pairs is IDENTICAL to the estimate over
+    # raw rows (verified value-for-value), while the plan drops Spark's
+    # expand-based multi-distinct rewrite for one partial-deduped
+    # exchange + a plain agg — measured 0.63-0.80 s -> 0.41-0.50 s at
+    # sf0.1 (and the map-side partial dedup is exactly what survives a
+    # 100 TB fact table: the exchange carries distinct pairs, not rows)
+    d = li.select("l_returnflag", "l_partkey").distinct()
+    per = d.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_parts"),
         F.approx_count_distinct("l_partkey").alias("_approx"),
     )
     within = (
