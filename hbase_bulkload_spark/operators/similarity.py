@@ -334,7 +334,7 @@ def lsh_auto_params(
     target_recall: float = 0.95,
     probe_radius: int = 1,
     min_planes: int = 8,
-    max_tables: int = 32,
+    max_tables: int = 256,
 ) -> tuple[int, int]:
     """Derive (n_planes, n_tables) for :func:`cosine_pairs_lsh` from the
     corpus size and the similarity threshold — the scaling law, not a
@@ -349,9 +349,20 @@ def lsh_auto_params(
       ``target_recall``: with multi-probe radius 1 a table catches
       signature distance ≤ 2, P = Σ_{d≤2} C(p,d)(1−q)^d q^(p−d).
 
-    ``max_tables`` caps the fan-out at web scale — past it the honest
-    move is accepting lower marginal recall or switching to the IVF
-    path, not unbounded tables."""
+    Table growth with n is the LSH contract, not a bug: with planes =
+    log2(n) the marginal per-table hit rate falls as ~n^(−log2(1/q)),
+    so holding recall costs ~n^ρ tables (ρ = ln(1/p1)/ln(1/p2) — ≈0.66
+    at t = 0.4) for total work ~n^(1+ρ), the classic subquadratic LSH
+    exponent vs the n² GEMM. The round-7 default capped tables at 32,
+    which SILENTLY abandoned the recall target as n grew — at n = 20k /
+    t = 0.4 the solve needs 64 tables, the cap's marginal recall is
+    0.78 (predicted) and the measured sf1.0-density aggregate was 0.83,
+    red against the 0.9 in-query floor; model and measurement agree, so
+    round 8 raised the cap to 256 (n ≈ 1M at t = 0.4 before it binds).
+    ``max_tables`` remains the web-scale stop — past it the honest move
+    is accepting lower marginal recall or switching to the IVF path,
+    not unbounded tables — but the cap must sit ABOVE every gated
+    corpus so capping is always an explicit, measured decision."""
     import math
 
     planes = max(min_planes, math.ceil(math.log2(max(n_rows, 2))))
@@ -365,7 +376,7 @@ def lsh_tables_for_planes(
     threshold: float,
     target_recall: float = 0.95,
     probe_radius: int = 1,
-    max_tables: int = 32,
+    max_tables: int = 256,
 ) -> int:
     """Table count for a given plane count — the second half of
     :func:`lsh_auto_params`, split out so the DuckDB oracle can embed

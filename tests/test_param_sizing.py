@@ -38,7 +38,23 @@ def test_adaptive_split_size_bounds(total, cores):
 def test_lsh_auto_params_shapes(n):
     planes, tables = lsh_auto_params(n, threshold=0.4)
     assert 8 <= planes <= 64
-    assert 1 <= tables <= 32
+    assert 1 <= tables <= 256
+    # the r7 cap-32 regression: at n=20k/t=0.4 the recall solve needs 64
+    # tables and the silent clamp measured 0.83 aggregate recall against
+    # the 0.9 floor — the cap must never bind below the gated corpora
+    if n <= 200_000:
+        import math
+
+        q = 1.0 - math.acos(0.4) / math.pi
+        r = 1.0 - q
+        p_hit = (
+            q**planes
+            + planes * r * q ** (planes - 1)
+            + math.comb(planes, 2) * r * r * q ** (planes - 2)
+        )
+        if p_hit < 1.0:
+            assert (1.0 - (1.0 - p_hit) ** tables) >= 0.95 - 1e-9, (
+                n, planes, tables)
     # keyspace tracks the corpus: ≥ n buckets once past the min-planes floor
     if n > 256:
         assert 2**planes >= n / 2
