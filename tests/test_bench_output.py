@@ -86,3 +86,31 @@ def test_detail_line_carries_host_id_and_full_query_map():
     d = json.loads(detail_line)
     assert len(d["queries"]) == 137 and len(d["queries_first"]) == 137
     assert "calib_host" in d and "cpus" in d["calib_host"]
+
+
+def test_isolated_probe_rides_summary_within_budget():
+    """Round-8: the isolated re-probe's numbers + agreement ratios must
+    reach the driver's tail capture (they are the evidence that
+    in-registry Python-stage timings are contention-free), and adding
+    them must not push the summary line past the budget at any registry
+    size."""
+    iso = {
+        "queries": {"q_bulkload_hfile": 7.123},
+        "agreement": {"q_bulkload_hfile": 1.04},
+    }
+    for n in (1, 118, 400):
+        timings = _fake(n)
+        detail_line, summary_line = build_output_lines(
+            timings, timings, 0.1, [0.5, 0.6], iso
+        )
+        assert len(summary_line) <= SUMMARY_BUDGET + 1
+        s = json.loads(summary_line)
+        d = json.loads(detail_line)
+        assert s["isolated"]["agreement"]["q_bulkload_hfile"] == 1.04
+        assert d["isolated"]["queries"]["q_bulkload_hfile"] == 7.123
+    # probe subprocess failure degrades to an error note, never a crash
+    detail_line, summary_line = build_output_lines(
+        timings, timings, 0.1, [0.5], {"error": "TimeoutExpired: x"}
+    )
+    assert "isolated" not in json.loads(summary_line)
+    assert json.loads(detail_line)["isolated"]["error"].startswith("Timeout")
