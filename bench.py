@@ -99,6 +99,22 @@ CALIB_ITERS = 1_600_000
 #: probe/nominal ratio above which the run is stamped "throttled"
 THROTTLE_BAR = 1.3
 
+#: Idle-machine seconds for the MULTICORE calibration probe (all cores
+#: hashing 1 MiB blocks in GIL-releasing hashlib threads). Round-8
+#: addition: a burst-credit-capped VM can pass the single-core probe at
+#: x1.3 while 32-thread query stages run x2 slower (observed 2026-08-16:
+#: calib x1.3 "mild" in the same run where q_bulkload_hfile measured
+#: 18 s against a 9 s good-window number) — CPU caps bite aggregate
+#: throughput, not single-thread latency. The verdict takes the WORST of
+#: the single-core and multicore ratios. Re-measure with
+#: `python bench.py --calibrate`; override/disable with
+#: SPARK_GRAFT_CALIB_MC_NOMINAL like the single-core nominal.
+CALIB_MC_NOMINAL_SEC: float | None = _resolve_nominal(
+    os.environ.get("SPARK_GRAFT_CALIB_MC_NOMINAL"), 0.28
+)
+CALIB_MC_BLOCK = b"\x00" * (1 << 20)
+CALIB_MC_ITERS = 120  # per-thread 1 MiB sha256 blocks (~0.3 s at 32x)
+
 #: Full per-query artifact (round-6 judge: the summary line truncates to
 #: the slowest ~64 queries, making the cheap tail invisible from
 #: artifacts alone). Every full-registry run overwrites this file with
@@ -212,12 +228,39 @@ def _calibrate() -> float:
     return time.perf_counter() - t0
 
 
-def throttle_verdict(probes: list[float]) -> str:
-    """'ok' or 'throttled(xN.N)' from the WORST probe: one slow probe
-    means part of the run was starved even if the others were clean."""
+def _calibrate_mc() -> float:
+    """Fixed-work ALL-CORES probe: every core hashes 1 MiB sha256 blocks
+    in a thread (hashlib releases the GIL above 2 KiB, so the threads
+    genuinely run in parallel). Wall time on an uncapped machine ≈ one
+    thread's work; under a hypervisor CPU cap it inflates by the cap
+    factor — the starvation mode the single-core probe can't see."""
+    import concurrent.futures
+    import hashlib
+
+    n = os.cpu_count() or 1
+
+    def work(_i: int) -> None:
+        for _ in range(CALIB_MC_ITERS):
+            hashlib.sha256(CALIB_MC_BLOCK).digest()
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(work, range(n)))
+    return time.perf_counter() - t0
+
+
+def throttle_verdict(
+    probes: list[float], probes_mc: list[float] | None = None
+) -> str:
+    """'ok' or 'throttled(xN.N)' from the WORST probe across BOTH
+    calibration modes: one slow probe means part of the run was starved
+    even if the others were clean, and a clean single-core probe does
+    not clear a capped multicore window (see CALIB_MC_NOMINAL_SEC)."""
     if CALIB_NOMINAL_SEC is None:
         return "uncalibrated"
     worst = max(probes) / CALIB_NOMINAL_SEC
+    if probes_mc and CALIB_MC_NOMINAL_SEC is not None:
+        worst = max(worst, max(probes_mc) / CALIB_MC_NOMINAL_SEC)
     return "ok" if worst <= THROTTLE_BAR else f"throttled(x{worst:.1f})"
 
 
@@ -257,6 +300,7 @@ def main() -> None:
         queries = {k: queries[k] for k in keys}
 
     probes = [_calibrate()]
+    probes_mc = [_calibrate_mc()]
     # warm-up pass (see module docstring) — timed too: its numbers carry
     # first-touch JIT/codegen cost, but min(warm-up, steady) can only
     # tighten the steady-state estimate and costs nothing extra
@@ -276,6 +320,7 @@ def main() -> None:
     steady: list[dict[str, float]] = []
     for _ in range(2):
         probes.append(_calibrate())
+        probes_mc.append(_calibrate_mc())
         spark._jvm.System.gc()  # start each pass from a clean heap
         pass_times: dict[str, float] = {}
         for name, fn in queries.items():
@@ -293,6 +338,7 @@ def main() -> None:
             pass_times[name] = time.time() - t0
         steady.append(pass_times)
     probes.append(_calibrate())
+    probes_mc.append(_calibrate_mc())
 
     timings = {
         name: round(min(first[name], *(p[name] for p in steady)), 3)
@@ -319,7 +365,7 @@ def main() -> None:
                 }
 
     detail_line, summary_line = build_output_lines(
-        timings, first, sf, probes, isolated
+        timings, first, sf, probes, isolated, probes_mc
     )
     artifact = json.loads(detail_line)
     artifact["sf_dir"] = sf_dir
@@ -349,6 +395,7 @@ def build_output_lines(
     sf: float,
     probes: list[float] | None = None,
     isolated: dict | None = None,
+    probes_mc: list[float] | None = None,
 ) -> tuple[str, str]:
     """(detail line, final summary line) — see module docstring. The
     summary line is guaranteed ≤ SUMMARY_BUDGET chars no matter how many
@@ -358,7 +405,9 @@ def build_output_lines(
     calib = {
         "calib_sec": [round(p, 3) for p in (probes or [])],
         "calib_nominal_sec": CALIB_NOMINAL_SEC,
-        "throttle": throttle_verdict(probes) if probes else "not-run",
+        "calib_mc_sec": [round(p, 3) for p in (probes_mc or [])],
+        "calib_mc_nominal_sec": CALIB_MC_NOMINAL_SEC,
+        "throttle": throttle_verdict(probes, probes_mc) if probes else "not-run",
     }
 
     # line 1: full detail (may exceed the driver's tail window); carries
@@ -416,7 +465,10 @@ if __name__ == "__main__":
         # nominal re-measurement mode: print min of 5 probes; paste the
         # value into CALIB_NOMINAL_SEC when the hardware changes
         runs = [_calibrate() for _ in range(5)]
+        runs_mc = [_calibrate_mc() for _ in range(5)]
         print(json.dumps({"calib_runs": [round(r, 4) for r in runs],
-                          "min": round(min(runs), 4)}))
+                          "min": round(min(runs), 4),
+                          "calib_mc_runs": [round(r, 4) for r in runs_mc],
+                          "min_mc": round(min(runs_mc), 4)}))
     else:
         main()

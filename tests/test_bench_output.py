@@ -114,3 +114,21 @@ def test_isolated_probe_rides_summary_within_budget():
     )
     assert "isolated" not in json.loads(summary_line)
     assert json.loads(detail_line)["isolated"]["error"].startswith("Timeout")
+
+
+def test_multicore_probe_drives_throttle_verdict():
+    """Round-8: a clean single-core probe must NOT clear a capped
+    multicore window (the 2026-08-16 run read sc x1.3 while 32-thread
+    stages ran x2) — the verdict takes the worst ratio across modes."""
+    import bench
+
+    sc_ok = [bench.CALIB_NOMINAL_SEC]  # exactly nominal
+    mc_bad = [bench.CALIB_MC_NOMINAL_SEC * 2.0]
+    v = bench.throttle_verdict(sc_ok, mc_bad)
+    assert v.startswith("throttled(x2")
+    assert bench.throttle_verdict(sc_ok, [bench.CALIB_MC_NOMINAL_SEC]) == "ok"
+    # no mc probes (older callers) — single-core-only behavior unchanged
+    assert bench.throttle_verdict(sc_ok, None) == "ok"
+    _, summary_line = build_output_lines(_fake(5), _fake(5), 0.1, sc_ok, None, mc_bad)
+    s = json.loads(summary_line)
+    assert s["calib_mc_sec"] and s["throttle"].startswith("throttled")
