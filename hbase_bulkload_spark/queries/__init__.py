@@ -32,6 +32,9 @@ _DRIVER_WINDOW_FIRST = (
     # engine-exact SQL replay of the hyperplane-LSH pipeline
     "q_dedup_near_raw", "q_dedup_incremental_minhash_raw",
     "q_sim_pairs_lsh_raw",
+    # round-8 addition: the format("hfile") DataSource read path as a
+    # full-oracle key (was test-pinned only) — new, so head of window
+    "q_scan_hfile_ds",
     # rotation hygiene, round 4 (round-7 verdict item 4): the 45 keys
     # below last received a driver row in round 5 — green then,
     # re-verified locally since — so they fill the rest of this

@@ -153,6 +153,33 @@ def q_scan_rcfile_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_hfile_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7b read side as a FULL-ORACLE query (round 8 — previously
+    pinned only by tests/test_hfile_datasource.py): the bulk-loaded
+    HFile base table (fixture-cached, `_hfile_artifacts`) scanned
+    through the registered `spark.read.format("hfile")` DataSource with
+    a rowkey-prefix predicate. `pushFilters` harvests the prefix into
+    [start, stop) block fences, so only bucket-'4' blocks are decoded —
+    the HFile-tier analog of parquet partition pruning — and
+    `.option("columns", ...)` prunes family/ts decode per cell. The
+    oracle recomputes the same cells relationally, so a green row
+    certifies DataSource planning, fence pruning, column pruning, and
+    cell decode value-for-value (the reader the reference's loaded
+    table serves, BulkImporterFromText.java:129-130)."""
+    from hbase_bulkload_spark.sources.hfile_datasource import register
+
+    oracle_safe(spark)
+    table_dir, _ = _hfile_artifacts(spark, sf_dir)
+    register(spark)
+    return (
+        spark.read.format("hfile")
+        .option("columns", "qualifier,value")
+        .load(table_dir)
+        .filter(F.col("rowkey").startswith("4"))
+        .select("rowkey", "qualifier", "value")
+    )
+
+
 def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 10: emit iff exactly COLUMN_COUNT fields; the skipped branch is
     counted rather than println'd (BulkImporterFromText.java:56,68-70)."""
@@ -576,6 +603,7 @@ QUERIES = {
     "q_scan_rcfile": q_scan_rcfile,
     "q_scan_avro_ds": q_scan_avro_ds,
     "q_scan_rcfile_ds": q_scan_rcfile_ds,
+    "q_scan_hfile_ds": q_scan_hfile_ds,
     "q_filter_arity": q_filter_arity,
     "q_filter_notnull": q_filter_notnull,
     "q_project": q_project,
@@ -634,6 +662,11 @@ ORACLES = {
     "q_scan_rcfile": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_avro_ds": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
     "q_scan_rcfile_ds": f"WITH {WIDE9_CTE} SELECT {_Z} FROM wide9",
+    "q_scan_hfile_ds": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT rowkey, qualifier, value FROM kv
+        WHERE rowkey LIKE '4%'
+    """,
     "q_filter_arity": f"""
         WITH {WIDE9_CTE}
         SELECT (_seq % 97 <> 0 AND z8 IS NOT NULL) AS is_valid,
