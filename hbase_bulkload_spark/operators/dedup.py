@@ -146,7 +146,30 @@ def lsh_banding_params(
     the threshold. t=0.5 → (28, 14) [recall 0.982 at s=0.5];
     t=0.8 → (50, 10); t=0.9 → (56, 7). Signatures stay cheap: k is
     the number of integer re-mixes per pre-hashed shingle, not string
-    hashes."""
+    hashes.
+
+    Unlike the hyperplane-LSH table cap, this solve NEVER silently
+    trades recall: b is always solved exactly for the floor, and
+    ``max_k`` is a soft budget on r only. What CAN silently blow up is
+    the signature budget itself — at very low thresholds the r=2
+    fallback emits k = 2·b ≫ max_k. :func:`lsh_banding_params_solve`
+    returns that fact as an ``over_budget`` flag (with a
+    RuntimeWarning), and the q_dedup_near_verdict key pins it FALSE in
+    its oracle so a threshold/config drift into the blow-up regime
+    turns the key red instead of just slow."""
+    k, bands, _ = lsh_banding_params_solve(threshold, recall_floor, max_k)
+    return k, bands
+
+
+def lsh_banding_params_solve(
+    threshold: float, recall_floor: float = 0.98, max_k: int = 64
+) -> tuple[int, int, bool]:
+    """:func:`lsh_banding_params` plus the budget flag: returns
+    (k, bands, over_budget) where ``over_budget`` is True iff the
+    signature budget ``max_k`` could not be honored (the r=2 fallback
+    fired with 2·b > max_k). Recall is still met in that regime — the
+    cost is a super-budget signature width, which at corpus scale is a
+    real per-row cost multiplier the caller must accept explicitly."""
     import math
 
     if not 0.0 < threshold < 1.0:
@@ -167,14 +190,25 @@ def lsh_banding_params(
     for r in range(8, 1, -1):
         b = b_for(r)
         if b is not None and b * r <= max_k:
-            return b * r, b
+            return b * r, b, False
     # very low thresholds: r=2 is the hard floor (r=1 band keys are
     # single minhashes — any shared shingle min collides, so buckets
     # grow with the corpus); max_k is a soft budget, recall is not
     b = b_for(2)
     if b is None:  # threshold² underflowed double precision (< ~1e-154)
         raise ValueError(f"threshold {threshold} too small to band for")
-    return 2 * b, b
+    import warnings
+
+    warnings.warn(
+        f"MinHash banding signature budget exceeded: threshold "
+        f"{threshold} needs k={2 * b} (r=2 fallback, {b} bands) vs the "
+        f"max_k={max_k} budget. Recall floor {recall_floor} is still "
+        f"met, but the per-row signature cost is {2 * b / max_k:.1f}x "
+        f"budget — accept explicitly or raise the threshold.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return 2 * b, b, True
 
 
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:

@@ -362,13 +362,41 @@ def lsh_auto_params(
     ``max_tables`` remains the web-scale stop — past it the honest move
     is accepting lower marginal recall or switching to the IVF path,
     not unbounded tables — but the cap must sit ABOVE every gated
-    corpus so capping is always an explicit, measured decision."""
+    corpus so capping is always an explicit, measured decision. When
+    the cap binds this function WARNS (see :func:`lsh_tables_solve`);
+    callers that need the fact programmatically use
+    :func:`lsh_auto_params_solve`, and the q_sim_pairs_lsh verdict
+    surfaces it as a ``tables_capped`` column so the driver's hash
+    compare — not just a log line — flags the regime change. This
+    exact silent-clamp failure shipped twice (r6 fixed banding, r8 the
+    32-table cap at measured recall 0.83 vs the 0.9 floor)."""
+    planes, tables, _ = lsh_auto_params_solve(
+        n_rows, threshold, target_recall, probe_radius, min_planes, max_tables
+    )
+    return planes, tables
+
+
+def lsh_auto_params_solve(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    probe_radius: int = 1,
+    min_planes: int = 8,
+    max_tables: int = 256,
+) -> tuple[int, int, bool]:
+    """:func:`lsh_auto_params` plus the capped flag: returns
+    (n_planes, n_tables, capped) where ``capped`` is True iff the
+    recall solve wanted more than ``max_tables`` tables and was
+    clamped — i.e. the returned configuration does NOT meet
+    ``target_recall`` for the marginal pair and the caller must either
+    accept degraded recall explicitly or switch strategies (IVF)."""
     import math
 
     planes = max(min_planes, math.ceil(math.log2(max(n_rows, 2))))
-    return planes, lsh_tables_for_planes(
+    tables, capped = lsh_tables_solve(
         planes, threshold, target_recall, probe_radius, max_tables
     )
+    return planes, tables, capped
 
 
 def lsh_tables_for_planes(
@@ -383,7 +411,33 @@ def lsh_tables_for_planes(
     a Python-computed (planes → tables) lookup literal instead of
     re-deriving the transcendental math in SQL (a ceil() boundary that
     rounds differently between libm builds would silently change the
-    emitted pair set; a lookup computed once here cannot)."""
+    emitted pair set; a lookup computed once here cannot). WARNS via
+    :func:`lsh_tables_solve` when the cap binds."""
+    tables, _ = lsh_tables_solve(
+        planes, threshold, target_recall, probe_radius, max_tables
+    )
+    return tables
+
+
+def lsh_tables_solve(
+    planes: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    probe_radius: int = 1,
+    max_tables: int = 256,
+    warn: bool = True,
+) -> tuple[int, bool]:
+    """Recall-solve for the table count, returning (n_tables, capped).
+
+    ``capped`` is True iff the exact solve exceeded ``max_tables`` and
+    the result was clamped — the returned table count then delivers
+    LESS than ``target_recall`` for a pair sitting exactly at the
+    threshold. The clamp also emits a ``RuntimeWarning`` (once per
+    distinct parameter tuple per process): a silent clamp shipped a
+    real recall regression twice (the r6 fixed (16,4) banding and the
+    r8 32-table cap, measured 0.83 vs the 0.9 floor at sf1.0 density),
+    so capping must always be visible both in logs (this warning) and
+    in data (the verdict queries' ``tables_capped`` column)."""
     import math
 
     q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
@@ -393,9 +447,36 @@ def lsh_tables_for_planes(
         p_hit += planes * r * q ** (planes - 1)
         p_hit += math.comb(planes, 2) * r * r * q ** (planes - 2)
     if p_hit >= 1.0:
-        return 1
+        return 1, False
     tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_hit))
-    return max(1, min(max_tables, tables))
+    capped = tables > max_tables
+    if capped and warn:
+        _warn_capped(planes, threshold, target_recall, tables, max_tables)
+    return max(1, min(max_tables, tables)), capped
+
+
+_WARNED_CAPS: set[tuple] = set()
+
+
+def _warn_capped(
+    planes: int, threshold: float, target_recall: float, want: int, cap: int
+) -> None:
+    key = (planes, threshold, target_recall, cap)
+    if key in _WARNED_CAPS:
+        return
+    _WARNED_CAPS.add(key)
+    import warnings
+
+    warnings.warn(
+        f"LSH table solve clamped: {want} tables needed for recall "
+        f"{target_recall} at threshold {threshold} with {planes} planes, "
+        f"capped to {cap}. Marginal-pair recall will be BELOW the target; "
+        f"either raise max_tables, accept degraded recall explicitly, or "
+        f"switch to the IVF path. (This silent-clamp mode shipped real "
+        f"recall regressions in rounds 6 and 8 — do not ignore.)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _rowwise_raw_cosine_udf():

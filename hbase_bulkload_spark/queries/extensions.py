@@ -123,27 +123,30 @@ def dedup_near_pairs(spark, sf_dir) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
 
-def q_dedup_near_raw(spark, sf_dir) -> DataFrame:
-    """Op 53 PRODUCTION ARM, bench-visible since round 8: the raw
-    MinHash+LSH pair output of :func:`dedup_near_pairs` — exactly the
-    round-1..5 q_dedup_near result — registered as its own key so the
-    baseline/bench comparison tracks the production path's cost while
-    q_dedup_near's verdict arm keeps guarding recall (its exact twin
-    computes strictly more than the r1 query did, which is why that
-    key reads >2× of its r1 time). FULL oracle, the exact uncapped
-    n-gram Jaccard pair set: banding derived at the 0.98
-    lsh_banding_params design floor catches EVERY fixture pair, so raw
-    == exact — measured at sf0.001/0.01/0.1 and both sf1.0 fixtures
-    (250,600/250,600 pairs on the clique), deterministic under fixed
-    seeds. A banding regression (parameter drift, band-key bug) makes
-    pairs go missing and turns this key red — a strictly stronger
-    check than the verdict key's 0.95 floor, without its twin cost."""
+def q_dedup_near(spark, sf_dir) -> DataFrame:
+    """Op 53 (scale path) PRODUCTION PLAN — the registered key is the
+    raw MinHash+LSH pair output of :func:`dedup_near_pairs`, exactly
+    the round-1..5 q_dedup_near semantics (rounds 6-8 had swapped this
+    key to the exact-twin verdict plan, which made the baseline
+    comparison read the verdict overhead as a 3.1× "regression" of the
+    production path; round 9 restores the original semantics here and
+    moves the verdict to :func:`q_dedup_near_verdict`, mirroring the
+    raw/verdict split the other two twins already use). FULL oracle,
+    the exact uncapped n-gram Jaccard pair set: banding derived at the
+    0.98 lsh_banding_params design floor catches EVERY fixture pair,
+    so raw == exact — measured at sf0.001/0.01/0.1 and both sf1.0
+    fixtures (250,600/250,600 pairs on the clique), deterministic
+    under fixed seeds. A banding regression (parameter drift, band-key
+    bug) makes pairs go missing and turns this key red — a strictly
+    stronger check than the verdict key's 0.95 floor, without its
+    twin cost."""
     return dedup_near_pairs(spark, sf_dir)
 
 
-def q_dedup_near(spark, sf_dir) -> DataFrame:
-    """Op 53 (scale path): MinHash+LSH banding candidates, verified with
-    exact Jaccard. FULL ORACLE since round 6 via the in-query verdict:
+def q_dedup_near_verdict(spark, sf_dir) -> DataFrame:
+    """Op 53 recall-verdict arm (the rounds-6-8 q_dedup_near plan):
+    MinHash+LSH banding candidates, verified with exact Jaccard.
+    FULL ORACLE since round 6 via the in-query verdict:
     the query runs BOTH the LSH arm and an exact n-gram Jaccard twin
     and emits (n_docs, n_checked, n_pairs_exact, recall_ok,
     precision_ok) — the oracle recomputes the exact pair count in SQL
@@ -161,7 +164,14 @@ def q_dedup_near(spark, sf_dir) -> DataFrame:
     twin O(cap²) while the PRODUCTION LSH arm still runs the full
     corpus — no registered plan is quadratic in corpus size. Raw
     pairs: :func:`dedup_near_pairs`; measured recall per round:
-    RECALL artifact."""
+    RECALL artifact.
+
+    ``banding_over_budget`` (round 9): the verdict also carries the
+    banding solve's signature-budget flag
+    (dedup.lsh_banding_params_solve) — pinned FALSE in the oracle so a
+    threshold drift into the r=2 fallback's k ≫ max_k regime turns
+    this key red instead of just silently multiplying signature cost."""
+    _, _, over_budget = dedup.lsh_banding_params_solve(JACCARD_THRESHOLD)
     docs = _docs(spark, sf_dir)
     checked = (
         docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -194,7 +204,9 @@ def q_dedup_near(spark, sf_dir) -> DataFrame:
         .cast("bigint")
         .alias("n_checked"),
     )
-    return counts.crossJoin(F.broadcast(verdict))
+    return counts.crossJoin(F.broadcast(verdict)).withColumn(
+        "banding_over_budget", F.lit(bool(over_budget))
+    )
 
 
 #: Brute-force verification cap for the banding-vs-brute verdict arms:
@@ -587,8 +599,16 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     PRODUCTION LSH arm still runs the full corpus — the registered
     plan is no longer quadratic in corpus size (the r6 sf3-density
     probe's 4.6× step was this GEMM twin). Raw pairs:
-    :func:`sim_pairs_lsh_raw`."""
+    :func:`sim_pairs_lsh_raw`.
+
+    ``tables_capped`` (round 9): the verdict also carries the sizing
+    solve's capped flag (lsh_auto_params_solve). The oracle pins it
+    literally FALSE, so if a gate corpus ever grows into the regime
+    where the 256-table cap binds (n ≈ 1M at t = 0.4) this key turns
+    RED instead of silently running at degraded recall — the
+    silent-clamp failure mode that shipped in rounds 6 and 8."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")
+    _, _, tables_capped = similarity.lsh_auto_params_solve(n, SIM_THRESHOLD)
     emb = _emb(spark, sf_dir)
     checked = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -622,7 +642,9 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
         .cast("bigint")
         .alias("n_checked"),
     )
-    return counts.crossJoin(F.broadcast(verdict))
+    return counts.crossJoin(F.broadcast(verdict)).withColumn(
+        "tables_capped", F.lit(bool(tables_capped))
+    )
 
 
 # --- text analysis -------------------------------------------------------------
@@ -1328,6 +1350,33 @@ def q_multimodal_phash(spark, sf_dir) -> DataFrame:
     return _banding_brute_verdict(sig, banded, docs, max_hamming=3)
 
 
+def q_multimodal_phash_real(spark, sf_dir) -> DataFrame:
+    """Op 56d REAL-PIXEL ARM (round 9 — closes the last stubbed hop in
+    the pHash pipeline): every row carries a genuine PNG payload
+    (`attach_png_payload` — scanline filter type cycles doc_id % 5, so
+    the corpus exercises every unfilter path), the signature runs the
+    FULL real pipeline (PNG decode → greyscale → 32×32 resample →
+    DCT-II → median threshold → bit pack, `phash64(decode_stub=False)`)
+    and the emitted row is the same banding-vs-brute-force verdict as
+    q_multimodal_phash: all-pairs hamming over the md5-ranked checked
+    subset must EQUAL the banded pair set on real pixels
+    (pigeonhole-exact recall; precision exact by construction). The
+    modality column is pinned to "image" so the whole corpus is hashed
+    — the cycling-modality routing is q_multimodal_decode_real's
+    concern; this key gates the near-dup math."""
+    docs = _docs(spark, sf_dir, floor=True)
+    media = multimodal.attach_png_payload(docs).withColumn(
+        "modality", F.lit("image")
+    )
+    sig = (
+        multimodal.phash64(media, decode_stub=False)
+        .select("doc_id", F.col("phash").alias("_sig"))
+        .localCheckpoint(eager=True)
+    )
+    banded = dedup.hamming_pairs_banded(sig, sig_col="_sig", max_hamming=3)
+    return _banding_brute_verdict(sig, banded, docs, max_hamming=3)
+
+
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → the held-out benchmark split
 DECON_NGRAM = 8
 
@@ -1382,7 +1431,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_near": q_dedup_near,
-    "q_dedup_near_raw": q_dedup_near_raw,
+    "q_dedup_near_verdict": q_dedup_near_verdict,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
@@ -1407,6 +1456,7 @@ QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_phash": q_multimodal_phash,
+    "q_multimodal_phash_real": q_multimodal_phash_real,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode": q_bpe_encode,
     "q_curate_corpus": q_curate_corpus,
@@ -2149,8 +2199,12 @@ def _lsh_pairs_replay_oracle() -> str:
     Python. planes = max(8, ceil(log2 n)) is derived in SQL; log2 is
     exact at powers of two and far from integer boundaries elsewhere,
     so the ceil is safe to mirror."""
+    # warn=False: the LUT enumerates hypothetical plane counts far past
+    # any gate corpus; the capped warning belongs to REAL sizing calls
+    # (lsh_auto_params), and both engines embed the same capped value
+    # here so the replay stays engine-exact either way
     lut = ", ".join(
-        f"({p}, {similarity.lsh_tables_for_planes(p, SIM_THRESHOLD)})"
+        f"({p}, {similarity.lsh_tables_solve(p, SIM_THRESHOLD, warn=False)[0]})"
         for p in range(8, 65)
     )
     dim = similarity.EMBED_DIM
@@ -2230,7 +2284,7 @@ def _lsh_pairs_replay_oracle() -> str:
     """
 
 
-ORACLES["q_dedup_near_raw"] = f"""
+ORACLES["q_dedup_near"] = f"""
     WITH {_ngram_pairs_ctes(None)}
     SELECT doc_a, doc_b, jaccard FROM jac
 """
@@ -2243,7 +2297,7 @@ ORACLES["q_sim_pairs_lsh_raw"] = _lsh_pairs_replay_oracle()
 # claims asserted literally TRUE, counts recomputed relationally — the
 # pattern that made the sketch aggregates full-oracle in round 5) -------------
 
-ORACLES["q_dedup_near"] = f"""
+ORACLES["q_dedup_near_verdict"] = f"""
     WITH checked AS (
         SELECT doc_id, text FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {BRUTE_CHECK_CAP}
@@ -2253,7 +2307,8 @@ ORACLES["q_dedup_near"] = f"""
            (SELECT CAST(LEAST(COUNT(*), {BRUTE_CHECK_CAP}) AS BIGINT)
             FROM documents) AS n_checked,
            CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
-           TRUE AS recall_ok, TRUE AS precision_ok
+           TRUE AS recall_ok, TRUE AS precision_ok,
+           FALSE AS banding_over_budget
     FROM jac
 """
 
@@ -2290,7 +2345,8 @@ ORACLES["q_sim_pairs_lsh"] = f"""
            (SELECT CAST(LEAST(COUNT(*), {BRUTE_CHECK_CAP}) AS BIGINT)
             FROM embeddings) AS n_checked,
            CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
-           TRUE AS recall_ok, TRUE AS precision_ok
+           TRUE AS recall_ok, TRUE AS precision_ok,
+           FALSE AS tables_capped
     FROM pairs
 """
 
@@ -2309,6 +2365,7 @@ _BANDING_VERDICT_SQL = f"""
 """
 ORACLES["q_dedup_simhash"] = _BANDING_VERDICT_SQL
 ORACLES["q_multimodal_phash"] = _BANDING_VERDICT_SQL
+ORACLES["q_multimodal_phash_real"] = _BANDING_VERDICT_SQL
 # Committed reference fixture (tools/gen_png_oracle_fixture.py): the
 # independent raster replay — a green row proves the PNG encode→decode
 # round trip is pixel-exact corpus-wide (see q_multimodal_decode_real).

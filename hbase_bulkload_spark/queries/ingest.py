@@ -497,6 +497,13 @@ def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns: the summary below needs only rowkey + value — decode-side
     # pruning skips the family/qualifier/ts slice work per cell
     scanned = bulkload_hfile_roundtrip(kv, work, boundaries, columns=("value",))
+    return _hfile_bucket_summary(scanned)
+
+
+def _hfile_bucket_summary(scanned: DataFrame) -> DataFrame:
+    """Per-bucket relational summary of a scanned cell frame — the
+    round-trip certificate both bulk-load queries share (the oracle
+    computes the identical summary from the raw table)."""
     per_key = (
         scanned.withColumn("bucket", F.substring("rowkey", 1, 1))
         .groupBy("bucket", "rowkey")
@@ -512,6 +519,62 @@ def q_bulkload_hfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rowkey").alias("max_rk"),
         F.sum("vl").alias("sum_value_len"),
     )
+
+
+def q_bulkload_hfile_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7b WRITE side as a FULL-ORACLE query (round 9 — previously
+    pinned only by the test_hfile_datasource.py round trip): the same
+    ops-7+9 dataflow as q_bulkload_hfile, but the HFiles are written by
+    the registered Python DataSource SINK (`df.write.format("hfile")`,
+    two-phase commit via `_MANIFEST.json`), placed by the `doBulkLoad`
+    analog from the committed manifest (never a directory glob — files
+    from aborted attempts are invisible), and scanned back through the
+    `spark.read.format("hfile")` DataSource reader. The oracle computes
+    the identical per-bucket summary relationally from the raw table,
+    so a green row certifies the ENTIRE DataSource write → manifest
+    commit → bulk-load placement → DataSource read round trip
+    value-for-value (HFileOutputFormat2 + doBulkLoad,
+    BulkImporterFromText.java:108-111,129-130)."""
+    import json
+    import shutil
+    import tempfile
+
+    from hbase_bulkload_spark.operators import hfile_load as hl
+    from hbase_bulkload_spark.sources.hfile_datasource import register
+
+    oracle_safe(spark)
+    register(spark)
+    kv = bulkload_pipeline(
+        records.wide9(spark, sf_dir), KEY_COLS, RECORD_COLS, range_partitions=32
+    )
+    # same tmpfs-scratch rationale as q_bulkload_hfile: verification
+    # artifact, not a deliverable
+    scratch_root = (
+        "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    )
+    work = os.path.join(
+        scratch_root,
+        f"hfile_ds_load_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    staging = os.path.join(work, "staging")
+    table_dir = os.path.join(work, "table")
+    kv.write.format("hfile").mode("overwrite").save(staging)
+    with open(os.path.join(staging, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    boundaries = [format(i, "x").encode() for i in range(16)]
+    hl.do_bulk_load(
+        [m["path"] for m in manifest], table_dir, boundaries, spark=spark
+    )
+    register(spark)  # idempotent; keeps the reader registered post-load
+    scanned = (
+        spark.read.format("hfile")
+        .option("columns", "value")
+        .load(table_dir)
+        .select("rowkey", "value")
+    )
+    return _hfile_bucket_summary(scanned)
 
 
 #: Deterministic multi-get keyset: rows with l_orderkey % MULTIGET_MOD
@@ -621,6 +684,7 @@ QUERIES = {
     "q_sorted_ingest": q_sorted_ingest,
     "q_bulkload_pipeline": q_bulkload_pipeline,
     "q_bulkload_hfile": q_bulkload_hfile,
+    "q_bulkload_hfile_ds": q_bulkload_hfile_ds,
     "q_index_seek": q_index_seek,
     "q_multi_get": q_multi_get,
 }
@@ -789,6 +853,18 @@ ORACLES = {
         FROM kv
     """,
     "q_bulkload_hfile": f"""
+        WITH {WIDE9_CTE}, {KV_CTE}
+        SELECT substr(rowkey, 1, 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COUNT(DISTINCT rowkey) AS BIGINT) AS n_keys,
+               MIN(rowkey) AS min_rk,
+               MAX(rowkey) AS max_rk,
+               CAST(SUM(LENGTH(value)) AS BIGINT) AS sum_value_len
+        FROM kv GROUP BY 1
+    """,
+    # DataSource-sink round trip: identical relational certificate —
+    # the write/load/read machinery differs, the cells must not
+    "q_bulkload_hfile_ds": f"""
         WITH {WIDE9_CTE}, {KV_CTE}
         SELECT substr(rowkey, 1, 1) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_cells,

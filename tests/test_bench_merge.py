@@ -54,3 +54,77 @@ def test_isolated_agreement_recomputed_vs_merged_minimum():
     m = merge([a, b])
     assert m["isolated"]["queries"]["q_h"] == 9.5
     assert m["isolated"]["agreement"]["q_h"] == round(9.0 / 9.5, 2)
+
+
+def test_renamed_or_retired_keys_never_resurrect():
+    """Round-9 advisor item: the newest run's key set is authoritative —
+    a key renamed between runs must not be double-counted under both
+    names, and a retired key must not haunt the merged total."""
+    a = _run({"q_old_name": 2.0, "q_keep": 1.0})
+    b = _run({"q_new_name": 2.2, "q_keep": 1.1})  # q_old_name renamed
+    m = merge([a, b])
+    assert m["queries"] == {"q_keep": 1.0, "q_new_name": 2.2}
+    assert m["value"] == 3.2
+    assert m["dropped_keys"] == ["q_old_name"]
+    assert "q_old_name" not in m["queries_first"]
+
+
+def test_per_run_calibration_fields_dropped_from_merge_top_level():
+    """calib_sec/calib_mc_sec/worker_recycle describe one run's window;
+    the merged artifact must not present them as describing the merge —
+    merged_from carries them per run."""
+    a = _run({"q_x": 2.0})
+    b = _run({"q_x": 3.0})
+    b["worker_recycle"] = "ok"
+    m = merge([a, b])
+    for f in ("calib_sec", "calib_mc_sec", "worker_recycle"):
+        assert f not in m
+    assert m["merged_from"][0]["calib_sec"] == [0.6]
+    assert m["merged_from"][1]["worker_recycle"] == "ok"
+
+
+def test_merging_a_merged_artifact_flattens_provenance():
+    a = _run({"q_x": 2.0})
+    b = _run({"q_x": 3.0})
+    first = merge([a, b])
+    c = _run({"q_x": 2.5})
+    second = merge([first, c])
+    assert second["queries"] == {"q_x": 2.0}
+    # provenance has THREE run entries, not a nested merged entry
+    assert len(second["merged_from"]) == 3
+    assert all("n_queries" in e for e in second["merged_from"])
+
+
+def test_bench_write_merge_preserves_minima(tmp_path):
+    """Round-9 verdict item 3: a throttled single run written through
+    bench.py's on-write merge must preserve the existing artifact's
+    per-key minima and provenance, never clobber them."""
+    import json
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _merge_into_existing
+
+    good = _run({"q_x": 2.0, "q_y": 4.0})
+    good.update({"sf": 0.1, "sf_dir": "/root/testdata/sf0.1"})
+    path = tmp_path / "BENCH_FULL_LATEST.json"
+    path.write_text(json.dumps(good))
+    throttled = _run(
+        {"q_x": 2.9, "q_y": 5.7}, throttle="throttled(x1.4)"
+    )
+    throttled.update({"sf": 0.1, "sf_dir": "/root/testdata/sf0.1"})
+    out = _merge_into_existing(str(path), throttled, 0.1, "/root/testdata/sf0.1")
+    assert out["queries"] == {"q_x": 2.0, "q_y": 4.0}
+    assert out["value"] == 6.0
+    assert [e["throttle"] for e in out["merged_from"]] == [
+        "ok", "throttled(x1.4)"
+    ]
+    # a different scale/fixture must NOT merge (would fabricate minima)
+    other = _merge_into_existing(str(path), throttled, 0.01, "/root/testdata/sf0.01")
+    assert other is throttled
+    # a subset artifact on disk must not contaminate a full run
+    subset = dict(good, subset_only=["q_x"])
+    path.write_text(json.dumps(subset))
+    full = _merge_into_existing(str(path), throttled, 0.1, "/root/testdata/sf0.1")
+    assert full is throttled

@@ -68,6 +68,75 @@ def test_lsh_auto_params_monotone_in_n():
         prev = planes
 
 
+def test_lsh_cap_binding_is_loud():
+    """Round-9 verdict item 1: the 256-table clamp must never be silent
+    again (the r6 fixed-banding and r8 32-table regressions were both
+    this failure mode). Constructs the n>1M / t=0.4 regime with
+    parameters only — no giant fixture — and asserts the capped flag
+    AND the RuntimeWarning both fire; below the regime neither does."""
+    import warnings
+
+    from hbase_bulkload_spark.operators import similarity as S
+
+    # clear the once-per-process dedup so the warning is observable
+    S._WARNED_CAPS.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        planes, tables, capped = S.lsh_auto_params_solve(2_000_000, 0.4)
+    assert capped is True
+    assert tables == 256
+    assert any(
+        issubclass(x.category, RuntimeWarning) and "clamped" in str(x.message)
+        for x in w
+    ), [str(x.message) for x in w]
+    # warn-once semantics: a second identical solve stays quiet
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        S.lsh_auto_params_solve(2_000_000, 0.4)
+    assert not w2
+    # every gate-corpus regime stays uncapped and quiet
+    S._WARNED_CAPS.clear()
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        for n in (500, 6_000, 60_000, 200_000):
+            _, _, capped_n = S.lsh_auto_params_solve(n, 0.4)
+            assert capped_n is False, n
+    assert not w3
+    # warn=False is the LUT/precompute path: capped still reported,
+    # never warned
+    S._WARNED_CAPS.clear()
+    with warnings.catch_warnings(record=True) as w4:
+        warnings.simplefilter("always")
+        t, c = S.lsh_tables_solve(40, 0.4, warn=False)
+    assert c is True and t == 256 and not w4
+
+
+def test_minhash_banding_budget_flag():
+    """The MinHash analog: recall is never silently traded (b solves
+    exactly for the floor), but the r=2 fallback can silently blow the
+    signature budget — lsh_banding_params_solve must flag + warn it."""
+    import warnings
+
+    from hbase_bulkload_spark.operators.dedup import (
+        lsh_banding_params,
+        lsh_banding_params_solve,
+    )
+
+    # the registered threshold regime: within budget, no flag
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        k, bands, over = lsh_banding_params_solve(0.5)
+    assert over is False and k <= 64 and not w
+    # a pathologically low threshold forces the r=2 fallback over budget
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        k2, bands2, over2 = lsh_banding_params_solve(0.01)
+    assert over2 is True and k2 == 2 * bands2 and k2 > 64
+    assert any(issubclass(x.category, RuntimeWarning) for x in w2)
+    # the tuple-returning wrapper stays value-compatible
+    assert lsh_banding_params(0.5) == (k, bands)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=1, max_value=10**12))
 def test_ivf_auto_params_shapes(n):

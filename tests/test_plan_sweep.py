@@ -37,7 +37,7 @@ BNLJ_ALLOWED = {
     "q_sim_pairs_lsh",  # bounded GEMM twin + 1-row verdict crossJoin
     # bounded-twin verdict queries (round 7): 1-row corpus-count frame
     # crossJoined onto the 1-row recall verdict — O(1) bytes moved
-    "q_dedup_near",
+    "q_dedup_near_verdict",
     "q_dedup_incremental_minhash",
     "q_dedup_incremental_embed",  # bounded block-grid fan-out (La×Lb packed rows)
     # banding-vs-brute verdict arms: all-pairs over the md5-ranked
@@ -67,7 +67,7 @@ PUSHDOWN_REQUIRED = {
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_join", "q_events_funnel", "q_events_gapfill",
     "q_events_retention", "q_events_anomaly", "q_decontaminate",
-    "q_dedup_near", "q_sim_pairs_lsh", "q_text_fingerprint",
+    "q_dedup_near_verdict", "q_sim_pairs_lsh", "q_text_fingerprint",
     "q_multimodal_resize", "q_multimodal_frames", "q_curate_corpus",
     "q_sample_stratified", "q_mix_corpus", "q_embed_quantize",
     "q_join_inner", "q_join_broadcast", "q_join_semi", "q_join_anti",

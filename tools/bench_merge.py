@@ -15,13 +15,22 @@ estimator) and the scale ladder uses across runs (SCALE_r8 "min-merged
 across the listed runs"), extended across run boundaries.
 
 The merged artifact is explicit about its method: `merged_from` lists
-each run's total, throttle stamp, and calibration probes, so a reader can
-reconstruct any single run's view; `queries`/`value` are the minima.
-Keys present in only some runs (newly registered queries) take the
-minimum over the runs that have them. The isolated-probe section keeps
-the minimum isolated number and recomputes agreement against the merged
-in-registry minimum — best-case vs best-case, the strongest form of the
-contention-freedom claim.
+each run's total, throttle stamp, and calibration probes, so a reader
+can reconstruct any single run's view; `queries`/`value` are the
+minima. Round-9 key semantics (advisor items): the NEWEST run's key set
+is authoritative — a key removed or renamed between runs is DROPPED
+from the merge (listed in `dropped_keys`), never resurrected from an
+older artifact, so a rename is not double-counted and a retired query
+does not haunt the total. Keys new in the newest run simply take their
+only measurement. Per-run-only top-level fields (calib_sec,
+calib_mc_sec, throttle ratios, worker_recycle) are REMOVED from the
+merged top level — they described runs[-1] alone while appearing to
+describe the merge; merged_from carries them per run.
+
+The isolated-probe section keeps the minimum isolated number and
+recomputes agreement against the merged in-registry minimum —
+best-case vs best-case, the strongest form of the contention-freedom
+claim.
 
 Usage:
     python tools/bench_merge.py OUT.json RUN1.json RUN2.json [...]
@@ -32,25 +41,57 @@ from __future__ import annotations
 import json
 import sys
 
+#: top-level fields that describe ONE run's execution window, not the
+#: merged minima — dropped from the merged artifact (merged_from keeps
+#: them per run)
+PER_RUN_FIELDS = ("calib_sec", "calib_mc_sec", "worker_recycle")
+
+
+def _provenance_entries(r: dict) -> list[dict]:
+    """Flatten provenance: a merged artifact contributes its own
+    merged_from entries (its top-level value is derived, not a run)."""
+    if "merged_from" in r:
+        return list(r["merged_from"])
+    return [
+        {
+            "value": r.get("value"),
+            "throttle": r.get("throttle"),
+            "calib_sec": r.get("calib_sec"),
+            "calib_mc_sec": r.get("calib_mc_sec"),
+            "worker_recycle": r.get("worker_recycle"),
+            "n_queries": len(r["queries"]),
+        }
+    ]
+
 
 def merge(runs: list[dict]) -> dict:
-    base = dict(runs[-1])  # newest run: schema, sf, host id
+    newest = runs[-1]
+    base = dict(newest)  # newest run: schema, sf, host id
+    live = set(newest["queries"])  # authoritative key set (advisor item)
     queries: dict[str, float] = {}
     first: dict[str, float] = {}
+    dropped: set[str] = set()
     for r in runs:
         for k, v in r["queries"].items():
-            queries[k] = min(queries.get(k, v), v)
+            if k in live:
+                queries[k] = min(queries.get(k, v), v)
+            else:
+                dropped.add(k)
         for k, v in r.get("queries_first", {}).items():
-            first[k] = min(first.get(k, v), v)
+            if k in live:
+                first[k] = min(first.get(k, v), v)
     base["queries"] = dict(sorted(queries.items()))
     base["queries_first"] = dict(sorted(first.items()))
     base["value"] = round(sum(queries.values()), 3)
     base["value_first"] = round(sum(first.values()), 3)
+    if dropped:
+        base["dropped_keys"] = sorted(dropped)
 
     iso_q: dict[str, float] = {}
     for r in runs:
         for k, v in (r.get("isolated") or {}).get("queries", {}).items():
-            iso_q[k] = min(iso_q.get(k, v), v)
+            if k in live:
+                iso_q[k] = min(iso_q.get(k, v), v)
     if iso_q:
         base["isolated"] = {
             "queries": iso_q,
@@ -66,19 +107,12 @@ def merge(runs: list[dict]) -> dict:
         "steady-state estimator extended across run boundaries; see "
         "tools/bench_merge.py for why single-run probes are not enough)"
     )
-    base["merged_from"] = [
-        {
-            "value": r["value"],
-            "throttle": r.get("throttle"),
-            "calib_sec": r.get("calib_sec"),
-            "calib_mc_sec": r.get("calib_mc_sec"),
-            "n_queries": len(r["queries"]),
-        }
-        for r in runs
-    ]
-    # a merged artifact has no single throttle state; the per-run stamps
-    # live in merged_from
+    base["merged_from"] = [e for r in runs for e in _provenance_entries(r)]
+    # a merged artifact has no single throttle state or calibration
+    # probe list; the per-run stamps live in merged_from
     base["throttle"] = "merged (see merged_from)"
+    for f in PER_RUN_FIELDS:
+        base.pop(f, None)
     return base
 
 
@@ -97,6 +131,7 @@ def main() -> None:
                 "out": out,
                 "value": merged["value"],
                 "runs": [r["value"] for r in runs],
+                "dropped_keys": merged.get("dropped_keys", []),
                 "isolated": merged.get("isolated"),
             }
         )
