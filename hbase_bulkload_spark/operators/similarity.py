@@ -358,7 +358,10 @@ def lsh_auto_params(
     t = 0.4 the solve needs 64 tables, the cap's marginal recall is
     0.78 (predicted) and the measured sf1.0-density aggregate was 0.83,
     red against the 0.9 in-query floor; model and measurement agree, so
-    round 8 raised the cap to 256 (n ≈ 1M at t = 0.4 before it binds).
+    round 8 raised the cap to 256. Binding point, measured not guessed
+    (round 9): the 19-plane solve at t = 0.4 needs 266 tables, so the
+    256 cap binds for every n > 2^18 = 262,144 — ~1.3x the sf10-density
+    probe corpus, NOT the "n ≈ 1M" round-8 estimate.
     ``max_tables`` remains the web-scale stop — past it the honest move
     is accepting lower marginal recall or switching to the IVF path,
     not unbounded tables — but the cap must sit ABOVE every gated

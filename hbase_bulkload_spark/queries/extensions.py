@@ -604,7 +604,8 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     ``tables_capped`` (round 9): the verdict also carries the sizing
     solve's capped flag (lsh_auto_params_solve). The oracle pins it
     literally FALSE, so if a gate corpus ever grows into the regime
-    where the 256-table cap binds (n ≈ 1M at t = 0.4) this key turns
+    where the 256-table cap binds (n > 2^18 ≈ 262k at t = 0.4 — the
+    19-plane solve needs 266 tables) this key turns
     RED instead of silently running at degraded recall — the
     silent-clamp failure mode that shipped in rounds 6 and 8."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     # bounded by the cap, independent of corpus size
     "q_dedup_simhash",
     "q_multimodal_phash",
+    "q_multimodal_phash_real",
     "q_text_tfidf",
     "q_text_logprob",
     "q_curate_corpus",
