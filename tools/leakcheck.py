@@ -35,7 +35,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PUBLIC_TOP_LEVEL = {
     "pyspark", "pyarrow", "pandas", "numpy", "duckdb", "pytest",
     "hypothesis", "py4j", "hbase_bulkload_spark", "__spark_entry__",
-    "bench", "scale_probe_r7", "scale_probe_r8",
+    "bench", "bench_merge", "scale_probe",  # repo-local tools/ modules
 }
 
 URL_ALLOW = re.compile(

@@ -1,7 +1,8 @@
 """Recall artifact for the probabilistic ANN/LSH paths.
 
 Since round 6 the registered queries (`q_sim_topk_ivf`,
-`q_sim_pairs_lsh`, `q_dedup_near`, `q_dedup_incremental_minhash`) emit
+`q_sim_pairs_lsh`, `q_dedup_near_verdict` — the verdict arm of
+q_dedup_near, renamed in round 9 — `q_dedup_incremental_minhash`) emit
 in-query recall VERDICTS against their exact twins (full oracle: the
 boolean flips on a floor breach); this tool records the underlying
 recall NUMBERS for the raw probabilistic outputs (`sim_topk_ivf_raw`,
