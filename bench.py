@@ -495,10 +495,7 @@ def main() -> None:
     probes.append(_calibrate())
     probes_mc.append(_calibrate_mc())
 
-    timings = {
-        name: round(min(first[name], *(p[name] for p in steady)), 3)
-        for name in queries
-    }
+    timings = steady_minima(first, steady, list(queries))
 
     # isolated re-probe (full-registry runs only): fresh-process numbers
     # for the named Python-stage keys, recorded NEXT TO the in-registry
@@ -557,6 +554,21 @@ def main() -> None:
     print(detail_line)
     sys.stdout.flush()
     print(summary_line, flush=True)
+
+
+def steady_minima(
+    first: dict[str, float],
+    steady: list[dict[str, float]],
+    names: list[str],
+) -> dict[str, float]:
+    """Per-query min over the warmup pass and every steady pass. Must
+    tolerate steady == [] (SPARK_GRAFT_BENCH_PASSES=0 probes): the
+    one-arg min(first[name]) form raised TypeError there AFTER the
+    timed passes had run, losing two ~70-minute sf10-density probe
+    measurements to a post-processing crash (round 9)."""
+    return {
+        n: round(min([first[n], *(p[n] for p in steady)]), 3) for n in names
+    }
 
 
 SUMMARY_BUDGET = 1750  # chars; must stay under the 2000-char tail window

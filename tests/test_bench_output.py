@@ -132,3 +132,16 @@ def test_multicore_probe_drives_throttle_verdict():
     _, summary_line = build_output_lines(_fake(5), _fake(5), 0.1, sc_ok, None, mc_bad)
     s = json.loads(summary_line)
     assert s["calib_mc_sec"] and s["throttle"].startswith("throttled")
+
+
+def test_steady_minima_tolerates_zero_steady_passes():
+    """SPARK_GRAFT_BENCH_PASSES=0 probes: the minima reduction must work
+    with no steady passes — the one-arg min(first[name]) form raised
+    TypeError AFTER the timed passes, losing two ~70-minute sf10-density
+    probe measurements to a post-processing crash (round 9)."""
+    from bench import steady_minima
+
+    assert steady_minima({"q": 5.0}, [], ["q"]) == {"q": 5.0}
+    assert steady_minima(
+        {"q": 5.0, "r": 1.0}, [{"q": 3.25, "r": 2.0}], ["q", "r"]
+    ) == {"q": 3.25, "r": 1.0}
