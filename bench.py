@@ -137,6 +137,46 @@ FULL_ARTIFACT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
 )
 
+#: Cross-round minima ledger (round-9 verdict item 4): the round-8
+#: end-of-round snapshot commit clobbered the builder's good-window
+#: min-merged BENCH_FULL_LATEST with a raw throttled driver capture,
+#: losing the only clean minima for the Python-stage heavies. This file
+#: is written ONLY by the min-merge below (never a raw overwrite), so a
+#: driver snapshot can commit whatever single-run view it captured into
+#: BENCH_FULL_LATEST without destroying the accumulated best-credible
+#: numbers.
+MINIMA_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_MINIMA.json"
+)
+
+#: Plan-text patterns that vary run-to-run without the plan changing:
+#: expression ids (#123), temp/fixture paths, and the in-plan location
+#: strings parquet scans embed. Stripped before fingerprinting.
+_FP_NOISE = re.compile(r"#\d+L?|file:[^\s,)\]]+|/[\w./-]*(?:tmp|testdata|localdata|warehouse|target)[\w./-]*")
+
+
+def _plan_fingerprint(df, sf_dir: str) -> str:
+    """Stable hash of a DataFrame's ANALYZED logical plan (round-9
+    advisor item, bench.py:295): the min-merge must not combine numbers
+    from two different plans registered under the same key — exactly
+    what happened when q_dedup_near's semantics changed in place and the
+    retired verdict plan's faster minimum survived the merge. Expression
+    ids and filesystem paths are normalized out (they differ per session
+    without the plan differing); whitespace collapses so formatting is
+    irrelevant. Pinned stable-within-a-session and sensitive-to-plan-
+    change by tests/test_bench_output.py."""
+    import hashlib
+
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — fingerprinting must never fail a run
+        return "unavailable"
+    s = _FP_NOISE.sub("", s)
+    if sf_dir:
+        s = s.replace(sf_dir, "")
+    s = re.sub(r"\s+", " ", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
 
 def _host_id() -> dict:
     """Hardware identifier recorded next to the nominal: cpu count plus
@@ -276,11 +316,27 @@ def _isolated_probe(keys: list[str], sf_dir: str, spark=None) -> dict:
         if out.returncode != 0:
             tail = (out.stderr or out.stdout or "").strip()[-300:]
             return {"error": f"probe exit {out.returncode}: {tail}"}
-        # first line = full detail (never budget-capped); the child also
+        # the detail line is the FIRST stdout line that parses as JSON
+        # and carries a queries dict (never budget-capped) — not
+        # hard-coded line 0, which any stray pre-line stdout (a Spark
+        # banner, a setup print) would break, silently degrading the
+        # probe to an error entry (round-9 advisor item). The child also
         # writes BENCH_FULL_SUBSET.json but parsing stdout avoids a
-        # filesystem race with any concurrent subset run
-        line = out.stdout.strip().splitlines()[0]
-        got = json.loads(line)["queries"]
+        # filesystem race with any concurrent subset run.
+        got = None
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in doc:
+                got = doc["queries"]
+                break
+        if got is None:
+            return {"error": "no bench JSON detail line in probe stdout"}
         missing = [k for k in keys if k not in got]
         res: dict = {"queries": got, "parent_rss_mb": parent_rss}
         if missing:
@@ -367,14 +423,18 @@ def throttle_intra(
     probes: list[float], probes_mc: list[float] | None = None
 ) -> str:
     """Nominal-free companion verdict: worst probe of the run vs the
-    run's OWN first probe, max over both modes. Immune to the committed
+    run's BEST probe, max over both modes. Immune to the committed
     nominal's cross-session drift (see CALIB_MC_NOMINAL_SEC caveat) —
-    'degraded(xN)' means the machine got slower WHILE this run was in
-    flight, which taints per-query comparison within the run itself."""
+    'degraded(xN)' means the machine ran at two different speeds WHILE
+    this run was in flight, which taints per-query comparison within
+    the run itself. max/min rather than max/first (round-9 advisor
+    item): a run that STARTS throttled and recovers has early-pass
+    numbers taken in the degraded window just as surely as one that
+    degrades late, and max/first stamped that case 'ok'."""
     ratios = []
     for ps in (probes, probes_mc or []):
-        if len(ps) >= 2 and ps[0] > 0:
-            ratios.append(max(ps) / ps[0])
+        if len(ps) >= 2 and min(ps) > 0:
+            ratios.append(max(ps) / min(ps))
     if not ratios:
         return "not-run"
     worst = max(ratios)
@@ -455,12 +515,19 @@ def main() -> None:
     # first-touch JIT/codegen cost, but min(warm-up, steady) can only
     # tighten the steady-state estimate and costs nothing extra
     first: dict[str, float] = {}
+    plan_fp: dict[str, str] = {}
     recycle = "not-run"
     for name, fn in queries.items():
         recycle = _recycle_python_workers(spark)
         t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
         first[name] = time.time() - t0
+        # untimed (analysis is already cached on df after the write):
+        # the plan fingerprint rides the artifact so the min-merge can
+        # refuse to combine numbers from two different plans registered
+        # under the same key (round-9 advisor item)
+        plan_fp[name] = _plan_fingerprint(df, sf_dir)
 
     # two steady passes → per-query min over THREE executions: per-query
     # wall clock is throttle- and neighbor-sensitive on a shared VM; the
@@ -521,6 +588,7 @@ def main() -> None:
     )
     artifact = json.loads(detail_line)
     artifact["sf_dir"] = sf_dir
+    artifact["plan_fp"] = plan_fp
     # between-query idle-worker recycle status (see
     # _recycle_python_workers) — "ok" means per-query numbers for
     # Python-stage keys are free of cross-query worker-pool reclaim
@@ -551,6 +619,16 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(to_write, f, indent=1, sort_keys=True)
         f.write("\n")
+    # cross-round minima ledger (round-9 verdict item 4): ALSO min-merge
+    # into BENCH_MINIMA.json, a file only this merge path ever writes —
+    # a driver end-of-round snapshot can clobber BENCH_FULL_LATEST with
+    # a raw throttled capture without losing the accumulated good-window
+    # minima (which is exactly what commit 89f8062 did in round 8).
+    if not only:
+        minima = _merge_into_existing(MINIMA_ARTIFACT, artifact, sf, sf_dir)
+        with open(MINIMA_ARTIFACT, "w") as f:
+            json.dump(minima, f, indent=1, sort_keys=True)
+            f.write("\n")
     print(detail_line)
     sys.stdout.flush()
     print(summary_line, flush=True)

@@ -128,3 +128,51 @@ def test_bench_write_merge_preserves_minima(tmp_path):
     path.write_text(json.dumps(subset))
     full = _merge_into_existing(str(path), throttled, 0.1, "/root/testdata/sf0.1")
     assert full is throttled
+
+
+def test_fp_mismatch_drops_stale_minimum():
+    """Round-9 advisor item (bench.py:295): a key whose registered plan
+    changed in place under the same name must take the NEWEST run's
+    number — the old plan's faster minimum is a time the current code
+    cannot produce (q_dedup_near's retired verdict plan survived the
+    round-9 merge exactly this way)."""
+    a = _run({"q_x": 2.0, "q_y": 5.0})
+    a["plan_fp"] = {"q_x": "aaa111", "q_y": "bbb222"}
+    b = _run({"q_x": 3.0, "q_y": 4.5})
+    b["plan_fp"] = {"q_x": "aaa111", "q_y": "CHANGED"}  # q_y replanned
+    m = merge([a, b])
+    assert m["queries"] == {"q_x": 2.0, "q_y": 4.5}
+    assert m["fp_mismatch_dropped"] == ["q_y"]
+    # queries_first obeys the same gate
+    assert m["queries_first"]["q_y"] == 5.5
+
+
+def test_fp_missing_on_old_run_is_not_mergeable():
+    """An old artifact without a fingerprint for a key cannot prove its
+    number came from the current plan — strict drop (the one-time reset
+    this causes is cheaper than a minimum no code path can reproduce)."""
+    a = _run({"q_x": 2.0})  # legacy artifact: no plan_fp at all
+    b = _run({"q_x": 3.0})
+    b["plan_fp"] = {"q_x": "aaa111"}
+    m = merge([a, b])
+    assert m["queries"] == {"q_x": 3.0}
+    assert m["fp_mismatch_dropped"] == ["q_x"]
+
+
+def test_fp_legacy_mode_when_newest_has_no_fingerprints():
+    """Merging two historical (pre-fingerprint) artifacts keeps the old
+    unguarded behavior."""
+    a = _run({"q_x": 2.0})
+    b = _run({"q_x": 3.0})
+    m = merge([a, b])
+    assert m["queries"] == {"q_x": 2.0}
+    assert "fp_mismatch_dropped" not in m
+
+
+def test_fp_gate_applies_to_isolated_numbers():
+    a = _run({"q_h": 9.0}, iso={"q_h": 8.0})
+    a["plan_fp"] = {"q_h": "OLDPLAN"}
+    b = _run({"q_h": 12.0}, iso={"q_h": 11.0})
+    b["plan_fp"] = {"q_h": "NEWPLAN"}
+    m = merge([a, b])
+    assert m["isolated"]["queries"]["q_h"] == 11.0

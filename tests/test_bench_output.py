@@ -145,3 +145,26 @@ def test_steady_minima_tolerates_zero_steady_passes():
     assert steady_minima(
         {"q": 5.0, "r": 1.0}, [{"q": 3.25, "r": 2.0}], ["q", "r"]
     ) == {"q": 3.25, "r": 1.0}
+
+
+def test_plan_fingerprint_stable_and_plan_sensitive(spark):
+    """_plan_fingerprint must be (a) identical across two builds of the
+    same query in one session — expression ids and paths differ, the
+    normalized hash must not — and (b) different when the plan itself
+    differs, else the min-merge fingerprint gate (round-9 advisor item)
+    is either always-dropping or never-dropping."""
+    from bench import _plan_fingerprint
+
+    sf_dir = "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for key in ("q_sql_tpch1", "q_dedup_exact"):
+        if key not in qs:
+            continue
+        fp1 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+        fp2 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+        assert fp1 == fp2 != "unavailable", key
+    a = _plan_fingerprint(qs["q_dedup_exact"](spark, sf_dir), sf_dir)
+    b = _plan_fingerprint(qs["q_dedup_ngram"](spark, sf_dir), sf_dir)
+    assert a != b

@@ -64,21 +64,43 @@ def _provenance_entries(r: dict) -> list[dict]:
     ]
 
 
+def _fp_gate(newest: dict):
+    """Per-key merge admissibility for an OLDER run's number (round-9
+    advisor item, bench.py:295): the newest run's plan fingerprint
+    (bench._plan_fingerprint — normalized analyzed-plan hash) is
+    authoritative; an older number merges only if its run recorded the
+    SAME fingerprint for that key. A key whose plan changed in place
+    under the same name (q_dedup_near this round) therefore takes the
+    new run's number instead of keeping a stale minimum the current
+    code cannot produce. Legacy mode: if the newest artifact predates
+    fingerprints entirely (no plan_fp key), the gate admits everything
+    — the old unguarded behavior, needed to merge historical logs."""
+    want = newest.get("plan_fp")
+    if want is None:
+        return lambda r, k: True
+    return lambda r, k: (r.get("plan_fp") or {}).get(k) == want.get(k) != None  # noqa: E711
+
+
 def merge(runs: list[dict]) -> dict:
     newest = runs[-1]
     base = dict(newest)  # newest run: schema, sf, host id
     live = set(newest["queries"])  # authoritative key set (advisor item)
+    admissible = _fp_gate(newest)
     queries: dict[str, float] = {}
     first: dict[str, float] = {}
     dropped: set[str] = set()
+    fp_dropped: set[str] = set()
     for r in runs:
+        is_newest = r is newest
         for k, v in r["queries"].items():
-            if k in live:
+            if k not in live:
+                dropped.add(k)
+            elif is_newest or admissible(r, k):
                 queries[k] = min(queries.get(k, v), v)
             else:
-                dropped.add(k)
+                fp_dropped.add(k)
         for k, v in r.get("queries_first", {}).items():
-            if k in live:
+            if k in live and (is_newest or admissible(r, k)):
                 first[k] = min(first.get(k, v), v)
     base["queries"] = dict(sorted(queries.items()))
     base["queries_first"] = dict(sorted(first.items()))
@@ -86,11 +108,13 @@ def merge(runs: list[dict]) -> dict:
     base["value_first"] = round(sum(first.values()), 3)
     if dropped:
         base["dropped_keys"] = sorted(dropped)
+    if fp_dropped:
+        base["fp_mismatch_dropped"] = sorted(fp_dropped)
 
     iso_q: dict[str, float] = {}
     for r in runs:
         for k, v in (r.get("isolated") or {}).get("queries", {}).items():
-            if k in live:
+            if k in live and (r is newest or admissible(r, k)):
                 iso_q[k] = min(iso_q.get(k, v), v)
     if iso_q:
         base["isolated"] = {
