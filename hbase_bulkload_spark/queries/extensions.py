@@ -547,14 +547,23 @@ def q_sim_topk_ivf(spark, sf_dir) -> DataFrame:
 
 def sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:
     """Raw hyperplane-LSH pair output at the registered parameters (the
-    round-1..5 q_sim_pairs_lsh result)."""
+    round-1..5 q_sim_pairs_lsh result). Sizing via
+    ``similarity.lsh_plan_solve`` (round-10): at every gate/probe scale
+    (n <= 200k) the plan is the radius-1 log2-planes config — bit-
+    identical to the historical lsh_auto_params sizing, so the replay
+    oracle (radius-1 probe SQL + radius-1 LUT) stays engine-exact; past
+    the old 2^18 wall the plan escalates probe radius / reduces planes
+    instead of abandoning the 0.95 recall target (no gated fixture
+    reaches that regime — the escalation is covered by
+    tests/test_param_sizing.py, not by a replay oracle)."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")
-    n_planes, n_tables = similarity.lsh_auto_params(n, SIM_THRESHOLD)
+    n_planes, radius, n_tables, _ = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
     return similarity.cosine_pairs_lsh(
         _emb(spark, sf_dir),
         threshold=SIM_THRESHOLD,
         n_planes=n_planes,
         n_tables=n_tables,
+        probe_radius=radius,
     )
 
 
@@ -601,15 +610,19 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     probe's 4.6× step was this GEMM twin). Raw pairs:
     :func:`sim_pairs_lsh_raw`.
 
-    ``tables_capped`` (round 9): the verdict also carries the sizing
-    solve's capped flag (lsh_auto_params_solve). The oracle pins it
-    literally FALSE, so if a gate corpus ever grows into the regime
-    where the 256-table cap binds (n > 2^18 ≈ 262k at t = 0.4 — the
-    19-plane solve needs 266 tables) this key turns
-    RED instead of silently running at degraded recall — the
-    silent-clamp failure mode that shipped in rounds 6 and 8."""
+    ``tables_capped`` (round 9, re-contracted round 10): the verdict
+    carries the sizing solve's capped flag — now from
+    ``lsh_plan_solve``, whose radius/plane escalation satisfies the
+    0.95 recall solve at EVERY corpus size within 256 tables (the
+    round-9 wall at n > 2^18 was radius-1-only sizing; radius-2
+    multi-probe collapses the table solve back under the budget, see
+    the solver docstring). The oracle still pins the flag literally
+    FALSE: it can only trip if the recall target were raised past what
+    (8 planes, radius 2, 256 tables) delivers — a contract change, not
+    a corpus-growth event, so RED would mean the registered parameters
+    themselves changed."""
     n = datasets.parquet_row_count(sf_dir, "embeddings")
-    _, _, tables_capped = similarity.lsh_auto_params_solve(n, SIM_THRESHOLD)
+    _, _, _, tables_capped = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
     emb = _emb(spark, sf_dir)
     checked = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -645,6 +658,38 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     )
     return counts.crossJoin(F.broadcast(verdict)).withColumn(
         "tables_capped", F.lit(bool(tables_capped))
+    )
+
+
+#: q_sim_pairs_ivf registered parameters: 2 nearest cells per vector.
+IVF_PAIR_ASSIGN = 2
+
+
+def q_sim_pairs_ivf(spark, sf_dir) -> DataFrame:
+    """Op 54 (table-free pair scale path, round-10 — verdict item 2):
+    IVF-blocked cosine pairs ≥ threshold. sqrt(n) coarse cells
+    (footer-sized, :func:`similarity.ivf_pair_cells` — sizing that can
+    NEVER cap out, unlike the round-9 sign-LSH table solve), each
+    vector multi-assigned to its ``IVF_PAIR_ASSIGN`` nearest cells,
+    candidates generated only within a cell by per-cell chunked GEMM,
+    exact-cosine verified. Work ~(r²/2)·n^1.5, one vector shuffle of
+    n·r rows — never a candidate-pair shuffle.
+
+    FULL ORACLE BY REPLAY (the q_sim_pairs_lsh_raw discipline, not a
+    recall-floor verdict): blocking recall at the registered t = 0.4
+    on this fixture's unstructured tail pairs is measured 0.45-0.80 —
+    BELOW any honest 0.9 floor (see cosine_pairs_ivf's docstring for
+    the full measurement; on genuinely clustered near-dup corpora the
+    same blocking measures ≥ 0.95) — so the DuckDB oracle regenerates
+    the identical seed-centroid assignment and blocked pair set,
+    misses included. Blocking recall is tracked per round in the
+    RECALL artifact instead of pinned to an unreachable floor."""
+    n = datasets.parquet_row_count(sf_dir, "embeddings")
+    return similarity.cosine_pairs_ivf(
+        _emb(spark, sf_dir),
+        threshold=SIM_THRESHOLD,
+        n_cells=similarity.ivf_pair_cells(n),
+        n_assign=IVF_PAIR_ASSIGN,
     )
 
 
@@ -1447,6 +1492,7 @@ QUERIES = {
     "q_sim_pairs": q_sim_pairs,
     "q_sim_pairs_lsh": q_sim_pairs_lsh,
     "q_sim_pairs_lsh_raw": q_sim_pairs_lsh_raw,
+    "q_sim_pairs_ivf": q_sim_pairs_ivf,
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -2327,6 +2373,57 @@ ORACLES["q_dedup_incremental_minhash"] = f"""
                AS n_flagged_exact,
            TRUE AS recall_ok, TRUE AS precision_ok
     FROM ({_incremental_near_oracle(None, verify_cap=BRUTE_CHECK_CAP)})
+"""
+
+# q_sim_pairs_ivf: FULL replay of the IVF-blocked pair pipeline (the
+# q_sim_pairs_lsh_raw discipline — blocking misses pairs by design, so
+# the only honest full oracle regenerates the identical blocked set).
+# Engine-exact because every step is shared determinism: seed centroids
+# are the k smallest-id vectors (no Lloyd float-order sensitivity),
+# cell ranking and pair verification use the round-6 cosine both
+# engines already hash-match on, ties break by cell id. k mirrors
+# similarity.ivf_pair_cells exactly: FLOOR(SQRT(n)+0.5) — half-up in
+# both engines (Python round would be banker's).
+_IVF_COS = (
+    "round(list_dot_product({a}.v, {b}.v)"
+    " / (sqrt(list_dot_product({a}.v, {a}.v))"
+    " * sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+)
+ORACLES["q_sim_pairs_ivf"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    par AS (
+        SELECT GREATEST(8, LEAST(65536,
+               CAST(FLOOR(SQRT(COUNT(*)) + 0.5) AS INTEGER))) AS k
+        FROM e
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               v AS c
+        FROM e
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM par)
+    ),
+    scored AS (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.v, s.c)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(s.c, s.c))), 6) DESC,
+                            s.cell ASC
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, cell FROM scored WHERE rn <= {IVF_PAIR_ASSIGN}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_id_a, c.vec_id_b, {_IVF_COS.format(a="ea", b="eb")} AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_id_a
+    JOIN e eb ON eb.vec_id = c.vec_id_b
+    WHERE {_IVF_COS.format(a="ea", b="eb")} >= {SIM_THRESHOLD}
 """
 
 ORACLES["q_sim_pairs_lsh"] = f"""

@@ -342,3 +342,48 @@ def test_lsh_banding_params_tiny_threshold_no_underflow():
         assert recall_at_t >= 0.98, (t, k, bands, recall_at_t)
     with pytest.raises(ValueError, match="too small"):
         dedup.lsh_banding_params(1e-200)
+
+
+def test_cosine_lsh_radius2_superset_of_radius1_and_contained(emb):
+    """probe_radius=2 (lsh_plan_solve's scale-escalation step) widens
+    the per-table collision window from <=2 to <=4 signature bits: at
+    identical (planes, tables) the radius-2 pair set must contain the
+    radius-1 set, and both stay inside the exact twin (precision 1)."""
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cos_sim
+        for r in similarity.cosine_pairs_exact(
+            emb, threshold=0.4, n_blocks=2
+        ).collect()
+    }
+    sets = {}
+    for radius in (1, 2):
+        sets[radius] = {
+            (r.vec_id_a, r.vec_id_b): r.cos_sim
+            for r in similarity.cosine_pairs_lsh(
+                emb, threshold=0.4, n_planes=10, n_tables=4,
+                probe_radius=radius,
+            ).collect()
+        }
+    assert set(sets[1]) <= set(sets[2])
+    assert len(sets[2]) > len(sets[1])  # the wider window really bites
+    for radius in (1, 2):
+        for pair, cos in sets[radius].items():
+            assert pair in exact and exact[pair] == cos, (radius, pair)
+
+
+def test_cosine_pairs_ivf_contained_in_exact(emb):
+    got = {
+        (r.vec_id_a, r.vec_id_b): r.cos_sim
+        for r in similarity.cosine_pairs_ivf(
+            emb, threshold=0.4, n_cells=8, n_assign=2
+        ).collect()
+    }
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cos_sim
+        for r in similarity.cosine_pairs_exact(
+            emb, threshold=0.4, n_blocks=2
+        ).collect()
+    }
+    assert got
+    for pair, cos in got.items():
+        assert pair in exact and exact[pair] == cos, pair

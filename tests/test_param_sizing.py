@@ -225,3 +225,64 @@ def test_lsh_tables_lookup_matches_auto_params():
         planes, tables = S.lsh_auto_params(n, SIM_THRESHOLD)
         assert tables == S.lsh_tables_for_planes(planes, SIM_THRESHOLD), n
         assert 8 <= planes <= 64  # lookup literal covers 8..64
+
+
+def test_lsh_plan_solve_matches_legacy_below_the_wall():
+    """Round-10 contract: at every gated/probed corpus size the plan is
+    the radius-1 log2-planes config, bit-identical to the historical
+    lsh_auto_params sizing — registered pair sets and replay oracles
+    must not move."""
+    from hbase_bulkload_spark.operators import similarity as S
+
+    for n in (500, 2_000, 6_000, 20_000, 60_000, 200_000, 262_144):
+        op, ot, oc = S.lsh_auto_params_solve(n, 0.4)
+        p, r, t, c = S.lsh_plan_solve(n, 0.4)
+        assert (p, r, t, c) == (op, 1, ot, False), n
+        assert oc is False, n
+
+
+def test_lsh_plan_solve_escalates_instead_of_capping():
+    """Round-9 verdict item 2: past n = 2^18 the radius-1 solve wants
+    more than 256 tables; the plan must escalate probe radius (and
+    eventually reduce planes) so the 0.95 recall target is MET — the
+    capped flag is a contract violation, not a corpus-size event."""
+    import math
+
+    from hbase_bulkload_spark.operators import similarity as S
+
+    prev_work = None
+    for n in (262_145, 500_000, 2_000_000, 10_000_000, 10**8, 10**10):
+        p, r, t, c = S.lsh_plan_solve(n, 0.4)
+        assert c is False, n
+        assert t <= 256, n
+        assert r == 2, n
+        # the recall solve is genuinely satisfied at the returned config
+        tt, capped = S.lsh_tables_solve(p, 0.4, probe_radius=r, warn=False)
+        assert capped is False and tt <= t, n
+        # cost model stays monotone (no pathological plan flip-flop)
+        keys = sum(math.comb(p, d) for d in range(0, r + 1))
+        work = n * n * t * keys * keys / 2.0**p
+        if prev_work is not None:
+            assert work > prev_work, n
+        prev_work = work
+
+
+def test_lsh_plan_solve_min_planes_radius2_is_practically_uncappable():
+    """capped=True requires a recall target even (8 planes, radius 2,
+    256 tables) cannot reach — pin that the registered 0.95 target is
+    nowhere near that boundary at any n."""
+    from hbase_bulkload_spark.operators import similarity as S
+
+    for n in (10**6, 10**12):
+        assert S.lsh_plan_solve(n, 0.4, target_recall=0.999)[3] is False
+
+
+def test_tables_solve_radius2_window():
+    """Radius-2 collision window = signature distance <= 4: per-table
+    hit must be far above radius 1's at the same planes (that is the
+    escalation's entire mechanism)."""
+    from hbase_bulkload_spark.operators import similarity as S
+
+    t1, _ = S.lsh_tables_solve(19, 0.4, probe_radius=1, warn=False)
+    t2, _ = S.lsh_tables_solve(19, 0.4, probe_radius=2, warn=False)
+    assert t2 * 5 <= t1

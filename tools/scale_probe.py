@@ -102,24 +102,29 @@ def lsh_model_ratio(lo_dir: str, hi_dir: str, lo: str, hi: str, step: float) -> 
     operator's own sizing law at the registered threshold and the
     actual fixture embedding counts (parquet footer metadata), plus the
     capped flag per scale (see module docstring)."""
+    import math
+
     import pyarrow.dataset as ds
 
-    from hbase_bulkload_spark.operators.similarity import lsh_auto_params_solve
+    from hbase_bulkload_spark.operators.similarity import lsh_plan_solve
     from hbase_bulkload_spark.queries.extensions import SIM_THRESHOLD
 
     n1 = ds.dataset(os.path.join(lo_dir, "embeddings.parquet")).count_rows()
     n2 = ds.dataset(os.path.join(hi_dir, "embeddings.parquet")).count_rows()
-    p1, t1, c1 = lsh_auto_params_solve(n1, SIM_THRESHOLD)
-    p2, t2, c2 = lsh_auto_params_solve(n2, SIM_THRESHOLD)
-    pairs1 = n1 * n1 * t1 * (1 + p1) ** 2 / 2.0**p1
-    pairs2 = n2 * n2 * t2 * (1 + p2) ** 2 / 2.0**p2
+    p1, r1, t1, c1 = lsh_plan_solve(n1, SIM_THRESHOLD)
+    p2, r2, t2, c2 = lsh_plan_solve(n2, SIM_THRESHOLD)
+    k1 = sum(math.comb(p1, d) for d in range(0, r1 + 1))
+    k2 = sum(math.comb(p2, d) for d in range(0, r2 + 1))
+    pairs1 = n1 * n1 * t1 * k1 * k1 / 2.0**p1
+    pairs2 = n2 * n2 * t2 * k2 * k2 / 2.0**p2
     return {
         "threshold": SIM_THRESHOLD,
         "n_embeddings": {lo: n1, hi: n2},
         "planes": {lo: p1, hi: p2},
+        "probe_radius": {lo: r1, hi: r2},
         "tables": {lo: t1, hi: t2},
         "tables_capped": {lo: c1, hi: c2},
-        "probe_key_ratio": round(step * (t2 * (1 + p2)) / (t1 * (1 + p1)), 2),
+        "probe_key_ratio": round(step * (t2 * k2) / (t1 * k1), 2),
         "predicted_ratio": round(pairs2 / pairs1, 2),
         "quadratic_ratio": round(step * step, 2),
     }
