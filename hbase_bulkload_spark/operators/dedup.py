@@ -719,9 +719,14 @@ def embedding_dedup(
 
     ``method="exact"`` scores pairs with the distributed blocked GEMM
     (quadratic baseline, full oracle); ``method="lsh"`` is the
-    sub-quadratic scale path (hyperplane-LSH buckets, probabilistic
-    recall — rows-only). Verdict frame is (dup docs only) ≪ corpus, so
-    the final left join is AQE-broadcastable.
+    sub-quadratic recall-solved scale path (hyperplane-LSH buckets,
+    probabilistic recall — rows-only); ``method="ivf"`` (round 10) is
+    the table-free blocking path (:func:`similarity.cosine_pairs_ivf`
+    — sqrt(n) cells, ~n^1.5 work, sizing that can never cap out;
+    blocking recall is the SemDeDup trade: high on clustered near-dup
+    corpora, reported-only on unstructured tails). Verdict frame is
+    (dup docs only) ≪ corpus, so the final left join is
+    AQE-broadcastable.
     """
     from hbase_bulkload_spark.operators import similarity
 
@@ -733,8 +738,17 @@ def embedding_dedup(
         pairs = similarity.cosine_pairs_lsh(
             embeddings, threshold=threshold, id_col=vec_id_col
         )
+    elif method == "ivf":
+        pairs = similarity.cosine_pairs_ivf(
+            embeddings,
+            threshold=threshold,
+            n_cells=similarity.ivf_pair_cells(embeddings.count()),
+            id_col=vec_id_col,
+        )
     else:
-        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+        raise ValueError(
+            f"method must be 'exact', 'lsh', or 'ivf', got {method!r}"
+        )
 
     verdict = pairs.groupBy(F.col("vec_id_b").alias(id_col)).agg(
         F.min("vec_id_a").alias("dup_of"),

@@ -306,6 +306,14 @@ def test_embedding_dedup_verdicts(spark):
     lsh_dups = {r.doc_id for r in lsh.collect() if r.is_dup}
     assert lsh_dups <= exact_dups
 
+    # ivf (round 10): tight duplicates share a top cell with their
+    # original by construction, so the clustered regime flags ALL of
+    # the exact method's dups here — and never a spurious one
+    ivf = dedup.embedding_dedup(docs, emb, threshold=0.95, method="ivf")
+    ivf_dups = {r.doc_id: r for r in ivf.collect() if r.is_dup}
+    assert set(ivf_dups) == exact_dups
+    assert ivf_dups[2].dup_of == 0 and ivf_dups[3].dup_of == 0
+
     with pytest.raises(ValueError, match="exact.*lsh"):
         dedup.embedding_dedup(docs, emb, method="bogus")
 
