@@ -1013,8 +1013,11 @@ def cosine_pairs_ivf(
     numpy replay, threshold 0.4): the gate corpus's qualifying pairs
     are the ~3.2σ tail of UNSTRUCTURED 64-dim vectors (98.5% of pairs
     in cos [0.4, 0.5); zero pairs above 0.7), where NO blocking scheme
-    holds high recall — centroid blocking catches 0.45-0.80 of pairs
-    (falling with n), and triangle-inequality cell-pair pruning prunes
+    holds high recall — the registered seed-centroid blocking catches
+    0.35-0.52 of pairs falling with n (RECALL artifact; one Lloyd
+    refinement raises it only to 0.45-0.80, still nowhere near a 0.9
+    floor, and costs the replay oracle its engine-portability), and
+    triangle-inequality cell-pair pruning prunes
     nothing (measured cell radii ~75° > θ_t = 66°, so the exact-recall
     variant degenerates to quadratic). The operator therefore ships as
     a FULL-ORACLE-BY-REPLAY key (the DuckDB oracle regenerates the

@@ -84,8 +84,8 @@ def pairs_ivf_recall(spark, sf_dir: str) -> dict:
     correctness gate is a full replay oracle (the blocked set itself,
     misses included), and on this fixture's unstructured tail pairs
     (98.5% of qualifying cosines in [0.4, 0.5)) no blocking scheme
-    holds a 0.9 floor — measured 0.45-0.80 falling with n, see
-    cosine_pairs_ivf's docstring. On clustered near-dup corpora the
+    holds a 0.9 floor — measured 0.35-0.52 falling with n at the
+    registered seed-centroid sizing, see cosine_pairs_ivf's docstring. On clustered near-dup corpora the
     same blocking measures ≥ 0.95 (tests/test_recall.py pins it)."""
     from hbase_bulkload_spark.queries.extensions import (
         q_sim_pairs,
