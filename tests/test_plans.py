@@ -223,3 +223,18 @@ def test_binned_range_join_non_midnight_end_on_bin_boundary(spark):
     want = sorted(str(r.ts) for r in naive.collect())
     assert got == want
     assert "1970-01-05 03:00:00" in " ".join(got)
+
+
+def test_ivf_pairs_one_vector_exchange_no_pair_shuffle(spark, sf_dir):
+    """q_sim_pairs_ivf's scale property (round 10): the only exchanges
+    carrying vectors are the cell groupBy's hash exchange (n·n_assign
+    rows) and the final pair-id dedup — candidate pairs are generated
+    AND verified inside the per-cell GEMM, so no exchange ever carries
+    a candidate-pair row with payloads (the ~1e10-row shuffle that
+    ENOSPC'd the round-9 100x probe on the sign-LSH arm), and nothing
+    degenerates to a nested-loop/cartesian join."""
+    plan = physical_plan(QUERIES["q_sim_pairs_ivf"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # cell repartition + pair dedup (+ at most a parallelism-floor
+    # round-robin on the tiny test fixture): bounded exchange count
+    assert count_exchanges(plan, ignore_roundrobin=True) <= 2, plan
