@@ -93,3 +93,20 @@ def test_sign_lsh_with_model_graded_against_model_bar(tmp_path):
     row = doc["queries"]["q_sim_pairs_lsh_raw"]
     assert row["bar"] == round(doc["sign_lsh_model"]["predicted_ratio"] * 1.2, 2)
     assert "measured_over_model" in row
+
+
+def test_ivf_pair_key_graded_against_n15_bar(tmp_path):
+    """q_sim_pairs_ivf's design contract is n^1.5 (sqrt(n) cells,
+    2-assign): the bar is step^1.5 x 1.2, not the linear bar and not
+    the sign-LSH model."""
+    doc = build(
+        _args(tmp_path, {"q_sim_pairs_ivf": 10.0}, {"q_sim_pairs_ivf": 55.0})
+    )
+    row = doc["queries"]["q_sim_pairs_ivf"]
+    assert row["cost_model"] == "ivf-pair n^1.5"
+    assert row["bar"] == round(3.0**1.5 * 1.2, 2)  # 6.24
+    assert row["within_bar"] is True
+    hot = build(
+        _args(tmp_path, {"q_sim_pairs_ivf": 10.0}, {"q_sim_pairs_ivf": 90.0})
+    )
+    assert hot["queries"]["q_sim_pairs_ivf"]["within_bar"] is False

@@ -59,6 +59,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: judged against the linear bar
 SIGN_LSH_KEYS = ("q_sim_pairs_lsh", "q_sim_pairs_lsh_raw")
 
+#: keys whose cost model is the IVF pair blocking contract: sqrt(n)
+#: cells x 2-assign -> assignment GEMM n·sqrt(n) plus within-cell pair
+#: work (r²/2)·n^1.5 — BOTH terms n^1.5, so the design bar for an s×
+#: data step is s^1.5 (x1.2 slack), sub-quadratic by construction with
+#: no table/recall solve that can cap out (operators/similarity.py::
+#: cosine_pairs_ivf)
+IVF_PAIR_KEYS = ("q_sim_pairs_ivf",)
+
 
 def detail_line(path: str) -> dict:
     """The richest bench JSON line in a log (the full detail line)."""
@@ -139,17 +147,28 @@ def build(args: argparse.Namespace) -> dict:
     model = None
     if args.lo_dir and args.hi_dir:
         model = lsh_model_ratio(args.lo_dir, args.hi_dir, lo_name, hi_name, step)
+    ivf_bar = round(step**1.5 * 1.2, 2)
     queries = {}
     for q, t_hi in hi["queries"].items():
         t_lo = lo["queries"].get(q)
         is_lsh = q in SIGN_LSH_KEYS
+        is_ivf = q in IVF_PAIR_KEYS
         ratio = round(t_hi / t_lo, 2) if t_lo else None
         row = {
             f"{lo_name}_sec": t_lo,
             f"{hi_name}_sec": t_hi,
             f"ratio_for_{step:g}x_data": ratio,
-            "cost_model": "sign-lsh n^(1+rho)" if is_lsh else "linear",
+            "cost_model": (
+                "sign-lsh n^(1+rho)"
+                if is_lsh
+                else "ivf-pair n^1.5" if is_ivf else "linear"
+            ),
         }
+        if is_ivf:
+            row["bar"] = ivf_bar
+            row["within_bar"] = ratio is not None and ratio <= ivf_bar
+            queries[q] = row
+            continue
         if is_lsh and model and ratio is not None:
             bar = round(model["predicted_ratio"] * 1.2, 2)
             row["measured_over_model"] = round(
