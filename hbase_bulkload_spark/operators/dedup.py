@@ -735,8 +735,20 @@ def embedding_dedup(
             embeddings, threshold=threshold, id_col=vec_id_col, n_blocks=n_blocks
         )
     elif method == "lsh":
+        # auto-size from the corpus (one count job): fixed (8, 8)
+        # parameters on a growing corpus degrade to quadratic buckets
+        # and silently-shrinking recall — the exact anti-pattern the
+        # solver exists to prevent (lsh_plan_solve holds the 0.95
+        # marginal-recall solve at any n within 256 tables)
+        planes, radius, tables, _ = similarity.lsh_plan_solve(
+            embeddings.count(), threshold
+        )
         pairs = similarity.cosine_pairs_lsh(
-            embeddings, threshold=threshold, id_col=vec_id_col
+            embeddings,
+            threshold=threshold,
+            n_planes=planes,
+            n_tables=tables,
+            probe_radius=radius,
         )
     elif method == "ivf":
         pairs = similarity.cosine_pairs_ivf(
