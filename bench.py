@@ -277,6 +277,27 @@ def _tree_rss_mb() -> int | None:
         return None
 
 
+def _first_detail_line(stdout: str) -> dict | None:
+    """The FIRST stdout line that parses as JSON and carries a queries
+    dict (the full detail line — never budget-capped). Not hard-coded
+    line 0 (round-9 advisor item): any stray pre-line stdout — a Spark
+    banner, an Ivy message, a setup print — would otherwise make the
+    parse fail and silently degrade the whole isolated probe to an
+    error entry. Same tolerant approach as tools/scale_probe.py's
+    detail_line."""
+    for line in stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in doc:
+            return doc
+    return None
+
+
 def _isolated_probe(keys: list[str], sf_dir: str, spark=None) -> dict:
     """Re-measure ``keys`` in ONE fresh bench subprocess
     (SPARK_GRAFT_BENCH_ONLY): a new JVM, an empty Python-worker pool, no
@@ -316,27 +337,12 @@ def _isolated_probe(keys: list[str], sf_dir: str, spark=None) -> dict:
         if out.returncode != 0:
             tail = (out.stderr or out.stdout or "").strip()[-300:]
             return {"error": f"probe exit {out.returncode}: {tail}"}
-        # the detail line is the FIRST stdout line that parses as JSON
-        # and carries a queries dict (never budget-capped) — not
-        # hard-coded line 0, which any stray pre-line stdout (a Spark
-        # banner, a setup print) would break, silently degrading the
-        # probe to an error entry (round-9 advisor item). The child also
-        # writes BENCH_FULL_SUBSET.json but parsing stdout avoids a
-        # filesystem race with any concurrent subset run.
-        got = None
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            try:
-                doc = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "queries" in doc:
-                got = doc["queries"]
-                break
-        if got is None:
+        # the child also writes BENCH_FULL_SUBSET.json but parsing
+        # stdout avoids a filesystem race with any concurrent subset run
+        doc = _first_detail_line(out.stdout)
+        if doc is None:
             return {"error": "no bench JSON detail line in probe stdout"}
+        got = doc["queries"]
         missing = [k for k in keys if k not in got]
         res: dict = {"queries": got, "parent_rss_mb": parent_rss}
         if missing:

@@ -168,3 +168,25 @@ def test_plan_fingerprint_stable_and_plan_sensitive(spark):
     a = _plan_fingerprint(qs["q_dedup_exact"](spark, sf_dir), sf_dir)
     b = _plan_fingerprint(qs["q_dedup_ngram"](spark, sf_dir), sf_dir)
     assert a != b
+
+
+def test_first_detail_line_tolerates_stray_stdout():
+    """Round-9 advisor item: the isolated probe must find the detail
+    line even when banners or setup prints precede it, must skip JSON
+    lines without a queries dict, and must return None (not raise) when
+    no detail line exists."""
+    from bench import _first_detail_line
+
+    detail = json.dumps({"metric": "total_query_sec", "queries": {"q_x": 1.0}})
+    noisy = "\n".join(
+        [
+            "Ivy Default Cache set to: /root/.ivy2/cache",
+            "{not json at all",
+            json.dumps({"some": "other json"}),
+            detail,
+            json.dumps({"queries": {"q_y": 9.9}}),  # later line ignored
+        ]
+    )
+    got = _first_detail_line(noisy)
+    assert got is not None and got["queries"] == {"q_x": 1.0}
+    assert _first_detail_line("WARN banner only\n") is None
