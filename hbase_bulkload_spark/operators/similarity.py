@@ -883,6 +883,7 @@ def cosine_pairs_lsh(
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
@@ -939,6 +940,21 @@ def cosine_pairs_lsh(
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        # degenerate-corpus valve, same never-silent contract as the
+        # MinHash/SimHash caps: a bucket of m members expands to C(m,2)
+        # candidates, so one pathological bucket (near-identical
+        # signature mass) is a quadratic tail no executor count fixes —
+        # the cap drops it and PUBLISHES the drop count via observe()
+        # so the trade is visible in metrics, never silent. None
+        # (default) preserves the replay-oracle pair set exactly.
+        postings = postings.observe(
+            "lsh_bucket_cap",
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                (F.size("ids") > max_bucket_size).cast("long")
+            ).alias("n_dropped_buckets"),
+        ).filter(F.size("ids") <= max_bucket_size)
     p1 = postings.select("ids", F.posexplode("ids").alias("i", "vec_id_a"))
     cand = (
         p1.select(

@@ -387,3 +387,27 @@ def test_cosine_pairs_ivf_contained_in_exact(emb):
     assert got
     for pair, cos in got.items():
         assert pair in exact and exact[pair] == cos, pair
+
+
+def test_cosine_lsh_bucket_cap_drops_loudly(spark):
+    """max_bucket_size (round 10): a degenerate corpus (near-identical
+    vectors -> one mega-bucket per table) is a quadratic tail no
+    executor count fixes; the valve drops oversized buckets and
+    publishes the count via the lsh_bucket_cap observation — never
+    silent. Default None preserves the registered pair set."""
+    import numpy as np
+
+    base = np.ones(64, dtype=np.float32)
+    rows = [
+        (i, [float(x) for x in base + 0.001 * np.float32(i % 7)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_pairs_lsh(
+        emb, threshold=0.99, n_planes=8, n_tables=2, max_bucket_size=5
+    ).collect()
+    assert len(got) == 0  # every bucket was the mega-bucket, all dropped
+    uncapped = similarity.cosine_pairs_lsh(
+        emb, threshold=0.99, n_planes=8, n_tables=2
+    ).collect()
+    assert len(uncapped) == 30 * 29 // 2
