@@ -116,11 +116,37 @@ def _pair_recall_verdict(
     )
 
 
+#: Footer-count gate for the parallelism floor on the scale-path
+#: dedup/LSH keys (round 10). Below this many rows the round-robin
+#: exchange costs more than the single-core map stage it unlocks (the
+#: sf0.1 A/Bs in _docs/_emb), so every ≤sf0.1 plan — bench, baseline,
+#: driver gate — is byte-identical to rounds 1-9. Above it a
+#: single-row-group fixture otherwise serializes the per-row-heavy
+#: map side (shingle/MinHash explode, LSH signature + probe-key
+#: explode) on ONE core: found by thread-sampling the round-10
+#: sf10-density probe — 45-minute single-task sort stages while 31
+#: cores idled, the real shape of the r9 "70-minute" probes. The
+#: floor is what a 1000-executor deployment gets for free from a
+#: many-file layout; the gate only exists because the probe fixtures
+#: are deliberately single files.
+FLOOR_ROWS = 16384
+
+
+def _scale_floor(sf_dir: str, name: str) -> bool:
+    """True iff the fixture is big enough that the parallelism floor's
+    exchange pays for itself (footer metadata, zero Spark jobs)."""
+    return datasets.parquet_row_count(sf_dir, name) >= FLOOR_ROWS
+
+
 def dedup_near_pairs(spark, sf_dir) -> DataFrame:
     """Raw MinHash+LSH pair output at the registered parameters (the
     round-1..5 q_dedup_near result; recall tooling and tests consume
-    this directly)."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    this directly). Scale-floored input (see FLOOR_ROWS): identical
+    plan at ≤sf0.1, 32-way shingle/banding map side at probe scales."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents")),
+        threshold=JACCARD_THRESHOLD,
+    )
 
 
 def q_dedup_near(spark, sf_dir) -> DataFrame:
@@ -172,7 +198,7 @@ def q_dedup_near_verdict(spark, sf_dir) -> DataFrame:
     threshold drift into the r=2 fallback's k ≫ max_k regime turns
     this key red instead of just silently multiplying signature cost."""
     _, _, over_budget = dedup.lsh_banding_params_solve(JACCARD_THRESHOLD)
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     checked = (
         docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(BRUTE_CHECK_CAP)
@@ -355,8 +381,9 @@ def q_dedup_incremental_near(spark, sf_dir) -> DataFrame:
 def incremental_minhash_verdicts(spark, sf_dir) -> DataFrame:
     """Raw per-doc keep/drop verdicts of the incremental MinHash dedup
     at the registered parameters (the round-1..5
-    q_dedup_incremental_minhash result)."""
-    docs = _docs(spark, sf_dir)
+    q_dedup_incremental_minhash result). Scale-floored input (see
+    FLOOR_ROWS)."""
+    docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     return dedup.incremental_minhash_dedup(
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 3 == 0),
@@ -405,7 +432,7 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     the uncapped twin's pair expansion is bounded by the checked
     prefix instead of growing quadratically with hot-shingle postings.
     Raw verdicts: :func:`incremental_minhash_verdicts`."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     checked_ids = (
         batch.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -559,7 +586,7 @@ def sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:
     n = datasets.parquet_row_count(sf_dir, "embeddings")
     n_planes, radius, n_tables, _ = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
     return similarity.cosine_pairs_lsh(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, floor=n >= FLOOR_ROWS),
         threshold=SIM_THRESHOLD,
         n_planes=n_planes,
         n_tables=n_tables,
