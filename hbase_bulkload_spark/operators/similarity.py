@@ -1,7 +1,11 @@
 """Vector similarity search over an embedding column (north-star op 54,
 SURVEY.md §2.14): brute-force cosine top-k / threshold pairs as the
-exact baselines, and a random-hyperplane LSH bucketed variant as the
-sub-quadratic scale path.
+exact baselines, a random-hyperplane LSH bucketed variant as the
+recall-solved sub-quadratic scale path (sized by :func:`lsh_plan_solve`
+— radius/plane growth keeps the 0.95 recall solve satisfiable at any
+corpus size within 256 tables), and an IVF-blocked pair path
+(:func:`cosine_pairs_ivf` — table-free ~n^1.5 blocking whose sizing can
+never cap out; recall reported, not floored).
 
 All dot products run in double precision inside JVM higher-order
 functions (`zip_with` + `aggregate`) — sequential, deterministic, no
