@@ -740,15 +740,15 @@ def embedding_dedup(
         # and silently-shrinking recall — the exact anti-pattern the
         # solver exists to prevent (lsh_plan_solve holds the 0.95
         # marginal-recall solve at any n within 256 tables)
-        planes, radius, tables, _ = similarity.lsh_plan_solve(
-            embeddings.count(), threshold
-        )
+        n = embeddings.count()
+        planes, radius, tables, _ = similarity.lsh_plan_solve(n, threshold)
         pairs = similarity.cosine_pairs_lsh(
             embeddings,
             threshold=threshold,
             n_planes=planes,
             n_tables=tables,
             probe_radius=radius,
+            broadcast_vectors=n <= 2_000_000,
         )
     elif method == "ivf":
         pairs = similarity.cosine_pairs_ivf(

@@ -888,6 +888,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
@@ -975,14 +976,40 @@ def cosine_pairs_lsh(
     vb = embeddings.select(
         F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb")
     )
+    if broadcast_vectors:
+        # pin the VECTOR side as the broadcast build — the choice the
+        # static planner already made whenever embeddings were a small
+        # raw scan. Once the input sits behind an exchange (the
+        # round-10 parallelism floor), the planner loses that estimate
+        # and AQE instead broadcast the CANDIDATE side at sf10-density:
+        # sorted id pairs zstd-compress ~30:1, so a multi-GB pair set
+        # measured under the 32 MB threshold and the build died on
+        # spark.driver.maxResultSize (observed: >1.1 GiB from 6 of 32
+        # tasks). Callers gate this off (LSH_BROADCAST_MAX_VECTORS)
+        # when the corpus itself is too big to broadcast — there the
+        # shuffle join is the only correct shape and the candidate
+        # side must still never be broadcast (its compressed size is
+        # a lie).
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        # over the broadcast gate: force sort-merge so AQE cannot
+        # promote EITHER side on the candidate set's lying compressed
+        # stats — at this size the shuffle join is the only shape that
+        # scales (both sides exceed any sane broadcast budget)
+        cand = cand.hint("merge")
     # verification is Arrow-batched numpy (multi-probe candidates number
     # ~9²/2 × the classic scheme's, and the expression-tree cosine is
     # interpreted per pair — measured ~4× the whole query's wall at
     # sf0.1); raw cosines only, the HALF_UP round-6 + threshold stay
     # JVM-side so scores hash-match the exact twin
+    joined = cand.join(va, "vec_id_a")
+    if not broadcast_vectors:
+        # re-hint the intermediate: join hints do not propagate, and
+        # the (cand ⋈ va) stage inherits the candidate side's lying
+        # compressed stats
+        joined = joined.hint("merge")
     return (
-        cand.join(va, "vec_id_a")
-        .join(vb, "vec_id_b")
+        joined.join(vb, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",

@@ -131,6 +131,14 @@ def _pair_recall_verdict(
 #: are deliberately single files.
 FLOOR_ROWS = 16384
 
+#: Above this many vectors the embedding frame is no longer pinned as
+#: the LSH verification join's broadcast build (~2M x ~300B unsafe rows
+#: ~= 600 MB — the edge of a sane driver/executor broadcast budget);
+#: past it cosine_pairs_lsh forces sort-merge instead, because letting
+#: AQE choose re-broadcasts the candidate side off its ~30:1
+#: zstd-compressed stats (the round-10 sf10 probe failure).
+LSH_BROADCAST_MAX_VECTORS = 2_000_000
+
 
 def _scale_floor(sf_dir: str, name: str) -> bool:
     """True iff the fixture is big enough that the parallelism floor's
@@ -591,6 +599,7 @@ def sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:
         n_planes=n_planes,
         n_tables=n_tables,
         probe_radius=radius,
+        broadcast_vectors=n <= LSH_BROADCAST_MAX_VECTORS,
     )
 
 
