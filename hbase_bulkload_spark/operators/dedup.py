@@ -749,6 +749,11 @@ def embedding_dedup(
             n_tables=tables,
             probe_radius=radius,
             broadcast_vectors=n <= 2_000_000,
+            signature_partitions=(
+                embeddings.sparkSession.sparkContext.defaultParallelism
+                if n >= 16384
+                else None
+            ),
         )
     elif method == "ivf":
         pairs = similarity.cosine_pairs_ivf(

@@ -575,7 +575,14 @@ def _rowwise_raw_cosine_udf():
             np.where(denom == 0, 0.0, s / np.where(denom == 0, 1, denom))
         )
 
-    return raw_cos
+    # SEMANTICALLY deterministic — the flag only forbids the optimizer
+    # reorderings that DUPLICATE the eval: filter pushdown through the
+    # round-6 projection re-evaluated this UDF in a SECOND chained
+    # ArrowEvalPython node (2x the verification cost — the dominant
+    # stage of the LSH pair keys — and the chained-runner pipeline that
+    # wedged the sf10-density probe for 100+ minutes, both Arrow pipes
+    # read-blocked).
+    return raw_cos.asNondeterministic()
 
 
 def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
@@ -599,7 +606,12 @@ def lsh_signature_udf(n_planes: int = 8, n_tables: int = 8):
         packed = np.stack(out, axis=1)  # (batch, tables)
         return pd.Series(list(packed))
 
-    return sig
+    # SEMANTICALLY deterministic (pure function of the embedding bytes
+    # — that is the whole replay-oracle contract); the flag only stops
+    # the posexplode-inferred size(sigs)>0 constraint from being
+    # pushed below the signature projection, which re-evaluated the
+    # signature GEMM over the whole corpus a second time.
+    return sig.asNondeterministic()
 
 
 def _ivf_centroids(
@@ -889,6 +901,7 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     broadcast_vectors: bool = True,
+    signature_partitions: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
@@ -915,7 +928,17 @@ def cosine_pairs_lsh(
     if probe_radius not in (0, 1, 2):
         raise ValueError("probe_radius must be 0, 1, or 2")
     sig = lsh_signature_udf(n_planes, n_tables)
-    e = embeddings.select(
+    # repartition ONLY the signature/explode path (the per-row-heavy
+    # map side a single-row-group fixture would otherwise serialize on
+    # one core); the verification join sides below stay on the raw
+    # scan — they are broadcast builds (or sort-merge inputs past the
+    # gate) and gain nothing from a round-robin exchange.
+    sig_in = (
+        embeddings.repartition(signature_partitions)
+        if signature_partitions
+        else embeddings
+    )
+    e = sig_in.select(
         F.col(id_col).alias("vec_id"), sig(F.col(vec_col)).alias("sigs")
     )
     per_table = e.select("vec_id", F.posexplode("sigs").alias("tbl", "s"))

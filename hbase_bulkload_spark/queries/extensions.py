@@ -594,12 +594,19 @@ def sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:
     n = datasets.parquet_row_count(sf_dir, "embeddings")
     n_planes, radius, n_tables, _ = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
     return similarity.cosine_pairs_lsh(
-        _emb(spark, sf_dir, floor=n >= FLOOR_ROWS),
+        _emb(spark, sf_dir),
         threshold=SIM_THRESHOLD,
         n_planes=n_planes,
         n_tables=n_tables,
         probe_radius=radius,
         broadcast_vectors=n <= LSH_BROADCAST_MAX_VECTORS,
+        # signature-path-only repartition (NOT a whole-frame floor: the
+        # verification join sides must stay statically-broadcastable
+        # raw scans): unlocks the 32-way signature/explode map side a
+        # single-row-group fixture otherwise serializes on one core
+        signature_partitions=(
+            spark.sparkContext.defaultParallelism if n >= FLOOR_ROWS else None
+        ),
     )
 
 
