@@ -902,6 +902,7 @@ def cosine_pairs_lsh(
     max_bucket_size: int | None = None,
     broadcast_vectors: bool = True,
     signature_partitions: int | None = None,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
@@ -993,6 +994,19 @@ def cosine_pairs_lsh(
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
+    if restrict_ids is not None:
+        # EXPLICIT candidate restriction (e.g. a verdict key's bounded
+        # exact-twin subset) applied BEFORE the expensive verification.
+        # This used to happen implicitly — Catalyst pushed the caller's
+        # after-the-fact semi-joins below the verification projection —
+        # but the asNondeterministic flag (which stops the UDF's
+        # duplicated eval) also forbids that reorder, so the
+        # restriction must be part of the plan, not an optimizer
+        # accident. Semi-filter commutes with per-pair verification:
+        # results are identical either side of it.
+        for side in ("vec_id_a", "vec_id_b"):
+            ids = restrict_ids.select(F.col(restrict_ids.columns[0]).alias(side))
+            cand = cand.join(F.broadcast(ids), side, "left_semi")
     va = embeddings.select(
         F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
     )

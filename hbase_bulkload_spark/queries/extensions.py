@@ -676,19 +676,26 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
         threshold=SIM_THRESHOLD,
         n_blocks=similarity.gemm_blocks(min(n, BRUTE_CHECK_CAP)),
     )
-    ids = checked.select("vec_id")
-    approx = (
-        sim_pairs_lsh_raw(spark, sf_dir)
-        .join(
-            F.broadcast(ids.select(F.col("vec_id").alias("vec_id_a"))),
-            "vec_id_a",
-            "left_semi",
-        )
-        .join(
-            F.broadcast(ids.select(F.col("vec_id").alias("vec_id_b"))),
-            "vec_id_b",
-            "left_semi",
-        )
+    # EXPLICIT in-plan restriction to the checked subset (round 10):
+    # the after-the-fact semi-joins used to be pushed below the
+    # verification UDF by the optimizer; the asNondeterministic flag
+    # (which stops the UDF's duplicated eval) forbids that reorder, so
+    # without restrict_ids this arm would exact-verify the FULL
+    # corpus's candidates (measured 69.8 s -> 292 s at sf3-density).
+    # Identical result set: semi-filtering commutes with per-pair
+    # verification.
+    n_planes, radius, n_tables, _ = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
+    approx = similarity.cosine_pairs_lsh(
+        _emb(spark, sf_dir),
+        threshold=SIM_THRESHOLD,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        probe_radius=radius,
+        broadcast_vectors=n <= LSH_BROADCAST_MAX_VECTORS,
+        signature_partitions=(
+            spark.sparkContext.defaultParallelism if n >= FLOOR_ROWS else None
+        ),
+        restrict_ids=checked.select("vec_id"),
     )
     verdict = _pair_recall_verdict(
         exact, approx, ["vec_id_a", "vec_id_b"], LSH_PAIR_RECALL_FLOOR
