@@ -6,8 +6,8 @@
 # Usage: sh tools/make_scale_r10.sh [extra_sf3_log,...] [extra_sf10_log,...]
 set -e
 cd "$(dirname "$0")/.."
-LO="/tmp/scale_r10_sf3_run1.log${1:+,$1}"
-HI="/tmp/scale_r10_sf10_run2.log${2:+,$2}"
+LO="/tmp/scale_r10_sf3_run2.log${1:+,$1}"
+HI="/tmp/scale_r10_sf10_run4.log${2:+,$2}"
 python tools/scale_probe.py \
   --lo "sf3.0_density=$LO" \
   --hi "sf10.0_density=$HI" \
