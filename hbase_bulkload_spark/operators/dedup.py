@@ -745,6 +745,7 @@ def embedding_dedup(
         pairs = similarity.cosine_pairs_lsh(
             embeddings,
             threshold=threshold,
+            id_col=vec_id_col,
             n_planes=planes,
             n_tables=tables,
             probe_radius=radius,

@@ -61,6 +61,23 @@ def _row_normalize(M: np.ndarray) -> np.ndarray:
     return M
 
 
+def _round6_half_away(S: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals HALF AWAY FROM ZERO, bit-matching DuckDB
+    ``ROUND(x, 6)`` (std::round(x*1e6)/1e6) for |x·1e6| < 2^52: both
+    engines compute y = x*1e6 with the same IEEE multiply, and for
+    |y| < 2^52 the fractional part y - floor(y) is exact, so the
+    frac >= 0.5 comparison reproduces std::round's exact half-away
+    tie-break. ``np.round`` is half-to-even on the scaled value and
+    disagrees on .5 boundaries — for a RANKING score (IVF cell
+    assignment) one flipped boundary diverges the whole blocked pair
+    set from the replay oracle, not just one row."""
+    y = S * 1e6
+    a = np.abs(y)
+    f = np.floor(a)
+    r = np.where(a - f >= 0.5, f + 1.0, f)
+    return np.copysign(r, y) / 1e6
+
+
 def cosine(a: Column, b: Column, digits: int = 6) -> Column:
     """Round-6 cosine: the rounding makes cross-engine hashes stable and
     ranking ties deterministic (broken by id downstream)."""
@@ -1147,10 +1164,12 @@ def cosine_pairs_ivf(
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             Vn = _row_normalize(V)
-            S6 = np.round(Vn @ Cn.T, 6)
+            S6 = _round6_half_away(Vn @ Cn.T)
             # stable argsort of -cos: equal rounded scores keep
             # ascending cell order — the deterministic (cos DESC,
-            # cell ASC) ranking the SQL replay mirrors
+            # cell ASC) ranking the SQL replay mirrors; rounding is
+            # half-away-from-zero to match the oracle's DuckDB ROUND
+            # (np.round's half-to-even flips boundary assignments)
             top = np.argsort(-S6, axis=1, kind="stable")[:, :r_assign]
             reps = np.repeat(np.arange(len(pdf)), r_assign)
             yield pd.DataFrame(
@@ -1207,14 +1226,17 @@ def cosine_pairs_ivf(
     raw = assigned.groupBy("cell").applyInPandas(
         cell_pairs, "vec_id_a long, vec_id_b long, raw_cos double"
     )
-    # shared-cell duplicates carry bit-identical float64 cosines (same
-    # vectors, same GEMM reduction), so dropDuplicates on the id pair is
-    # value-safe; round-6 + threshold stay JVM-side (HALF_UP, matches
-    # the oracle) like every other cosine operator here
+    # a pair shared by two cells is computed by GEMMs of different
+    # shapes/chunkings, so its two raw_cos values need not be
+    # bit-identical — deduplicate with a deterministic MAX aggregation
+    # on the raw value BEFORE rounding (dropDuplicates would keep an
+    # arbitrary one); round-6 + threshold stay JVM-side (HALF_UP,
+    # matches the oracle) like every other cosine operator here
     return (
-        raw.select(
+        raw.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("raw_cos").alias("raw_cos"))
+        .select(
             "vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )

@@ -317,6 +317,23 @@ def test_embedding_dedup_verdicts(spark):
     with pytest.raises(ValueError, match="exact.*lsh"):
         dedup.embedding_dedup(docs, emb, method="bogus")
 
+    # round-11 regression (ADVICE): every method must honor a
+    # NON-default vec_id_col — the lsh branch once dropped id_col and
+    # resolved a phantom 'vec_id' column
+    emb2 = emb.withColumnRenamed("vec_id", "eid")
+    for method in ("exact", "lsh", "ivf"):
+        out2 = {
+            r.doc_id: r
+            for r in dedup.embedding_dedup(
+                docs, emb2, threshold=0.95, method=method, vec_id_col="eid"
+            ).collect()
+        }
+        assert set(out2) == set(out)
+        got_dups = {d for d, r in out2.items() if r.is_dup}
+        assert got_dups <= exact_dups
+        if method in ("exact", "ivf"):
+            assert got_dups == exact_dups
+
 
 def test_ivf_materialized_index_matches_fused(spark, sf_dir, tmp_path):
     """The materialized IVF index (cell as a physical partition column)
