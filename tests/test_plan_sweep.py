@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "q_dedup_semantic",  # 1-row broadcast centroid array (map-only assignment)
     "q_sim_pairs",
     "q_sim_pairs_lsh",  # bounded GEMM twin + 1-row verdict crossJoin
+    "q_sim_pairs_ivf_clustered",  # same shape: 1-row counts x 1-row verdict
     # bounded-twin verdict queries (round 7): 1-row corpus-count frame
     # crossJoined onto the 1-row recall verdict — O(1) bytes moved
     "q_dedup_near_verdict",

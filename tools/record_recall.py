@@ -103,6 +103,46 @@ def pairs_ivf_recall(spark, sf_dir: str) -> dict:
     return out
 
 
+def pairs_ivf_clustered_recall(spark, sf_dir: str) -> dict:
+    """Blocking recall of the IVF pair path on its DESIGN regime
+    (round-11 verdict item 4a): the q_sim_pairs_ivf_clustered twin
+    corpus (planted near-dups at cos ≈ 0.94, threshold 0.7 — the
+    SemDeDup regime). FLOORED at IVF_CLUSTERED_RECALL_FLOOR by the
+    registered key's in-query verdict, which the oracle asserts TRUE."""
+    from hbase_bulkload_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_pairs_ivf,
+        gemm_blocks,
+        ivf_pair_cells,
+    )
+    from hbase_bulkload_spark.queries.extensions import (
+        CLUSTERED_SIM_THRESHOLD,
+        IVF_CLUSTERED_ASSIGN,
+        IVF_CLUSTERED_RECALL_FLOOR,
+        _clustered_emb,
+    )
+
+    corpus = _clustered_emb(spark, sf_dir).cache()
+    n2 = corpus.count()
+    exact = cosine_pairs_exact(
+        corpus, threshold=CLUSTERED_SIM_THRESHOLD, n_blocks=gemm_blocks(n2)
+    )
+    approx = cosine_pairs_ivf(
+        corpus,
+        threshold=CLUSTERED_SIM_THRESHOLD,
+        n_cells=ivf_pair_cells(n2),
+        n_assign=IVF_CLUSTERED_ASSIGN,
+    )
+    out = _pair_recall(approx, exact, "vec_id_a", "vec_id_b")
+    out["exact_twin"] = "cosine_pairs_exact on the twin corpus"
+    out["contract"] = (
+        f"floored >= {IVF_CLUSTERED_RECALL_FLOOR} by the registered "
+        "key's in-query verdict (oracle asserts TRUE)"
+    )
+    corpus.unpersist()
+    return out
+
+
 def dedup_near_recall(spark, sf_dir: str) -> dict:
     from hbase_bulkload_spark.operators.dedup import ngram_jaccard_pairs
     from hbase_bulkload_spark.queries.extensions import (
@@ -159,6 +199,7 @@ def compute_all(spark, sf_dir: str) -> dict:
         "q_sim_topk_ivf": topk_recall(spark, sf_dir),
         "q_sim_pairs_lsh": pairs_lsh_recall(spark, sf_dir),
         "q_sim_pairs_ivf": pairs_ivf_recall(spark, sf_dir),
+        "q_sim_pairs_ivf_clustered": pairs_ivf_clustered_recall(spark, sf_dir),
         "q_dedup_near": dedup_near_recall(spark, sf_dir),
         "q_dedup_incremental_minhash": incremental_minhash_recall(spark, sf_dir),
     }
