@@ -65,7 +65,7 @@ SIGN_LSH_KEYS = ("q_sim_pairs_lsh", "q_sim_pairs_lsh_raw")
 #: data step is s^1.5 (x1.2 slack), sub-quadratic by construction with
 #: no table/recall solve that can cap out (operators/similarity.py::
 #: cosine_pairs_ivf)
-IVF_PAIR_KEYS = ("q_sim_pairs_ivf",)
+IVF_PAIR_KEYS = ("q_sim_pairs_ivf", "q_sim_pairs_ivf_clustered")
 
 
 def detail_line(path: str) -> dict:
