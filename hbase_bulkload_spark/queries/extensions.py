@@ -768,10 +768,21 @@ def q_sim_pairs_ivf_clustered(spark, sf_dir) -> DataFrame:
     n^1.5 blocking work, never a quadratic twin at scale. Precision is
     exact by construction (candidates verify with the exact cosine)."""
     n2 = 2 * datasets.parquet_row_count(sf_dir, "embeddings")
-    corpus = _clustered_emb(spark, sf_dir)
+    # materialize the twin corpus ONCE (r11 optimization, guide §5):
+    # without the checkpoint the plan recomputes _clustered_emb's
+    # per-element transform for every consumer — the IVF arm (codebook
+    # sample + assignment + GEMM sides), the checked prefix (→ exact arm
+    # + two id semi-join broadcasts), and the n_vecs count: 12 scans of
+    # embeddings.parquet in the before-plan, ~5 full twin transforms.
+    # Measured at sf0.1: full query 6.7 s vs the sum of its arms 3.5 s —
+    # the 3.2 s gap was pure recompute (plans/r11/
+    # q_sim_pairs_ivf_clustered_{before,after}.txt). The corpus is
+    # n·(8 B + 4 B·dim) — the same frame the IVF arm already shuffles,
+    # so the checkpoint adds no new scale term.
+    corpus = _clustered_emb(spark, sf_dir).localCheckpoint(eager=True)
     checked = corpus.orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
-    ).limit(BRUTE_CHECK_CAP)
+    ).limit(BRUTE_CHECK_CAP).localCheckpoint(eager=True)
     exact = similarity.cosine_pairs_exact(
         checked,
         threshold=CLUSTERED_SIM_THRESHOLD,
