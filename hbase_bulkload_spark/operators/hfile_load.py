@@ -329,26 +329,56 @@ def bulkload_to_table(
     return loaded
 
 
-# 8 MiB of on-disk blocks per task: small enough that a 16-file local
-# table still fans out past the core count, large enough that at cluster
-# scale (GB-sized region files) task overhead stays negligible
-# scan split granularity: sized so read parallelism saturates a local[32]
-# tier even on a ~60 MB verification table; on a cluster the same knob
-# trades task overhead against parallelism (HBase's own scan chunking)
+# scan split granularity FLOOR: small enough that a 16-file local
+# verification table (~60-200 MB) still fans out past the core count.
+# Since r11 the effective split size is SCALE-ADAPTIVE (split_bytes=None
+# → _adaptive_split_bytes): a fixed 2 MiB split would mint ~50M scan
+# tasks over a 100 TB table (guide §2.2 — quadratic shuffle-block /
+# task-overhead growth), while a fixed large split would starve a
+# local[32] read of a 60 MB table. The derived size targets
+# OVERSUB_TASKS_PER_CORE tasks per core and clamps to
+# [DEFAULT_SPLIT_BYTES, MAX_SPLIT_BYTES]; at the driver's gate scales
+# the clamp floor makes the plan byte-identical to the fixed-2 MiB
+# rounds (verified: same split count at sf0.1).
 DEFAULT_SPLIT_BYTES = 2 << 20
+#: Per-task on-disk-byte ceiling for the adaptive solve — at cluster
+#: scale task overhead amortizes over ≥64 MiB sequential reads (the
+#: same band HBase scan chunking and parquet maxPartitionBytes target).
+MAX_SPLIT_BYTES = 64 << 20
+#: Adaptive target: ~4 scan tasks per core — enough slack that one slow
+#: split doesn't tail the stage, few enough that per-task overhead
+#: stays negligible.
+OVERSUB_TASKS_PER_CORE = 4
+
+
+def _adaptive_split_bytes(total_bytes: int, cores: int | None) -> int:
+    """split_bytes for ``total_bytes`` of on-disk data blocks: target
+    OVERSUB_TASKS_PER_CORE tasks per core, clamped to
+    [DEFAULT_SPLIT_BYTES, MAX_SPLIT_BYTES]."""
+    if cores is None or cores <= 0:
+        cores = int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32)
+        )
+    want = total_bytes // max(OVERSUB_TASKS_PER_CORE * cores, 1)
+    return max(DEFAULT_SPLIT_BYTES, min(MAX_SPLIT_BYTES, want))
 
 
 def plan_block_splits(
     table_dir: str,
-    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    split_bytes: int | None = None,
     start_row: bytes | None = None,
     stop_row: bytes | None = None,
+    cores: int | None = None,
 ) -> list[tuple[str, str, str, list[tuple[int, int]]]]:
     """Driver-side scan planning shared by `scan_hfiles` and the
     `format("hfile")` Python DataSource: read each file's trailer + root
     index (a few KB), prune whole files by key range from metadata
     alone, prune blocks against the index's first-key fences, and pack
     surviving blocks into ~``split_bytes`` chunks — one task each.
+    ``split_bytes=None`` (the default) derives the chunk size from the
+    surviving files' total data-block bytes via
+    :func:`_adaptive_split_bytes` (``cores`` = the scan's available
+    parallelism; falls back to $SPARK_GRAFT_CPUS / os.cpu_count()).
     Returns (path, region, codec, [(off, size), ...]) per split."""
     import glob as _glob
 
@@ -358,7 +388,9 @@ def plan_block_splits(
     if not files:
         raise FileNotFoundError(f"no hfiles under {table_dir}")
 
-    plan: list[tuple[str, str, str, list[tuple[int, int]]]] = []
+    # metadata pass: trailer + root index per surviving file (a few KB
+    # each); collected first so the adaptive solve sees total bytes
+    metas: list[tuple[str, str, object, list]] = []
     for path in files:
         region = os.path.basename(os.path.dirname(os.path.dirname(path)))
         if start_row is not None or stop_row is not None:
@@ -370,6 +402,16 @@ def plan_block_splits(
         with open(path, "rb") as f:
             t = hf.read_trailer(f)
             entries = hf.read_data_index(f, t)
+        metas.append((path, region, t, entries))
+
+    if split_bytes is None:
+        split_bytes = _adaptive_split_bytes(
+            sum(size for _, _, _, entries in metas for _, size, _ in entries),
+            cores,
+        )
+
+    plan: list[tuple[str, str, str, list[tuple[int, int]]]] = []
+    for path, region, t, entries in metas:
         first_rows = [hf.decode_key(k)[0] for _, _, k in entries]
         chunk: list[tuple[int, int]] = []
         acc = 0
@@ -563,7 +605,7 @@ def multi_get(
 def scan_hfiles(
     spark: SparkSession,
     table_dir: str,
-    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    split_bytes: int | None = None,
     verify_checksums: bool = True,
     start_row: bytes | None = None,
     stop_row: bytes | None = None,
@@ -584,7 +626,13 @@ def scan_hfiles(
     against the index's first-key fences before any data byte is read,
     and the residual cell filter runs in the decode task — the same
     prune-then-filter discipline as a parquet min/max scan."""
-    plan = plan_block_splits(table_dir, split_bytes, start_row, stop_row)
+    plan = plan_block_splits(
+        table_dir,
+        split_bytes,
+        start_row,
+        stop_row,
+        cores=spark.sparkContext.defaultParallelism,
+    )
 
     # binary mode keeps raw cell bytes — required for tables written in
     # the reference-fidelity raw-key/positional modes, whose keys and

@@ -98,11 +98,12 @@ class HFileReader(DataSourceReader):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("format('hfile') requires .load(<table_dir>)")
-        from hbase_bulkload_spark.operators.hfile_load import (
-            DEFAULT_SPLIT_BYTES,
-        )
-
-        self.split_bytes = int(options.get("split_bytes", DEFAULT_SPLIT_BYTES))
+        # split_bytes unset → scale-adaptive sizing (plan_block_splits
+        # derives it from total data-block bytes; cores from
+        # $SPARK_GRAFT_CPUS / os.cpu_count(), the DataSource API has no
+        # SparkContext handle on the driver planning path)
+        sb = options.get("split_bytes")
+        self.split_bytes = int(sb) if sb is not None else None
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.binary = _opt_binary(options)
         self.keep = _opt_columns(options)

@@ -674,3 +674,25 @@ def test_multilevel_point_reads_are_logarithmic(tmp_path, monkeypatch):
         assert hf.hfile_get(deep, row)
     n_indep = len(reads)
     assert n_multi < n_indep
+
+
+def test_adaptive_split_bytes_clamps_and_targets():
+    """r11: split sizing derives from total bytes (guide §2.2/§6) —
+    floor keeps tiny local tables fanning out, ceiling bounds per-task
+    bytes, the middle targets OVERSUB_TASKS_PER_CORE tasks per core."""
+    from hbase_bulkload_spark.operators import hfile_load as hl
+
+    # tiny table → floor (the fixed-2MiB behavior of rounds ≤10)
+    assert hl._adaptive_split_bytes(60 << 20, 32) == hl.DEFAULT_SPLIT_BYTES
+    # mid-size: 64 GiB on 32 cores → 64Gi/128 = 512 MiB → ceiling
+    assert hl._adaptive_split_bytes(64 << 30, 32) == hl.MAX_SPLIT_BYTES
+    # in-band: 1 GiB on 32 cores → 8 MiB splits (~128 tasks)
+    got = hl._adaptive_split_bytes(1 << 30, 32)
+    assert got == (1 << 30) // (hl.OVERSUB_TASKS_PER_CORE * 32)
+    assert hl.DEFAULT_SPLIT_BYTES <= got <= hl.MAX_SPLIT_BYTES
+    # cores=None falls back to an env/cpu count, still clamped
+    assert (
+        hl.DEFAULT_SPLIT_BYTES
+        <= hl._adaptive_split_bytes(1 << 40, None)
+        <= hl.MAX_SPLIT_BYTES
+    )
