@@ -207,6 +207,10 @@ def q_dedup_near_verdict(spark, sf_dir) -> DataFrame:
     this key red instead of just silently multiplying signature cost."""
     _, _, over_budget = dedup.lsh_banding_params_solve(JACCARD_THRESHOLD)
     docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
+    # NOT materialized (r11 A/B): checkpointing this 3×-consumed prefix
+    # measured SLOWER at sf0.1 and sf3-density alike (12.53 s → 13.1 s
+    # min-of-3 at sf3) — TakeOrderedAndProject over the corpus is
+    # cheaper than the eager materialization barrier it would remove.
     checked = (
         docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(BRUTE_CHECK_CAP)
@@ -442,6 +446,10 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     Raw verdicts: :func:`incremental_minhash_verdicts`."""
     docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # NOT materialized (r11 A/B): an eager checkpoint of this id set
+    # measured slower at sf0.1 and sf3-density (16.33 s → 17.67 s
+    # min-of-3 at sf3) than letting both semi-join consumers re-run
+    # the distributed top-cap.
     checked_ids = (
         batch.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(BRUTE_CHECK_CAP)
@@ -667,6 +675,9 @@ def q_sim_pairs_lsh(spark, sf_dir) -> DataFrame:
     n = datasets.parquet_row_count(sf_dir, "embeddings")
     _, _, _, tables_capped = similarity.lsh_plan_solve(n, SIM_THRESHOLD)
     emb = _emb(spark, sf_dir)
+    # NOT materialized (r11 A/B on the sibling verdict keys): the
+    # checked prefix is a cheap distributed top-cap; an eager
+    # checkpoint barrier measured slower at gate AND sf3-density scale.
     checked = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(BRUTE_CHECK_CAP)
