@@ -351,6 +351,32 @@ MAX_SPLIT_BYTES = 64 << 20
 OVERSUB_TASKS_PER_CORE = 4
 
 
+#: Per-DECODE-CALL on-disk-byte bound inside a scan task. Separate knob
+#: from the split (task) size on purpose: the r11 sf3-density A/B
+#: measured 24 MiB whole-split decodes 2.6× SLOWER than 2 MiB ones —
+#: decode_cells_arrow's gathers allocate index/scratch arrays several
+#: times the payload (the fixed-width rowkey gather builds an
+#: (n_cells × key_len) int64 index ≈ 8× the column), so 32 concurrent
+#: workers at tens of MB each thrash. Chunking the decode keeps task
+#: scratch flat at the measured-good 2 MiB granularity while the
+#: adaptive SPLIT size keeps the task count scale-bounded.
+DECODE_CHUNK_BYTES = 2 << 20
+
+
+def _iter_block_chunks(blocks, chunk_bytes: int = DECODE_CHUNK_BYTES):
+    """Group a split's (off, size) block list into ≤ ~chunk_bytes runs
+    (always at least one block per run) — the decode-call granularity."""
+    chunk, acc = [], 0
+    for b in blocks:
+        chunk.append(b)
+        acc += b[1] if isinstance(b, (tuple, list)) else b["size"]
+        if acc >= chunk_bytes:
+            yield chunk
+            chunk, acc = [], 0
+    if chunk:
+        yield chunk
+
+
 def _adaptive_split_bytes(total_bytes: int, cores: int | None) -> int:
     """split_bytes for ``total_bytes`` of on-disk data blocks: target
     OVERSUB_TASKS_PER_CORE tasks per core, clamped to
@@ -669,41 +695,46 @@ def scan_hfiles(
         for rb in batches:
 
             for task in rb.to_pylist():
-                # cells never straddle blocks: concatenate the split's
-                # payloads and decode once, vectorized (see
-                # hfile_datasource.read for the same pattern)
+                # cells never straddle blocks: concatenate a CHUNK's
+                # payloads and decode once, vectorized — chunked at
+                # DECODE_CHUNK_BYTES so decode scratch stays flat no
+                # matter how large the (scale-adaptive) split is (see
+                # _iter_block_chunks; hfile_datasource.read mirrors it)
                 with open(task["path"], "rb") as f:
-                    plain = b"".join(
-                        hf._read_block(
-                            f, b["off"], task["codec"] or None, hf.DATA_MAGIC,
-                            verify_checksums,
+                    for chunk in _iter_block_chunks(task["blocks"]):
+                        plain = b"".join(
+                            hf._read_block(
+                                f, b["off"], task["codec"] or None,
+                                hf.DATA_MAGIC, verify_checksums,
+                            )
+                            for b in chunk
                         )
-                        for b in task["blocks"]
-                    )
-                cols = hf.decode_cells_arrow(plain, binary=binary, **wants)
-                rowkey = cols["rowkey"]
-                mask = None
-                if start_row is not None:
-                    lo = start_row if binary else start_row.decode()
-                    mask = pc.greater_equal(rowkey, lo)
-                if stop_row is not None:
-                    hi = stop_row if binary else stop_row.decode()
-                    m2 = pc.less(rowkey, hi)
-                    mask = m2 if mask is None else pc.and_(mask, m2)
-                n = len(rowkey)
-                # constant column materialized by a C-level take, not a
-                # Python list multiply (splits run to ~1.5M cells)
-                region_arr = pc.take(
-                    pa.array([task["region"]], pa.string()),
-                    pa.array(np.zeros(n, np.int32)),
-                )
-                arrays = [region_arr, rowkey] + [cols[c] for c in keep]
-                out = pa.RecordBatch.from_arrays(
-                    arrays, ["region", "rowkey", *keep]
-                )
-                if mask is not None:
-                    out = out.filter(mask)
-                yield out
+                        cols = hf.decode_cells_arrow(
+                            plain, binary=binary, **wants
+                        )
+                        rowkey = cols["rowkey"]
+                        mask = None
+                        if start_row is not None:
+                            lo = start_row if binary else start_row.decode()
+                            mask = pc.greater_equal(rowkey, lo)
+                        if stop_row is not None:
+                            hi = stop_row if binary else stop_row.decode()
+                            m2 = pc.less(rowkey, hi)
+                            mask = m2 if mask is None else pc.and_(mask, m2)
+                        n = len(rowkey)
+                        # constant column via a C-level take, not a
+                        # Python list multiply (chunks run to ~50k cells)
+                        region_arr = pc.take(
+                            pa.array([task["region"]], pa.string()),
+                            pa.array(np.zeros(n, np.int32)),
+                        )
+                        arrays = [region_arr, rowkey] + [cols[c] for c in keep]
+                        out = pa.RecordBatch.from_arrays(
+                            arrays, ["region", "rowkey", *keep]
+                        )
+                        if mask is not None:
+                            out = out.filter(mask)
+                        yield out
 
     return sdf.mapInArrow(decode, out_schema)
 

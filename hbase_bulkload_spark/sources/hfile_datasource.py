@@ -183,41 +183,48 @@ class HFileReader(DataSourceReader):
             [("region", pa.string()), ("rowkey", cell_pa)]
             + [(c, pa_types[c]) for c in self.keep]
         )
-        with open(partition.path, "rb") as f:
-            # cells never straddle blocks (writer rolls at row
-            # boundaries), so a partition's payloads concatenate into
-            # one buffer and decode in a single vectorized pass — a
-            # partition is ~split_bytes (2 MB) of blocks, so the batch
-            # stays small while the numpy/Arrow setup amortizes over
-            # every cell in the split instead of one 64 KB block
-            plain = b"".join(
-                hf._read_block(
-                    f, off, partition.codec or None, hf.DATA_MAGIC, self.verify
-                )
-                for off, _size in partition.blocks
-            )
-        cols = hf.decode_cells_arrow(
-            plain,
-            binary=self.binary,
-            want_family="family" in self.keep,
-            want_qualifier="qualifier" in self.keep,
-            want_ts="ts" in self.keep,
-            want_value="value" in self.keep,
-        )
-        n = len(cols["rowkey"])
-        # constant column via a C-level take, not a Python list multiply
-        # (a split runs to ~50k cells at the 2 MB default)
         import numpy as np
         import pyarrow.compute as pc
 
-        region_arr = pc.take(
-            pa.array([partition.region], pa.string()),
-            pa.array(np.zeros(n, np.int32)),
+        from hbase_bulkload_spark.operators.hfile_load import (
+            _iter_block_chunks,
         )
-        yield pa.RecordBatch.from_arrays(
-            [region_arr, cols["rowkey"]] + [cols[c] for c in self.keep],
-            schema=arrow_schema,
-        )
+
+        with open(partition.path, "rb") as f:
+            # cells never straddle blocks (writer rolls at row
+            # boundaries), so a CHUNK's payloads concatenate into one
+            # buffer and decode in a single vectorized pass. Chunked at
+            # DECODE_CHUNK_BYTES (~2 MiB ≈ ~50k cells — the numpy/Arrow
+            # setup amortizes, decode scratch stays flat) while the
+            # partition itself is split_bytes (scale-adaptive since
+            # r11, up to 64 MiB) of blocks.
+            for chunk in _iter_block_chunks(partition.blocks):
+                plain = b"".join(
+                    hf._read_block(
+                        f, off, partition.codec or None, hf.DATA_MAGIC,
+                        self.verify,
+                    )
+                    for off, _size in chunk
+                )
+                cols = hf.decode_cells_arrow(
+                    plain,
+                    binary=self.binary,
+                    want_family="family" in self.keep,
+                    want_qualifier="qualifier" in self.keep,
+                    want_ts="ts" in self.keep,
+                    want_value="value" in self.keep,
+                )
+                n = len(cols["rowkey"])
+                # constant column via a C-level take, not a Python list
+                # multiply
+                region_arr = pc.take(
+                    pa.array([partition.region], pa.string()),
+                    pa.array(np.zeros(n, np.int32)),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [region_arr, cols["rowkey"]] + [cols[c] for c in self.keep],
+                    schema=arrow_schema,
+                )
 
 
 class HFileCommit(WriterCommitMessage):
