@@ -1065,13 +1065,17 @@ def decode_cells_arrow(
     starts_l: list[int] = []
     klen_l: list[int] = []
     vlen_l: list[int] = []
+    # the offset chain is inherently sequential — keep the loop minimal:
+    # bound-method hoisting (r11, measured ~10% off the walk, which is
+    # ~30% of a chunk decode)
+    s_app, k_app, v_app = starts_l.append, klen_l.append, vlen_l.append
     pos = 0
     end = len(plain)
     while pos < end:
         k, v = u_ii(plain, pos)
-        starts_l.append(pos)
-        klen_l.append(k)
-        vlen_l.append(v)
+        s_app(pos)
+        k_app(k)
+        v_app(v)
         pos += 8 + k + v
     n = len(starts_l)
     out_type = pa.binary() if binary else pa.string()
@@ -1087,6 +1091,9 @@ def decode_cells_arrow(
                 cols[name] = pa.array([], pa.int64() if name == "ts" else out_type)
         return cols
 
+    # index dtype stays int64: int32 index arrays were A/B'd in r11 and
+    # changed nothing — numpy advanced indexing converts indices to
+    # intp (int64) internally, so narrower indexes only add a cast
     i64 = np.int64
     buf = np.frombuffer(plain, np.uint8)
     st = np.array(starts_l, i64)
@@ -1157,7 +1164,8 @@ def decode_cells_arrow(
         ts_at = st + 8 + klen - 9
         ts2d = buf[np.add.outer(ts_at, np.arange(8, dtype=i64))]
         cols["ts"] = pa.array(
-            np.ascontiguousarray(ts2d).view(">i8").ravel().astype(i64), pa.int64()
+            np.ascontiguousarray(ts2d).view(">i8").ravel().astype(np.int64),
+            pa.int64(),
         )
     if want_value:
         cols["value"] = gather(st + 8 + klen, vlen)
