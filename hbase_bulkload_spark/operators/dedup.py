@@ -211,7 +211,12 @@ def lsh_banding_params_solve(
     return 2 * b, b, True
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """k-permutation MinHash signature per doc: min over k seeded hashes
     of each distinct shingle — MAP-ONLY, all JVM expressions.
 
@@ -230,9 +235,16 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     consumers. Zero-shingle docs are dropped, as the explode formulation
     did. NB the per-seed lambda comes from a closure factory: a two-arg
     lambda would make PySpark pass the ELEMENT INDEX as the second
-    argument, silently corrupting the seed."""
-    base = docs.select(
-        "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
+    argument, silently corrupting the seed.
+
+    ``shingled`` — an already-shingled ``(doc_id, shs)`` frame — skips
+    the shingle projection (see :func:`shingle_postings`)."""
+    base = (
+        shingled.select("doc_id", "shs")
+        if shingled is not None
+        else docs.select(
+            "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
+        )
     ).filter(F.size("shs") > 0)
     hashed = base.select(
         "doc_id", F.transform("shs", lambda x: F.xxhash64(x)).alias("hs")
@@ -846,17 +858,28 @@ def shingle_postings(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The stored shingle index for :func:`incremental_ngram_dedup`:
     (shingle xxhash64, doc_id, n_sh) — one row per (doc, distinct
     shingle). A deployment persists this (parquet, bucketed by
     shingle) after each ingested increment and UNIONs the new batch's
     postings into it, so no later increment ever re-shingles the
-    corpus; ``history_postings=`` feeds it back in."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles_text(F.col(text_col), n).alias("shs"),
-    ).select(
+    corpus; ``history_postings=`` feeds it back in.
+
+    ``shingled`` — an already-shingled ``(doc_id, shs)`` frame — skips
+    the ``word_shingles_text`` projection; callers that consume several
+    shingle-derived views of one corpus (the twin-verdict queries)
+    compute the expensive shingle transform once and share it."""
+    src = (
+        shingled.select("doc_id", "shs")
+        if shingled is not None
+        else docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles_text(F.col(text_col), n).alias("shs"),
+        )
+    )
+    return src.select(
         "doc_id",
         F.size("shs").alias("n_sh"),
         F.explode(
@@ -875,6 +898,8 @@ def incremental_ngram_dedup(
     id_col: str = "doc_id",
     history_postings: DataFrame | None = None,
     verify_ids: DataFrame | None = None,
+    history_shingled: DataFrame | None = None,
+    batch_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Op 52d: production-shaped NEAR dedup — dedupe a NEW batch against
     an already-ingested corpus by exact n-gram Jaccard, without ever
@@ -913,7 +938,13 @@ def incremental_ngram_dedup(
     a fixed subset) instead of quadratic: this is what lets the
     q_dedup_incremental_minhash verdict query run its UNCAPPED exact
     twin on a bounded md5-ranked prefix at any corpus size. Output
-    rows are restricted to the subset."""
+    rows are restricted to the subset.
+
+    ``history_shingled`` / ``batch_shingled`` — already-shingled
+    ``(doc_id, shs)`` frames for the respective sides — skip the
+    ``word_shingles_text`` projections (see :func:`shingle_postings`);
+    the twin-verdict queries compute the shingle transform once and
+    share it across both arms."""
     def tagged(postings: DataFrame, side: int) -> DataFrame:
         return postings.select(
             F.lit(side).alias("side"), "doc_id", "n_sh", "shingle"
@@ -922,10 +953,10 @@ def incremental_ngram_dedup(
     hist_p = (
         history_postings
         if history_postings is not None
-        else shingle_postings(history, n, text_col, id_col)
+        else shingle_postings(history, n, text_col, id_col, history_shingled)
     )
     sh = tagged(hist_p, 0).union(
-        tagged(shingle_postings(batch, n, text_col, id_col), 1)
+        tagged(shingle_postings(batch, n, text_col, id_col, batch_shingled), 1)
     )
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.struct("side", "doc_id", "n_sh"))).alias("ds")
@@ -1091,6 +1122,7 @@ def minhash_band_index(
     bands: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The stored band index for :func:`incremental_minhash_dedup`:
     (band, bkey, doc_id, k, bands, n) — ``bands`` rows per doc. A
@@ -1112,7 +1144,7 @@ def minhash_band_index(
     distinct band count) before using ``history_bands``."""
     if k is None or bands is None:
         k, bands = lsh_banding_params(threshold)
-    sig = minhash_signatures(docs, k=k, n=n)
+    sig = minhash_signatures(docs, k=k, n=n, shingled=shingled)
     rows = k // bands
     band_keys = F.array(
         *[
@@ -1144,6 +1176,8 @@ def incremental_minhash_dedup(
     broadcast_pairs_limit: int = 1_000_000,
     max_bucket_size: int | None = None,
     history_bands: DataFrame | None = None,
+    history_shingled: DataFrame | None = None,
+    batch_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Op 52f: incremental near-dedup at the MINHASH scale tier — the
     probabilistic sibling of :func:`incremental_ngram_dedup` for
@@ -1162,7 +1196,15 @@ def incremental_minhash_dedup(
     store, not a scan.
 
     Returns the family's verdict contract: (doc_id, dup_of_history,
-    dup_in_batch, keep) per batch doc."""
+    dup_in_batch, keep) per batch doc.
+
+    ``history_shingled`` / ``batch_shingled`` — already-shingled
+    ``(doc_id, shs)`` frames for the respective sides — feed both the
+    band-index signatures and the exact-Jaccard verification, skipping
+    every ``word_shingles_text`` re-computation (the twin-verdict
+    queries compute the shingle transform once and share it across
+    both arms). Both must be passed for the verification path to use
+    them; ``history_bands`` still wins for the history band index."""
     if k is None or bands is None:
         k, bands = lsh_banding_params(threshold)
     if k % bands != 0:
@@ -1178,10 +1220,17 @@ def incremental_minhash_dedup(
     hist_b = (
         history_bands
         if history_bands is not None
-        else minhash_band_index(history, k=k, bands=bands, n=n)
+        else minhash_band_index(
+            history, k=k, bands=bands, n=n, shingled=history_shingled
+        )
     )
     bd = tagged(hist_b, 0).union(
-        tagged(minhash_band_index(batch, k=k, bands=bands, n=n), 1)
+        tagged(
+            minhash_band_index(
+                batch, k=k, bands=bands, n=n, shingled=batch_shingled
+            ),
+            1,
+        )
     )
     buckets = bd.groupBy("band", "bkey").agg(
         F.array_sort(F.collect_set(F.struct("side", "doc_id"))).alias("ds")
@@ -1221,9 +1270,6 @@ def incremental_minhash_dedup(
     # until explicit unpersist — checkpoint blocks instead free on GC.
     cand = cand.localCheckpoint(eager=True)
     n_pairs = cand.count()
-    all_docs = history.select("doc_id", "text").union(
-        batch.select("doc_id", "text")
-    )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b")))
@@ -1231,9 +1277,20 @@ def incremental_minhash_dedup(
     )
     if n_pairs <= broadcast_pairs_limit:
         cand_docs = F.broadcast(cand_docs)
-    shs = all_docs.join(cand_docs, "doc_id").select(
-        "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
-    )
+    if history_shingled is not None and batch_shingled is not None:
+        # shared shingles: verification reads the precomputed arrays
+        # instead of re-shingling candidate texts
+        all_sh = history_shingled.select("doc_id", "shs").union(
+            batch_shingled.select("doc_id", "shs")
+        )
+        shs = all_sh.join(cand_docs, "doc_id")
+    else:
+        all_docs = history.select("doc_id", "text").union(
+            batch.select("doc_id", "text")
+        )
+        shs = all_docs.join(cand_docs, "doc_id").select(
+            "doc_id", word_shingles_text(F.col("text"), n).alias("shs")
+        )
     a = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     n_inter = F.size(F.array_intersect("shs_a", "shs_b"))

@@ -390,16 +390,26 @@ def q_dedup_incremental_near(spark, sf_dir) -> DataFrame:
     )
 
 
-def incremental_minhash_verdicts(spark, sf_dir) -> DataFrame:
+def incremental_minhash_verdicts(
+    spark,
+    sf_dir,
+    history_shingled: DataFrame | None = None,
+    batch_shingled: DataFrame | None = None,
+) -> DataFrame:
     """Raw per-doc keep/drop verdicts of the incremental MinHash dedup
     at the registered parameters (the round-1..5
     q_dedup_incremental_minhash result). Scale-floored input (see
-    FLOOR_ROWS)."""
+    FLOOR_ROWS). The optional pre-shingled frames (see
+    ``dedup.incremental_minhash_dedup``) let the twin-verdict caller
+    share one shingle pass across both arms; results are identical
+    either way (``word_shingles_text`` is deterministic)."""
     docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     return dedup.incremental_minhash_dedup(
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 3 == 0),
         threshold=JACCARD_THRESHOLD,
+        history_shingled=history_shingled,
+        batch_shingled=batch_shingled,
     )
 
 
@@ -446,6 +456,21 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
     Raw verdicts: :func:`incremental_minhash_verdicts`."""
     docs = _docs(spark, sf_dir, floor=_scale_floor(sf_dir, "documents"))
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # SHARED SHINGLES (r11, guide §1.2 "don't compute things you throw
+    # away"): the exact arm's two posting streams, the MinHash arm's
+    # signature pass, and the exact-Jaccard verification each re-ran
+    # word_shingles_text (regex tokenization — the expensive
+    # per-element transform) over overlapping doc sets: ~3 full-corpus
+    # shingle passes plus a candidate pass per query. One eager
+    # checkpoint of (doc_id, shs) feeds all of them. Unlike the
+    # checked-prefix checkpoint A/B'd negative below, this materialized
+    # frame sits ABOVE real per-element compute — the same shape as
+    # q_sim_pairs_ivf_clustered's winning twin-corpus materialization.
+    shingled = docs.select(
+        "doc_id", T.word_shingles_text(F.col("text"), 3).alias("shs")
+    ).localCheckpoint(eager=True)
+    hist_sh = shingled.filter(F.col("doc_id") % 3 != 0)
+    batch_sh = shingled.filter(F.col("doc_id") % 3 == 0)
     # NOT materialized (r11 A/B): an eager checkpoint of this id set
     # measured slower at sf0.1 and sf3-density (16.33 s → 17.67 s
     # min-of-3 at sf3) than letting both semi-join consumers re-run
@@ -461,10 +486,12 @@ def q_dedup_incremental_minhash(spark, sf_dir) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=None,
         verify_ids=checked_ids,
+        history_shingled=hist_sh,
+        batch_shingled=batch_sh,
     ).select("doc_id", F.col("keep").alias("_ek"))
-    approx = incremental_minhash_verdicts(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("_ak")
-    )
+    approx = incremental_minhash_verdicts(
+        spark, sf_dir, history_shingled=hist_sh, batch_shingled=batch_sh
+    ).select("doc_id", F.col("keep").alias("_ak"))
     n_flagged = F.sum((~F.col("_ek")).cast("long"))
     n_both = F.sum((~F.col("_ek") & ~F.col("_ak")).cast("long"))
     n_spurious = F.sum((F.col("_ek") & ~F.col("_ak")).cast("long"))

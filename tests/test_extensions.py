@@ -934,6 +934,57 @@ def test_incremental_minhash_stored_index_parity(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_shared_shingles_parity(spark, sf_dir):
+    """Pre-shingled (doc_id, shs) frames fed via history_shingled= /
+    batch_shingled= must produce verdicts identical to the default
+    shingle-from-text path, for BOTH incremental operators (the r11
+    shared-shingles optimization of q_dedup_incremental_minhash: one
+    shingle pass feeds the exact arm's postings, the MinHash arm's
+    signatures, and the exact-Jaccard verification)."""
+    from pyspark.sql import functions as F
+
+    from hbase_bulkload_spark.functions.text import word_shingles_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    shingled = docs.select(
+        "doc_id", word_shingles_text(F.col("text"), 3).alias("shs")
+    ).localCheckpoint(eager=True)
+    hist_sh = shingled.filter(F.col("doc_id") % 3 != 0)
+    batch_sh = shingled.filter(F.col("doc_id") % 3 == 0)
+
+    mh_a = sorted(
+        map(tuple, dedup.incremental_minhash_dedup(hist, batch).collect())
+    )
+    mh_b = sorted(
+        map(
+            tuple,
+            dedup.incremental_minhash_dedup(
+                hist, batch,
+                history_shingled=hist_sh, batch_shingled=batch_sh,
+            ).collect(),
+        )
+    )
+    assert mh_a == mh_b and len(mh_a) > 0
+
+    ng_a = sorted(
+        map(tuple, dedup.incremental_ngram_dedup(hist, batch).collect())
+    )
+    ng_b = sorted(
+        map(
+            tuple,
+            dedup.incremental_ngram_dedup(
+                hist, batch,
+                history_shingled=hist_sh, batch_shingled=batch_sh,
+            ).collect(),
+        )
+    )
+    assert ng_a == ng_b and len(ng_a) > 0
+
+
 def test_incremental_minhash_rejects_mismatched_stored_index(spark, sf_dir):
     """A band index persisted under DIFFERENT (k, bands) than the
     current call derives must be rejected loudly: before round 7 it
