@@ -154,6 +154,19 @@ MINIMA_ARTIFACT = os.path.join(
 #: strings parquet scans embed. Stripped before fingerprinting.
 _FP_NOISE = re.compile(r"#\d+L?|file:[^\s,)\]]+|/[\w./-]*(?:tmp|testdata|localdata|warehouse|target)[\w./-]*")
 
+#: Two more session-counter leaks (r11 — these made the fingerprint
+#: depend on query CONSTRUCTION ORDER, so any registry change upstream
+#: of a key shifted its fp and the min-merge guard spuriously dropped
+#: that key's committed good-window minima, observed on q_dedup_ngram /
+#: q_dedup_incremental_near in the run-8 merge):
+#: - higher-order-function lambda variables are named from a
+#:   session-global counter (`lambda x_3` vs `lambda x_8` for the same
+#:   plan built later in the session);
+#: - `.observe()` prints as `CollectMetrics name, [exprs], <id>` with a
+#:   session-global node id.
+_FP_LAMBDA = re.compile(r"\bx_\d+\b")
+_FP_COLLECT_METRICS_ID = re.compile(r"^(\s*(?:[+:|-]\s*)*CollectMetrics .*), \d+$", re.M)
+
 
 def _plan_fingerprint(df, sf_dir: str) -> str:
     """Stable hash of a DataFrame's ANALYZED logical plan (round-9
@@ -172,6 +185,8 @@ def _plan_fingerprint(df, sf_dir: str) -> str:
     except Exception:  # noqa: BLE001 — fingerprinting must never fail a run
         return "unavailable"
     s = _FP_NOISE.sub("", s)
+    s = _FP_LAMBDA.sub("x_", s)
+    s = _FP_COLLECT_METRICS_ID.sub(r"\1", s)
     if sf_dir:
         s = s.replace(sf_dir, "")
     s = re.sub(r"\s+", " ", s)

@@ -1067,7 +1067,15 @@ def decode_cells_arrow(
     vlen_l: list[int] = []
     # the offset chain is inherently sequential — keep the loop minimal:
     # bound-method hoisting (r11, measured ~10% off the walk, which is
-    # ~30% of a chunk decode)
+    # ~30% of a chunk decode). Two more variants A/B'd SLOWER (r11,
+    # min-of-11 on a 10.5 MB/90k-cell buffer) — don't retry:
+    # - one ">q" unpack + bigint shifts (k = q>>32; v = q&0xffffffff):
+    #   28.2 ms vs 13.9 ms — Python bigint ops cost more than the
+    #   struct tuple unpack they replace;
+    # - 1-list walk (drop the k/v appends, recover klen/vlen by
+    #   vectorized byte-gathers at starts): 17.0 ms vs 13.0 ms — two
+    #   list appends are cheaper than 8 random-access gather passes
+    #   over the buffer (cache misses).
     s_app, k_app, v_app = starts_l.append, klen_l.append, vlen_l.append
     pos = 0
     end = len(plain)

@@ -170,6 +170,32 @@ def test_plan_fingerprint_stable_and_plan_sensitive(spark):
     assert a != b
 
 
+def test_plan_fingerprint_construction_order_insensitive(spark):
+    """r11 fix: Spark names higher-order-function lambda variables from
+    a SESSION-GLOBAL counter (`lambda x_3` vs `lambda x_8` for the same
+    plan built later) and stamps `.observe()` CollectMetrics nodes with
+    a session-global id. Un-normalized, the fingerprint depended on
+    query construction order, so any registry change upstream of a key
+    shifted its fp and the min-merge guard spuriously dropped that
+    key's committed minima (observed on q_dedup_ngram /
+    q_dedup_incremental_near in the r11 run-8 merge). Pins: a
+    lambda+observe-bearing plan fingerprints identically before and
+    after OTHER lambda-bearing plans churn the counters."""
+    from bench import _plan_fingerprint
+
+    sf_dir = "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    key = "q_dedup_ngram"  # transform/filter lambdas + observe()
+    fp1 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+    # churn the session-global lambda counter with other plans
+    qs["q_dedup_incremental_near"](spark, sf_dir)
+    qs["q_dedup_exact"](spark, sf_dir)
+    fp2 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+    assert fp1 == fp2 != "unavailable"
+
+
 def test_first_detail_line_tolerates_stray_stdout():
     """Round-9 advisor item: the isolated probe must find the detail
     line even when banners or setup prints precede it, must skip JSON
