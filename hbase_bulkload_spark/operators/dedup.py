@@ -686,23 +686,28 @@ def connected_components(
             .groupBy(F.col("dst").alias("__n_id"))
             .agg(F.min("comp_id").alias("__n_min"))
         )
-        new = (
+        # the convergence flag is computable IN-ROW during the step
+        # (new label < old label), so the old separate new-vs-old join
+        # per round (a full shuffle join of the label set whose only
+        # output was the changed-count) is gone: the count reads the
+        # step's already-checkpointed blocks instead (r11, guide §2.4
+        # remove shuffles outright — one join job per round eliminated,
+        # labels identical round-for-round)
+        stepped = (
             labels.join(neigh, labels[id_col] == neigh["__n_id"], "left")
             .select(
                 id_col,
                 F.least(
                     "comp_id", F.coalesce("__n_min", "comp_id")
                 ).alias("comp_id"),
+                (
+                    F.coalesce("__n_min", "comp_id") < F.col("comp_id")
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.comp_id") != F.col("o.comp_id"))
-            .count()
-        )
-        labels = new
+        changed = stepped.filter("__changed").count()
+        labels = stepped.drop("__changed")
         if changed == 0:
             break
     return labels

@@ -468,10 +468,11 @@ def test_connected_components_chain(spark):
         [(2, 5), (5, 9), (7, 8)], "doc_a long, doc_b long"
     )
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 5, 7, 8, 9)], "doc_id long")
-    got = {
-        r.doc_id: r.comp_id
-        for r in dedup.connected_components(pairs, nodes).collect()
-    }
+    out = dedup.connected_components(pairs, nodes)
+    # the r11 fused convergence flag (__changed) is internal — it must
+    # never leak into the returned schema
+    assert out.columns == ["doc_id", "comp_id"]
+    got = {r.doc_id: r.comp_id for r in out.collect()}
     assert got == {1: 1, 2: 2, 5: 2, 9: 2, 7: 7, 8: 7}
 
 
