@@ -164,8 +164,54 @@ _FP_NOISE = re.compile(r"#\d+L?|file:[^\s,)\]]+|/[\w./-]*(?:tmp|testdata|localda
 #:   plan built later in the session);
 #: - `.observe()` prints as `CollectMetrics name, [exprs], <id>` with a
 #:   session-global node id.
-_FP_LAMBDA = re.compile(r"\bx_\d+\b")
+#: x_N for one-arg lambdas; two-/three-arg higher-order functions
+#: (zip_with, aggregate) additionally name y_N / z_N from the SAME
+#: session counter — r11 normalized only x_N, which left
+#: q_dedup_semantic / q_text_quality / q_text_repetition fp-unstable
+#: between two builds in ONE session (found by the r12 migration's
+#: precondition check).
+_FP_LAMBDA = re.compile(r"\b([xyz])_\d+\b")
 _FP_COLLECT_METRICS_ID = re.compile(r"^(\s*(?:[+:|-]\s*)*CollectMetrics .*), \d+$", re.M)
+
+#: Environment-derived partition counts (r12): scale-adaptive plans set
+#: numPartitions from spark.sparkContext.defaultParallelism, i.e. from
+#: $SPARK_GRAFT_CPUS — which the DRIVER ITSELF varies (the 8-core
+#: scaling run). The 8-core run's merge stamped 8-core fingerprints
+#: onto the ledgers, and the next 32-core merge then dropped 18 keys'
+#: committed good-window minima as "plan changed" when only the
+#: environment had (observed r12 baseline: fp_mismatch_dropped = 18
+#: keys, every one a `Repartition 8` vs `Repartition 32` text diff).
+#: Partition COUNT never changes what a query computes, so the
+#: fingerprint normalizes it out; plan SHAPE (the Repartition node
+#:  itself, its keys) still fingerprints.
+_FP_REPARTITION_N = re.compile(
+    r"^(\s*(?:[+:|-]\s*)*)Repartition \d+,", re.M
+)
+_FP_REPARTITION_BY_EXPR_N = re.compile(
+    r"^(\s*(?:[+:|-]\s*)*RepartitionByExpression .*?)(?:, \d+)?$", re.M
+)
+
+
+def _renumber_lambdas(s: str) -> str:
+    """Canonically renumber higher-order-function lambda variables by
+    first occurrence (x_1, x_2, ...) instead of collapsing every index
+    to one token (r12, advisor item bench.py:166): collapsing erased
+    the distinction between sibling/nested lambda variables within one
+    plan, so two genuinely different plans could share a fingerprint.
+    Renumbering removes the session-counter dependence while keeping
+    intra-plan identity."""
+    mapping: dict[str, str] = {}
+    counts: dict[str, int] = {}
+
+    def repl(m: "re.Match[str]") -> str:
+        tok = m.group(0)
+        if tok not in mapping:
+            letter = m.group(1)
+            counts[letter] = counts.get(letter, 0) + 1
+            mapping[tok] = f"{letter}_{counts[letter]}"
+        return mapping[tok]
+
+    return _FP_LAMBDA.sub(repl, s)
 
 
 def _plan_fingerprint(df, sf_dir: str) -> str:
@@ -185,8 +231,10 @@ def _plan_fingerprint(df, sf_dir: str) -> str:
     except Exception:  # noqa: BLE001 — fingerprinting must never fail a run
         return "unavailable"
     s = _FP_NOISE.sub("", s)
-    s = _FP_LAMBDA.sub("x_", s)
+    s = _renumber_lambdas(s)
     s = _FP_COLLECT_METRICS_ID.sub(r"\1", s)
+    s = _FP_REPARTITION_N.sub(r"\1Repartition N,", s)
+    s = _FP_REPARTITION_BY_EXPR_N.sub(r"\1", s)
     if sf_dir:
         s = s.replace(sf_dir, "")
     s = re.sub(r"\s+", " ", s)

@@ -196,6 +196,42 @@ def test_plan_fingerprint_construction_order_insensitive(spark):
     assert fp1 == fp2 != "unavailable"
 
 
+def test_plan_fingerprint_multiarg_lambda_and_partition_count(spark):
+    """r12 fixes (found by the migration precondition check + the first
+    r12 merge dropping 18 keys): (a) two-arg higher-order functions
+    (zip_with) name their SECOND lambda variable y_N from the same
+    session-global counter — r11 normalized only x_N, leaving
+    q_text_repetition/q_text_quality/q_dedup_semantic fp-unstable
+    between two builds in ONE session; (b) scale-adaptive partition
+    counts come from $SPARK_GRAFT_CPUS, which the driver itself varies
+    (8-core scaling run), so `Repartition 8` vs `Repartition 32` must
+    fingerprint identically while plan SHAPE still distinguishes."""
+    from bench import _plan_fingerprint
+
+    sf_dir = "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    key = "q_text_repetition"  # zip_with → x_N AND y_N lambda vars
+    fp1 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+    qs["q_dedup_ngram"](spark, sf_dir)  # churn the lambda counter
+    fp2 = _plan_fingerprint(qs[key](spark, sf_dir), sf_dir)
+    assert fp1 == fp2 != "unavailable"
+
+    from pyspark.sql import functions as F
+
+    def agg(df):
+        return df.groupBy((F.col("id") % 5).alias("k")).count()
+
+    a = _plan_fingerprint(agg(spark.range(100).repartition(8)), "")
+    b = _plan_fingerprint(agg(spark.range(100).repartition(32)), "")
+    assert a == b != "unavailable"
+    c = _plan_fingerprint(agg(spark.range(100).repartition(8, "id")), "")
+    d = _plan_fingerprint(agg(spark.range(100).repartition(32, "id")), "")
+    assert c == d != "unavailable"
+    assert a != c  # round-robin vs hash repartition: shape survives
+
+
 def test_first_detail_line_tolerates_stray_stdout():
     """Round-9 advisor item: the isolated probe must find the detail
     line even when banners or setup prints precede it, must skip JSON

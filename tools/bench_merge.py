@@ -132,6 +132,17 @@ def merge(runs: list[dict]) -> dict:
         "tools/bench_merge.py for why single-run probes are not enough)"
     )
     base["merged_from"] = [e for r in runs for e in _provenance_entries(r)]
+    # fp-migration provenance survives merges (r12, advisor item on the
+    # since-deleted fp_migrate_r11: base = dict(newest) silently dropped
+    # the marker, erasing the audit trail AND disarming the migration
+    # tools' run-once guards)
+    migrations = [
+        m
+        for r in runs
+        for m in r.get("fp_migrations", [])
+    ]
+    if migrations:
+        base["fp_migrations"] = sorted(set(migrations))
     # a merged artifact has no single throttle state or calibration
     # probe list; the per-run stamps live in merged_from
     base["throttle"] = "merged (see merged_from)"
