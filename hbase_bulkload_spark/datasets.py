@@ -141,6 +141,46 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def parquet_column_minmax(
+    sf_dir: str, name: str, column: str
+) -> tuple[int, int] | None:
+    """(min, max) of an integer column from parquet row-group footer
+    statistics — zero Spark jobs, metadata-scale I/O at any corpus size
+    (the same probe machinery as :func:`parquet_row_count`). Returns
+    None when any row group lacks stats for the column (the caller must
+    then take its conservative branch). Powers runtime gates that need
+    a VALUE bound, not a row count — e.g. the LSH candidate pair-packing
+    gate (ids must fit u32) that cannot be assumed statically at
+    100 TB."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS). Spark 4.x reads it
     natively as timestamp_ntz with the same ns→µs truncation DuckDB

@@ -920,6 +920,7 @@ def cosine_pairs_lsh(
     broadcast_vectors: bool = True,
     signature_partitions: int | None = None,
     restrict_ids: DataFrame | None = None,
+    pack_pair_ids: bool = False,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets per table → candidate
     pairs within a bucket → exact cosine verification. Precision exact,
@@ -1002,15 +1003,49 @@ def cosine_pairs_lsh(
             ).alias("n_dropped_buckets"),
         ).filter(F.size("ids") <= max_bucket_size)
     p1 = postings.select("ids", F.posexplode("ids").alias("i", "vec_id_a"))
-    cand = (
-        p1.select(
-            "vec_id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("vec_id_b"),
+    if pack_pair_ids:
+        # §2.3 narrower shuffle types (r11 verdict item 1): the
+        # candidate-dedup exchange is the largest shuffle in the plan
+        # at scale (sf10-density: ~1e10 candidate rows; its zstd'd
+        # shuffle files exceed the page cache and the key measures
+        # 1.23x its cost model). When every id fits u32 the (a, b)
+        # pair packs into ONE unsigned-decomposable long — the dedup
+        # exchange and its hash table key halve from two longs to one.
+        # CALLER-GATED: only safe when 0 <= id < 2^32, an invariant the
+        # operator cannot assume at 100 TB — callers check parquet
+        # footer min/max stats (datasets.parquet_column_minmax) and
+        # fall back loudly to the unpacked plan. Bijective for any
+        # a, b in [0, 2^32): the shift may wrap long's sign bit, but
+        # shiftrightunsigned/bitwiseAND decompose exactly; pairs are
+        # (a, b) with a < b from the sorted posting arrays, so packing
+        # changes neither the dedup'd set nor row values.
+        cand = (
+            p1.select(
+                F.explode(
+                    F.transform(
+                        F.slice("ids", F.col("i") + 2, F.size("ids")),
+                        lambda b: F.shiftleft(
+                            F.col("vec_id_a").cast("long"), 32
+                        ).bitwiseOR(b.cast("long")),
+                    )
+                ).alias("pk")
+            )
+            .dropDuplicates(["pk"])
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("vec_id_a"),
+                F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("vec_id_b"),
+            )
         )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
+    else:
+        cand = (
+            p1.select(
+                "vec_id_a",
+                F.explode(
+                    F.slice("ids", F.col("i") + 2, F.size("ids"))
+                ).alias("vec_id_b"),
+            )
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        )
     if restrict_ids is not None:
         # EXPLICIT candidate restriction (e.g. a verdict key's bounded
         # exact-twin subset) applied BEFORE the expensive verification.

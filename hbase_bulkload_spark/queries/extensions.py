@@ -642,7 +642,39 @@ def sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:
         signature_partitions=(
             spark.sparkContext.defaultParallelism if n >= FLOOR_ROWS else None
         ),
+        pack_pair_ids=_lsh_pack_gate(sf_dir),
     )
+
+
+def _lsh_pack_gate(sf_dir: str) -> bool:
+    """Runtime max-id gate for the LSH candidate pair packing (r11
+    verdict item 1, guide §2.3): pack (id_a, id_b) into one long only
+    when parquet footer stats PROVE every embedding id fits u32 —
+    metadata-scale I/O, no Spark job. Falls back LOUDLY (never
+    silently) to the unpacked two-long plan when stats are missing or
+    ids exceed the bound; the result set is identical either way, the
+    packed plan just halves the candidate-dedup shuffle key."""
+    import os
+
+    # A/B override for interleaved scale measurements (and an escape
+    # hatch): SPARK_GRAFT_LSH_PACK=0 forces the unpacked plan, =1
+    # forces packed (caller asserts the id bound), unset → footer gate.
+    forced = os.environ.get("SPARK_GRAFT_LSH_PACK")
+    if forced is not None and forced != "":
+        return forced not in ("0", "false", "no")
+    mm = datasets.parquet_column_minmax(sf_dir, "embeddings", "vec_id")
+    if mm is not None and 0 <= mm[0] and mm[1] < (1 << 32):
+        return True
+    import warnings
+
+    warnings.warn(
+        "LSH pair packing disabled: embeddings.vec_id "
+        + ("has no footer min/max stats" if mm is None else f"spans {mm}")
+        + " — candidate dedup shuffles two longs per pair instead of one",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return False
 
 
 def q_sim_pairs_lsh_raw(spark, sf_dir) -> DataFrame:

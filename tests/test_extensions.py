@@ -120,6 +120,67 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert approx <= exact  # precision is exact; recall probabilistic
 
 
+def test_lsh_pair_packing_parity_and_gate(spark, sf_dir):
+    """r12 (verdict item 1, guide §2.3): packing (id_a, id_b) into one
+    long for the candidate-dedup exchange must not change the verified
+    pair set OR the scores — same rows, same schema types for long ids.
+    The packing is bijective for ids in [0, 2^32), including ids past
+    2^31 where the shift wraps the long's sign bit. The footer-stats
+    gate must refuse ids >= 2^32."""
+    from hbase_bulkload_spark.datasets import table
+    from hbase_bulkload_spark.queries.extensions import _lsh_pack_gate
+
+    emb = table(spark, sf_dir, "embeddings")
+    plain = similarity.cosine_pairs_lsh(emb, 0.4).collect()
+    packed = similarity.cosine_pairs_lsh(emb, 0.4, pack_pair_ids=True).collect()
+    key = lambda r: (r.vec_id_a, r.vec_id_b)  # noqa: E731
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, packed))
+    assert len({key(r) for r in packed}) == len(packed)
+
+    # sign-bit wrap: ids >= 2^31 still round-trip exactly
+    big = 3_000_000_000  # > 2^31, < 2^32
+    d = 64  # the signature UDF's hyperplane dimensionality
+    v0 = [1.0] + [0.0] * (d - 1)
+    v1 = [1.0, 0.05] + [0.0] * (d - 2)
+    v2 = [0.0, 1.0] + [0.0] * (d - 2)
+    rows = [(big, v0), (big + 1, v1), (5, v2)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        key(r)
+        for r in similarity.cosine_pairs_lsh(
+            emb2, 0.9, pack_pair_ids=True
+        ).collect()
+    }
+    assert got == {(big, big + 1)}
+
+    # footer-stats gate: sf fixture ids fit u32 -> pack; no stats/huge
+    # ids exercised via the helper's contract on the real fixture
+    assert _lsh_pack_gate(sf_dir) is True
+
+
+def test_lsh_pack_gate_refuses_huge_ids(tmp_path):
+    """Ids at/past 2^32 must fall back to the unpacked plan, loudly."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hbase_bulkload_spark.queries.extensions import _lsh_pack_gate
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1 << 32], pa.int64()),
+            "embedding": pa.array([[0.0], [1.0]], pa.list_(pa.float32())),
+            "label": pa.array(["a", "b"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _lsh_pack_gate(str(tmp_path)) is False
+    assert any("pair packing disabled" in str(x.message) for x in w)
+
+
 def test_ivf_topk_precision_and_recall(spark, sf_dir):
     """IVF results must carry exact scores (precision exact); recall vs
     the exact top-k is probe-budget-dependent but must be substantial on
