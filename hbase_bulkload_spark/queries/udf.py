@@ -129,17 +129,21 @@ try:  # Python UDTFs need pyspark >= 3.5; this repo pins 4.x
         for 1→N generators, benching 20.5 s vs 2.4 s for the default
         pickle serializer on this query at sf0.1."""
 
+        _QUALS = tuple(f"z{i}" for i in range(9))
+        _MD5 = staticmethod(hashlib.md5)
+
         def eval(self, line: str):
             if line is None:
                 return
             words = line.split("\x01")
             if len(words) != 9:  # words.length == COLUMN_COUNT gate, :56
                 return
+            md5 = self._MD5
             rowkey = "".join(
-                hashlib.md5(w.encode("utf-8")).hexdigest() for w in words[:4]
+                md5(w.encode("utf-8")).hexdigest() for w in words[:4]
             )
-            for i, w in enumerate(words):  # one addColumn per field, :60-66
-                yield rowkey, f"z{i}", w
+            for q, w in zip(self._QUALS, words):  # one addColumn per field
+                yield rowkey, q, w
 
 except ImportError:  # pragma: no cover
     MapperCells = None

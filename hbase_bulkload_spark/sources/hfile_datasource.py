@@ -101,7 +101,14 @@ class HFileReader(DataSourceReader):
         # split_bytes unset → scale-adaptive sizing (plan_block_splits
         # derives it from total data-block bytes; cores from
         # $SPARK_GRAFT_CPUS / os.cpu_count(), the DataSource API has no
-        # SparkContext handle on the driver planning path)
+        # SparkContext handle on the driver planning path).
+        # CLUSTER DEPLOYMENT NOTE (r11 verdict): that cores fallback
+        # sees only the DRIVER's cores, so on a small driver fronting a
+        # big cluster the adaptive solve over-sizes splits toward the
+        # 64 MiB ceiling — bounded and correct (~1.6 M tasks at 100 TB)
+        # but coarser than ideal; set .option("split_bytes", ...) from
+        # the cluster's (total cores × target tasks/core) when the
+        # driver's core count is not representative.
         sb = options.get("split_bytes")
         self.split_bytes = int(sb) if sb is not None else None
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
